@@ -1,0 +1,91 @@
+"""Encoder configuration — the TPU-native analog of HVENC_Cfg
+(reference: homer_hevc_enc_api.h:138-167, 28 fields).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class RDMode(enum.IntEnum):
+    """reference: homer_hevc_enc_api.h RD modes."""
+    RD_DIST_ONLY = 0
+    RD_FULL = 1
+    RD_FAST = 2
+
+
+class BitrateMode(enum.IntEnum):
+    FIXED_QP = 0
+    CBR = 1
+    VBR = 2
+
+
+class PerformanceMode(enum.IntEnum):
+    FULL_COMPUTATION = 0
+    FAST = 1
+    UFAST = 2
+
+
+class MEPrecision(enum.IntEnum):
+    PEL = 0
+    HALF_PEL = 1
+    QUARTER_PEL = 2
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    # geometry / timing
+    width: int = 1280
+    height: int = 720
+    frame_rate: float = 25.0
+    # coding structure
+    cu_size: int = 64                 # CTU size: 16/32/64
+    intra_period: int = 100           # 0 = infinite (first frame IDR only)
+    gop_size: int = 2                 # 0=all intra, 1=IPPP, 2=IBP
+    num_b: int = 0                    # B frames between references (0 or 1)
+    num_ref_frames: int = 1
+    # prediction depth
+    max_pred_depth: int = 4           # CU quadtree depth below CTU
+    max_intra_tr_depth: int = 2
+    max_inter_tr_depth: int = 1
+    motion_estimation_precision: MEPrecision = MEPrecision.QUARTER_PEL
+    # quality / rate
+    qp: int = 32
+    chroma_qp_offset: int = 2
+    bitrate_mode: BitrateMode = BitrateMode.FIXED_QP
+    bitrate_kbps: int = 1250
+    vbv_size: float = 1.0             # in seconds-of-bitrate
+    vbv_init: float = 0.35            # initial fullness fraction
+    # tools
+    sign_hiding: bool = True
+    sao: bool = True
+    deblocking: bool = True
+    scaling_lists: bool = False       # default lists on/off (flat when off)
+    rd_mode: RDMode = RDMode.RD_FAST
+    performance_mode: PerformanceMode = PerformanceMode.UFAST
+    reinit_gop_on_scene_change: bool = True
+    # parallelism (TPU-native knobs; replaces n_enc_engines/n_wpp_threads)
+    wpp: bool = False                 # per-CTU-row substreams (host-parallel CABAC)
+    num_frames_in_flight: int = 1     # device pipeline depth (frame engines analog)
+    num_devices: int = 1              # mesh size for frame/stream sharding
+    # internals
+    bit_depth: int = 8
+
+    def __post_init__(self) -> None:
+        assert self.cu_size in (16, 32, 64)
+        assert 0 <= self.qp <= 51
+        assert self.width % 2 == 0 and self.height % 2 == 0
+        assert self.bit_depth == 8, "only 8-bit supported (as the reference)"
+
+    @property
+    def ctu_size(self) -> int:
+        return self.cu_size
+
+    @property
+    def ctus_x(self) -> int:
+        return -(-self.width // self.ctu_size)
+
+    @property
+    def ctus_y(self) -> int:
+        return -(-self.height // self.ctu_size)

@@ -1,0 +1,375 @@
+"""Slice-data parser: decoder twin of syntax.SliceDataEncoder.
+
+Parses intra slice data back into a FrameDesc (modes + coefficient planes).
+Used as (a) a self-consistency oracle for the serializer, (b) a parser for
+third-party conformant streams (e.g. the reference encoder's) to validate
+our context/syntax assumptions, and (c) with golden prediction, a full YUV
+bit-exact decoder for conformance tests (chroma included — the cv2/FFmpeg
+oracle only exposes luma exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from homerhevc_tpu.hevc import tables as T
+from homerhevc_tpu.hevc.cabac_dec import CabacDecoder
+from homerhevc_tpu.hevc.ctx_tables import OFF
+from homerhevc_tpu.hevc.headers import ParamSets, SLICE_I
+from homerhevc_tpu.hevc.syntax import (
+    CTX_IND_MAP_4x4, FrameDesc, INTRA_DC, mpm_candidates, SliceDataEncoder,
+)
+
+
+class SliceDataParser:
+    def __init__(self, ps: ParamSets, width: int, height: int,
+                 dec: CabacDecoder, slice_type: int = SLICE_I,
+                 slice_qp: int = 32, trace: bool = False):
+        self.ps = ps
+        self.d = FrameDesc.alloc(width, height)
+        self.e = dec
+        self.slice_type = slice_type
+        self.slice_qp = slice_qp
+        self.ctu_size = ps.ctu_size
+        self.trace = trace
+        self.log = []
+
+    def _t(self, *args):
+        if self.trace:
+            self.log.append(args)
+
+    def _depth_at(self, x, y):
+        return int(self.d.cu_depth[y // 8, x // 8])
+
+    def _is_intra_at(self, x, y):
+        return True  # intra slices only for now
+
+    def _luma_mode_at(self, x, y):
+        return int(self.d.luma_mode[y // 4, x // 4])
+
+    # ---- CTU ---------------------------------------------------------------
+
+    def parse_ctu(self, ctu_x: int, ctu_y: int) -> None:
+        x0 = ctu_x * self.ctu_size
+        y0 = ctu_y * self.ctu_size
+        self._coding_quadtree(x0, y0, self.ps.log2_ctu, 0)
+
+    def parse_ctu_end(self) -> int:
+        return self.e.decode_terminate()
+
+    def _coding_quadtree(self, x0, y0, log2_size, depth):
+        size = 1 << log2_size
+        w, h = self.d.width, self.d.height
+        inside = (x0 + size <= w) and (y0 + size <= h)
+        if inside and log2_size > self.ps.log2_min_cb:
+            ctx = 0
+            if x0 > 0 and self._depth_at(x0 - 1, y0) > depth:
+                ctx += 1
+            if y0 > 0 and self._depth_at(x0, y0 - 1) > depth:
+                ctx += 1
+            split = self.e.decode_bin(OFF["split_flag"] + ctx)
+            self._t("split", x0, y0, depth, split)
+        else:
+            split = 1 if (not inside and log2_size > self.ps.log2_min_cb) else 0
+        if split:
+            half = size >> 1
+            # record depth for the whole region first (serializer's neighbor
+            # ctx uses final depths; parser must fill as it goes)
+            for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < w and y1 < h:
+                    self._coding_quadtree(x1, y1, log2_size - 1, depth + 1)
+        else:
+            self.d.cu_depth[y0 // 8:(y0 + size) // 8,
+                            x0 // 8:(x0 + size) // 8] = depth
+            self._coding_unit(x0, y0, log2_size)
+
+    def _coding_unit(self, x0, y0, log2_size):
+        ps, e, d = self.ps, self.e, self.d
+        if self.slice_type != SLICE_I:
+            raise NotImplementedError
+        nxn = False
+        if log2_size == ps.log2_min_cb:
+            nxn = e.decode_bin(OFF["part_size"]) == 0
+        d.part_nxn[y0 // 8, x0 // 8] = nxn
+        n_pu = 4 if nxn else 1
+        size = 1 << log2_size
+        pu = size >> 1 if nxn else size
+        prev_flags = [e.decode_bin(OFF["intra_pred_mode"]) for _ in range(n_pu)]
+        modes = []
+        for i in range(n_pu):
+            px = x0 + (i & 1) * pu
+            py = y0 + (i >> 1) * pu
+            left = INTRA_DC
+            if px > 0:
+                left = self._luma_mode_at(px - 1, py)
+            above = INTRA_DC
+            if py > 0 and (py % self.ctu_size) != 0:
+                above = self._luma_mode_at(px, py - 1)
+            mpm = mpm_candidates(left, above)
+            if prev_flags[i]:
+                idx = 0
+                if e.decode_bypass():
+                    idx = 1 + e.decode_bypass()
+                mode = mpm[idx]
+            else:
+                rem = e.decode_bypass_bins(5)
+                for c in sorted(mpm):
+                    if rem >= c:
+                        rem += 1
+                mode = rem
+            modes.append(mode)
+            d.luma_mode[py // 4:(py + pu) // 4, px // 4:(px + pu) // 4] = mode
+            self._t("luma_mode", px, py, mode)
+        # chroma
+        if e.decode_bin(OFF["chroma_pred_mode"]) == 0:
+            cmode = modes[0]
+        else:
+            syn = e.decode_bypass_bins(2)
+            cands = [0, 26, 10, 1]
+            for i, c in enumerate(cands):
+                if c == modes[0]:
+                    cands[i] = 34
+            cmode = cands[syn]
+        d.chroma_mode[y0 // 8:(y0 + size) // 8, x0 // 8:(x0 + size) // 8] = cmode
+        self._t("chroma_mode", x0, y0, cmode)
+        intra_split = nxn
+        max_depth = ps.max_tr_depth_intra + (1 if intra_split else 0)
+        self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
+                             intra_split, max_depth, True, True)
+
+    def _transform_tree(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
+                        intra_split, max_depth, parent_cbf_cb, parent_cbf_cr):
+        ps, e, d = self.ps, self.e, self.d
+        size = 1 << log2_size
+        if (log2_size <= ps.log2_max_tb and log2_size > ps.log2_min_tb
+                and depth < max_depth and not (intra_split and depth == 0)):
+            split = e.decode_bin(OFF["trans_subdiv"] + (5 - log2_size))
+        else:
+            split = 1 if (log2_size > ps.log2_max_tb
+                          or (intra_split and depth == 0)) else 0
+        self._t("tr_split", x0, y0, depth, split)
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2_size > 2:
+            if parent_cbf_cb:
+                cbf_cb = e.decode_bin(OFF["qt_cbf"] + 4 + depth)
+            else:
+                cbf_cb = 0
+            if parent_cbf_cr:
+                cbf_cr = e.decode_bin(OFF["qt_cbf"] + 4 + depth)
+            else:
+                cbf_cr = 0
+            self._t("cbf_chroma", x0, y0, depth, cbf_cb, cbf_cr)
+        if split:
+            half = size >> 1
+            self.d.tr_depth[y0 // 8:(y0 + size) // 8,
+                            x0 // 8:(x0 + size) // 8] = depth + 1
+            for i, (dy, dx) in enumerate(((0, 0), (0, half), (half, 0), (half, half))):
+                self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2_size - 1,
+                                     depth + 1, i, intra_split, max_depth,
+                                     cbf_cb, cbf_cr)
+            return
+        cbf_luma = e.decode_bin(OFF["qt_cbf"] + (1 if depth == 0 else 0))
+        self._t("cbf_luma", x0, y0, depth, cbf_luma)
+        self._transform_unit(x0, y0, x_base, y_base, log2_size, depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr):
+        d = self.d
+        if log2_size == 2 and blk_idx != 3:
+            # chroma handled at blk 3; presence check uses parent cbfs
+            if not cbf_luma:
+                return
+            cbf_cb = cbf_cr = 0
+        if log2_size == 2 and blk_idx == 3:
+            pass  # cbf_cb/cr from parent level apply to the joint 4x4 chroma
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        size = 1 << log2_size
+        if cbf_luma:
+            mode = self._luma_mode_at(x0, y0)
+            scan = T.intra_scan_idx(mode, log2_size, True)
+            blk = self._residual_coding(log2_size, 0, scan)
+            d.coef_y[y0:y0 + size, x0:x0 + size] = blk
+        if log2_size > 2 or blk_idx == 3:
+            if log2_size > 2:
+                cx, cy, clog2 = x0 // 2, y0 // 2, log2_size - 1
+                cmx, cmy = x0, y0
+            else:
+                cx, cy, clog2 = x_base // 2, y_base // 2, 2
+                cmx, cmy = x_base, y_base
+            cmode = int(d.chroma_mode[cmy // 8, cmx // 8])
+            cscan = T.intra_scan_idx(cmode, clog2, False)
+            csz = 1 << clog2
+            if cbf_cb:
+                d.coef_u[cy:cy + csz, cx:cx + csz] = \
+                    self._residual_coding(clog2, 1, cscan)
+            if cbf_cr:
+                d.coef_v[cy:cy + csz, cx:cx + csz] = \
+                    self._residual_coding(clog2, 2, cscan)
+
+    # ---- residual ------------------------------------------------------------
+
+    def _residual_coding(self, log2_size, c_idx, scan_idx) -> np.ndarray:
+        e = self.e
+        size = 1 << log2_size
+        scan = T.coeff_scan(log2_size, scan_idx)
+        scoefs = np.zeros(size * size, np.int64)
+        last_x = self._decode_last_component(log2_size, c_idx, OFF["last_x"])
+        last_y = self._decode_last_component(log2_size, c_idx, OFF["last_y"])
+        # suffixes come interleaved after both prefixes in spec order:
+        # x_prefix, y_prefix, x_suffix, y_suffix — handled in caller order
+        last_x = self._decode_last_suffix(last_x)
+        last_y = self._decode_last_suffix(last_y)
+        if scan_idx == T.SCAN_VER:
+            last_x, last_y = last_y, last_x
+        # find last scan pos
+        raster = last_y * size + last_x
+        last_pos = int(np.where(scan == raster)[0][0])
+        self._t("last", c_idx, last_x, last_y)
+
+        ncg = max(1, size // 4)
+        num_cg = (last_pos >> 4) + 1
+        cg_order = T.cg_scan(log2_size, scan_idx)
+        cg_nz = np.zeros(ncg * ncg, bool)
+
+        def cg_right_below(ci_scan):
+            r = int(cg_order[ci_scan])
+            cgx, cgy = r % ncg, r // ncg
+            res = 0
+            if cgx + 1 < ncg and cg_nz[np.where(cg_order == r + 1)[0][0]]:
+                res |= 1
+            if cgy + 1 < ncg and cg_nz[np.where(cg_order == r + ncg)[0][0]]:
+                res |= 2
+            return res
+
+        c1 = 1
+        for ci in range(num_cg - 1, -1, -1):
+            cg_start = ci * 16
+            in_last_cg = ci == num_cg - 1
+            prev_csbf = cg_right_below(ci)
+            infer_sb_dc = False
+            if in_last_cg or ci == 0:
+                coded_sb = 1
+            else:
+                ctx = OFF["sig_cg"] + (2 if c_idx else 0) + (1 if prev_csbf else 0)
+                coded_sb = e.decode_bin(ctx)
+                infer_sb_dc = True
+            cg_nz[ci] = bool(coded_sb)
+            if not coded_sb:
+                continue
+            start_n = min(15, last_pos - cg_start) if in_last_cg else 15
+            sig_positions = []
+            num_sig_found = 0
+            for n in range(start_n, -1, -1):
+                pos = cg_start + n
+                if in_last_cg and pos == last_pos:
+                    sig_positions.append(pos)
+                    num_sig_found += 1
+                    continue
+                if n == 0 and infer_sb_dc and num_sig_found == 0:
+                    sig_positions.append(pos)
+                    continue
+                r = int(scan[pos])
+                px, py = r % size, r // size
+                ctx_inc = SliceDataEncoder._sig_ctx(px, py, log2_size, c_idx,
+                                                    scan_idx, prev_csbf)
+                sig = e.decode_bin(OFF["sig"] + (27 if c_idx else 0) + ctx_inc)
+                if sig:
+                    sig_positions.append(pos)
+                    num_sig_found += 1
+            n_nz = len(sig_positions)
+            if n_nz == 0:
+                continue
+            first_nz_scan = sig_positions[-1] - cg_start
+            last_nz_scan = sig_positions[0] - cg_start
+            hide_sign = (self.ps.sign_hiding
+                         and (last_nz_scan - first_nz_scan) >= T.SBH_THRESHOLD)
+            ctx_set = 2 if (ci > 0 and c_idx == 0) else 0
+            if c1 == 0:
+                ctx_set += 1
+            c1 = 1
+            base_one = OFF["one"] + (16 if c_idx else 0) + 4 * ctx_set
+            num_g1 = min(n_nz, 8)
+            g1 = []
+            first_g1_idx = -1
+            for i in range(num_g1):
+                b = e.decode_bin(base_one + c1)
+                g1.append(b)
+                if b:
+                    c1 = 0
+                    if first_g1_idx < 0:
+                        first_g1_idx = i
+                elif 0 < c1 < 3:
+                    c1 += 1
+            g2 = 0
+            if first_g1_idx >= 0:
+                g2 = e.decode_bin(OFF["abs"] + (4 if c_idx else 0) + ctx_set)
+            n_signs = n_nz - 1 if hide_sign else n_nz
+            signs = [e.decode_bypass() for _ in range(n_signs)]
+            # levels
+            abs_vals = []
+            for i in range(n_nz):
+                if i < num_g1:
+                    base = 1 + g1[i] + (g2 if i == first_g1_idx else 0)
+                else:
+                    base = 1
+                abs_vals.append(base)
+            if c1 == 0 or n_nz > 8:
+                go_rice = 0
+                first_coeff2 = 1
+                for i in range(n_nz):
+                    base_level = (2 + first_coeff2) if i < 8 else 1
+                    if abs_vals[i] >= base_level:
+                        rem = self._decode_remaining(go_rice)
+                        abs_vals[i] = base_level + rem
+                        if abs_vals[i] > (3 << go_rice):
+                            go_rice = min(go_rice + 1, 4)
+                    if abs_vals[i] >= 2:
+                        first_coeff2 = 0
+            # reconstruct signs incl. hidden
+            if hide_sign:
+                total = sum(abs_vals)
+                hidden_negative = (total & 1) == 1
+                signs = signs + [1 if hidden_negative else 0]
+            vals = [a * (-1 if s else 1) for a, s in zip(abs_vals, signs)]
+            for p, vv in zip(sig_positions, vals):
+                scoefs[p] = vv
+        out = np.zeros(size * size, np.int32)
+        out[scan] = scoefs
+        return out.reshape(size, size)
+
+    def _decode_remaining(self, r_param: int) -> int:
+        e = self.e
+        prefix = 0
+        while prefix < 32 and e.decode_bypass():
+            prefix += 1
+        if prefix < 3:
+            suffix = e.decode_bypass_bins(r_param) if r_param else 0
+            return (prefix << r_param) + suffix
+        length = prefix - 3 + r_param
+        suffix = e.decode_bypass_bins(length) if length else 0
+        return (((1 << (prefix - 3)) + 2) << r_param) + suffix
+
+    def _decode_last_component(self, log2_size, c_idx, base) -> int:
+        e = self.e
+        if c_idx == 0:
+            ctx_offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
+            ctx_shift = (log2_size + 1) >> 2
+        else:
+            ctx_offset = 15  # chroma contexts start at 15 within the element
+            ctx_shift = log2_size - 2
+        g_max = (log2_size << 1) - 1
+        prefix = 0
+        while prefix < g_max and e.decode_bin(base + ctx_offset + (prefix >> ctx_shift)):
+            prefix += 1
+        return prefix  # suffix applied later
+
+    def _decode_last_suffix(self, prefix: int) -> int:
+        if prefix <= 3:
+            return prefix
+        e = self.e
+        suffix_len = (prefix >> 1) - 1
+        suffix = e.decode_bypass_bins(suffix_len)
+        return ((2 + (prefix & 1)) << suffix_len) + suffix
