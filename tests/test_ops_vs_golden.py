@@ -1,0 +1,102 @@
+"""Device (JAX) ops must match the golden numpy oracle bit-exactly."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from homerhevc_tpu.golden import intra_pred as gip
+from homerhevc_tpu.golden.transform import forward_transform as g_fwd
+from homerhevc_tpu.golden.transform import inverse_transform as g_inv
+from homerhevc_tpu.golden.quantize import (
+    quantize as g_quant, dequantize as g_deq, sign_bit_hiding as g_sbh)
+from homerhevc_tpu.ops.transform import forward_transform, inverse_transform
+from homerhevc_tpu.ops.quant import quantize, dequantize, sign_bit_hiding
+from homerhevc_tpu.ops import intra as dip
+from homerhevc_tpu.hevc import tables as T
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+def test_transform_matches_golden(n, rng):
+    x = rng.randint(-255, 256, (5, n, n)).astype(np.int32)
+    for dst in ([True, False] if n == 4 else [False]):
+        c_dev = np.asarray(forward_transform(jnp.asarray(x), dst))
+        c_gold = np.stack([g_fwd(x[i], dst) for i in range(5)])
+        assert np.array_equal(c_dev, c_gold)
+        r_dev = np.asarray(inverse_transform(jnp.asarray(c_gold), dst))
+        r_gold = np.stack([g_inv(c_gold[i], dst) for i in range(5)])
+        assert np.array_equal(r_dev, r_gold)
+
+
+@pytest.mark.parametrize("n,qp", [(4, 22), (8, 32), (16, 37), (32, 51), (32, 0)])
+def test_quant_matches_golden(n, qp, rng):
+    c = rng.randint(-20000, 20000, (4, n, n)).astype(np.int32)
+    for sl in (False, True):
+        lv_dev = np.asarray(quantize(jnp.asarray(c), n, qp, True, sl))
+        lv_gold = np.stack([g_quant(c[i], qp, True, sl) for i in range(4)])
+        assert np.array_equal(lv_dev, lv_gold), (n, qp, sl)
+        dq_dev = np.asarray(dequantize(jnp.asarray(lv_gold), n, qp, True, sl))
+        dq_gold = np.stack([g_deq(lv_gold[i], qp, True, sl) for i in range(4)])
+        assert np.array_equal(dq_dev, dq_gold), (n, qp, sl)
+
+
+@pytest.mark.parametrize("n,scan", [(4, 0), (8, 0), (16, 0), (32, 0), (8, 1), (8, 2)])
+def test_sbh_matches_golden(n, scan, rng):
+    qp = 30
+    c = (rng.randn(6, n, n) * 300).astype(np.int32)
+    lv = np.stack([g_quant(c[i], qp, True, False) for i in range(6)])
+    out_dev = np.asarray(sign_bit_hiding(jnp.asarray(lv), jnp.asarray(c),
+                                         n, qp, True, scan, False))
+    out_gold = np.stack([g_sbh(lv[i], c[i], qp, True, scan, False)
+                         for i in range(6)])
+    assert np.array_equal(out_dev, out_gold), (n, scan)
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+@pytest.mark.parametrize("is_luma", [True, False])
+def test_prediction_matches_golden(n, is_luma, rng):
+    B = 7
+    tops = rng.randint(0, 256, (B, 2 * n + 1)).astype(np.int32)
+    lefts = rng.randint(0, 256, (B, 2 * n + 1)).astype(np.int32)
+    lefts[:, 0] = tops[:, 0]  # shared corner
+    pred = dip.predict_all_modes(jnp.asarray(tops), jnp.asarray(lefts), n, is_luma)
+    pred = dip.edge_fixes(pred, jnp.asarray(tops), jnp.asarray(lefts), n, is_luma)
+    pred = np.asarray(pred)
+    for b in range(B):
+        for mode in range(35):
+            ft, fl = gip.filter_reference_samples(tops[b], lefts[b], n, mode, is_luma)
+            ref = gip.predict(ft, fl, n, mode, is_luma)
+            assert np.array_equal(pred[b, mode], ref), (n, is_luma, b, mode)
+
+
+def test_substitution_matches_golden(rng):
+    # build a tiny recon plane and compare substituted refs for various
+    # availability patterns against golden build_reference_samples
+    n = 8
+    w = h = 64
+    recon = rng.randint(0, 256, (h, w)).astype(np.int32)
+    avail = gip.Availability(w, h, 32)
+    for (x0, y0) in [(0, 0), (8, 0), (0, 8), (8, 8), (16, 8), (24, 24), (48, 8)]:
+        t_g, l_g = gip.build_reference_samples(recon, x0, y0, n, avail)
+        # device-style: gather raw seq + avail flags, substitute
+        L = 4 * n + 1
+        vals = np.zeros((1, L), np.int32)
+        flags = np.zeros((1, L), bool)
+        for j in range(2 * n):  # left bottom..top
+            yy, xx = y0 + 2 * n - 1 - j, x0 - 1
+            ok = yy < h and avail.available(x0, y0, xx, yy)
+            flags[0, j] = ok
+            vals[0, j] = recon[min(yy, h - 1), max(xx, 0)] if ok else 0
+        ok = avail.available(x0, y0, x0 - 1, y0 - 1)
+        flags[0, 2 * n] = ok
+        vals[0, 2 * n] = recon[y0 - 1, x0 - 1] if ok else 0
+        for i in range(2 * n):
+            xx, yy = x0 + i, y0 - 1
+            ok = xx < w and avail.available(x0, y0, xx, yy)
+            flags[0, 2 * n + 1 + i] = ok
+            vals[0, 2 * n + 1 + i] = recon[max(yy, 0), min(xx, w - 1)] if ok else 0
+        sub = np.asarray(dip.substitute_refs(jnp.asarray(vals), jnp.asarray(flags)))[0]
+        left_dev = sub[:2 * n][::-1]
+        corner_dev = sub[2 * n]
+        top_dev = sub[2 * n + 1:]
+        assert np.array_equal(np.concatenate([[corner_dev], top_dev]), t_g), (x0, y0)
+        assert np.array_equal(np.concatenate([[corner_dev], left_dev]), l_g), (x0, y0)
