@@ -1,0 +1,341 @@
+"""TPU wavefront intra frame encoder.
+
+Replaces the reference's WPP pthread wavefront (hmr_encoder_lib.c:2849) with
+a batched anti-diagonal schedule: all CUs with d = gx + 2*gy are mutually
+independent (their left / above / above-right dependencies lie on earlier
+diagonals), so each diagonal is one batched jitted step over the device.
+
+v1 design: uniform CU grid (cu size 16 by default — frame dims must divide),
+one TU per CU, DM chroma, closed-loop recon. Decisions are bit-exact to the
+golden numpy encoder (tests/test_tpu_intra.py) so streams stay conformant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu.config import EncoderConfig
+from homerhevc_tpu.golden.intra_pred import Availability
+from homerhevc_tpu.hevc import tables as T
+from homerhevc_tpu.hevc.headers import ParamSets
+from homerhevc_tpu.hevc.syntax import FrameDesc, mpm_candidates
+from homerhevc_tpu.ops import intra as dip
+from homerhevc_tpu.ops.quant import dequantize, quantize, sign_bit_hiding
+from homerhevc_tpu.ops.transform import forward_transform, inverse_transform
+
+
+def _mpm_jax(left_mode: jnp.ndarray, above_mode: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized spec 8.4.2.2 candModeList; inputs (B,), output (B, 3)."""
+    a, b = left_mode.astype(jnp.int32), above_mode.astype(jnp.int32)
+    eq = a == b
+    # a == b case
+    lt2 = a < 2
+    eq0 = jnp.where(lt2, 0, a)
+    eq1 = jnp.where(lt2, 1, 2 + ((a + 29) % 32))
+    eq2 = jnp.where(lt2, 26, 2 + ((a - 1) % 32))
+    # a != b case
+    ne0, ne1 = a, b
+    has_planar = (a == 0) | (b == 0)
+    has_dc = (a == 1) | (b == 1)
+    ne2 = jnp.where(~has_planar, 0, jnp.where(~has_dc, 1, 26))
+    c0 = jnp.where(eq, eq0, ne0)
+    c1 = jnp.where(eq, eq1, ne1)
+    c2 = jnp.where(eq, eq2, ne2)
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+class TpuIntraEncoder:
+    """Wavefront all-intra encoder. One instance per (frame size, cu size,
+    qp, flags) — everything static is precomputed at init."""
+
+    def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16):
+        self.ps = ps
+        self.cfg = cfg
+        w, h = cfg.width, cfg.height
+        assert w % cu == 0 and h % cu == 0, \
+            f"device path needs dims divisible by {cu}"
+        self.cu = cu
+        self.w, self.h = w, h
+        self.gw, self.gh = w // cu, h // cu
+        self.qp = cfg.qp
+        self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
+        lam_sqrt = float(np.sqrt(T.rd_lambda(cfg.qp, "I")))
+        self.bits_mpm = int(lam_sqrt * 2)
+        self.bits_rem = int(lam_sqrt * 6)
+        self._build_static()
+        self._step = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 4))
+
+    # -- static geometry -----------------------------------------------------
+
+    def _build_static(self):
+        cu, gw, gh = self.cu, self.gw, self.gh
+        ps = self.ps
+        avail = Availability(self.w, self.h, ps.ctu_size)
+        n2 = 2 * cu
+        L = 2 * n2 + 1  # substitution sequence length
+        diag_of = lambda gx, gy: gx + 2 * gy
+        ndiag = (gw - 1) + 2 * (gh - 1) + 1
+        groups = [[] for _ in range(ndiag)]
+        for gy in range(gh):
+            for gx in range(gw):
+                groups[diag_of(gx, gy)].append((gx, gy))
+        maxb = max(len(g) for g in groups)
+        self.ndiag, self.maxb = ndiag, maxb
+
+        # per-diagonal CU coordinates, padded; invalid slots flagged
+        gxs = np.zeros((ndiag, maxb), np.int32)
+        gys = np.zeros((ndiag, maxb), np.int32)
+        valid = np.zeros((ndiag, maxb), bool)
+        for d, g in enumerate(groups):
+            for i, (gx, gy) in enumerate(g):
+                gxs[d, i], gys[d, i], valid[d, i] = gx, gy, True
+        self.gxs, self.gys, self.valid = gxs, gys, valid
+
+        # per-CU-position availability masks for luma (L) and chroma (L)
+        # sequence order: [left bottom..top (2n), corner, top left..right (2n)]
+        def masks_for(comp_shift):
+            n = cu >> comp_shift
+            nn2 = 2 * n
+            ll = 2 * nn2 + 1
+            m = np.zeros((gh, gw, ll), bool)
+            wC, hC = self.w >> comp_shift, self.h >> comp_shift
+            for gy in range(gh):
+                for gx in range(gw):
+                    x0, y0 = gx * n, gy * n
+                    for j in range(nn2):
+                        yy, xx = y0 + nn2 - 1 - j, x0 - 1
+                        m[gy, gx, j] = (yy < hC and xx >= 0 and
+                                        avail.available(x0 << comp_shift, y0 << comp_shift,
+                                                        xx << comp_shift, yy << comp_shift))
+                    m[gy, gx, nn2] = (x0 > 0 and y0 > 0)
+                    for i in range(nn2):
+                        xx, yy = x0 + i, y0 - 1
+                        m[gy, gx, nn2 + 1 + i] = (xx < wC and yy >= 0 and
+                                                  avail.available(x0 << comp_shift, y0 << comp_shift,
+                                                                  xx << comp_shift, yy << comp_shift))
+            return m
+        self.mask_y = masks_for(0)
+        self.mask_c = masks_for(1)
+
+        # above-mode availability for MPM: inside frame AND same CTU row
+        ctu = ps.ctu_size
+        above_ok = np.zeros((gh, gw), bool)
+        for gy in range(gh):
+            for gx in range(gw):
+                y0 = gy * cu
+                above_ok[gy, gx] = y0 > 0 and (y0 % ctu) != 0
+        self.above_ok = above_ok
+
+    # -- gathering helpers (inside jit) ---------------------------------------
+
+    @staticmethod
+    def _gather_seq(plane, x0s, y0s, n, valid):
+        """Build substitution sequences (B, 4n+1) from component plane.
+        Order: [left bottom..top, corner, top row]."""
+        n2 = 2 * n
+        b = x0s.shape[0]
+        h, w = plane.shape
+        # left column samples: (x0-1, y0 + n2-1-j) j=0..n2-1
+        j = jnp.arange(n2)
+        ly = y0s[:, None] + (n2 - 1 - j)[None, :]
+        lx = (x0s - 1)[:, None] * jnp.ones((1, n2), jnp.int32)
+        left = plane[jnp.clip(ly, 0, h - 1), jnp.clip(lx, 0, w - 1)]
+        corner = plane[jnp.clip(y0s - 1, 0, h - 1), jnp.clip(x0s - 1, 0, w - 1)]
+        i = jnp.arange(n2)
+        tx = x0s[:, None] + i[None, :]
+        ty = (y0s - 1)[:, None] * jnp.ones((1, n2), jnp.int32)
+        top = plane[jnp.clip(ty, 0, h - 1), jnp.clip(tx, 0, w - 1)]
+        return jnp.concatenate([left, corner[:, None], top], axis=1)
+
+    @staticmethod
+    def _seq_to_refs(seq, n):
+        """Substituted sequence -> (top[2n+1], left[2n+1]) corner-first."""
+        n2 = 2 * n
+        left = seq[:, :n2][:, ::-1]
+        corner = seq[:, n2:n2 + 1]
+        top = seq[:, n2 + 1:]
+        return (jnp.concatenate([corner, top], axis=1),
+                jnp.concatenate([corner, left], axis=1))
+
+    # -- the jitted wavefront step ---------------------------------------------
+
+    def _step_impl(self, inputs, recon_y, recon_u, recon_v, mode_grid,
+                   srcs_y, srcs_u, srcs_v):
+        """One diagonal. inputs: dict of static per-diagonal index arrays."""
+        cu = self.cu
+        cuc = cu // 2
+        gxs, gys = inputs["gxs"], inputs["gys"]
+        valid = inputs["valid"]
+        mask_y, mask_c = inputs["mask_y"], inputs["mask_c"]
+        above_ok = inputs["above_ok"]
+        x0s, y0s = gxs * cu, gys * cu
+
+        # ---- luma refs -----------------------------------------------------
+        seq = self._gather_seq(recon_y, x0s, y0s, cu, valid)
+        seq = dip.substitute_refs(seq, mask_y)
+        top, left = self._seq_to_refs(seq, cu)
+        preds = dip.predict_all_modes(top, left, cu, True)
+        preds = dip.edge_fixes(preds, top, left, cu, True)
+
+        # ---- mode decision ---------------------------------------------------
+        sad = jnp.sum(jnp.abs(srcs_y[:, None] - preds), axis=(-1, -2))
+        gx_l = jnp.clip(gxs - 1, 0, self.gw - 1)
+        left_mode = jnp.where(gxs > 0, mode_grid[gys, gx_l], 1)
+        gy_a = jnp.clip(gys - 1, 0, self.gh - 1)
+        above_mode = jnp.where(above_ok, mode_grid[gy_a, gxs], 1)
+        mpm = _mpm_jax(left_mode, above_mode)
+        modes_r = jnp.arange(35)[None, :]
+        in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
+        bits = jnp.where(in_mpm, self.bits_mpm, self.bits_rem)
+        cost = sad + bits
+        best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        pred = jnp.take_along_axis(
+            preds, best[:, None, None, None], axis=1)[:, 0]
+
+        # ---- luma TU ---------------------------------------------------------
+        resid = srcs_y - pred
+        is_dst = cu == 4
+        coef = forward_transform(resid, is_dst)
+        lvl = quantize(coef, cu, self.qp, True, self.ps.scaling_list_enabled)
+        if self.ps.sign_hiding:
+            # scan depends on mode for 4x4/8x8 luma; apply SBH per scan class
+            scan_sel = self._scan_class(best, cu, True)
+            lvl = self._sbh_by_scan(lvl, coef, cu, self.qp, scan_sel)
+        deq = dequantize(lvl, cu, self.qp, True, self.ps.scaling_list_enabled)
+        rres = inverse_transform(deq, is_dst)
+        any_nz = jnp.any(lvl != 0, axis=(-1, -2))
+        rec = jnp.where(any_nz[:, None, None],
+                        jnp.clip(pred + rres, 0, 255), pred)
+        # scatter into recon (invalid slots -> out of bounds, dropped)
+        rows = jnp.where(valid, y0s, self.h)[:, None, None] + \
+            jnp.arange(cu)[None, :, None]
+        cols = x0s[:, None, None] + jnp.arange(cu)[None, None, :]
+        recon_y = recon_y.at[rows, cols].set(rec, mode="drop")
+        mode_grid = mode_grid.at[
+            jnp.where(valid, gys, self.gh), gxs].set(best, mode="drop")
+
+        # ---- chroma (DM) -----------------------------------------------------
+        cx0, cy0 = x0s // 2, y0s // 2
+        out_c = []
+        for recon_c, src_c in ((recon_u, srcs_u), (recon_v, srcs_v)):
+            seq_c = self._gather_seq(recon_c, cx0, cy0, cuc, valid)
+            seq_c = dip.substitute_refs(seq_c, mask_c)
+            top_c, left_c = self._seq_to_refs(seq_c, cuc)
+            preds_c = dip.predict_all_modes(top_c, left_c, cuc, False)
+            pred_c = jnp.take_along_axis(
+                preds_c, best[:, None, None, None], axis=1)[:, 0]
+            res_c = src_c - pred_c
+            coef_c = forward_transform(res_c, False)
+            lvl_c = quantize(coef_c, cuc, self.qp_c, True,
+                             self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                scan_sel_c = self._scan_class(best, cuc, False)
+                lvl_c = self._sbh_by_scan(lvl_c, coef_c, cuc, self.qp_c,
+                                          scan_sel_c)
+            deq_c = dequantize(lvl_c, cuc, self.qp_c, True,
+                               self.ps.scaling_list_enabled)
+            rres_c = inverse_transform(deq_c, False)
+            nz_c = jnp.any(lvl_c != 0, axis=(-1, -2))
+            rec_c = jnp.where(nz_c[:, None, None],
+                              jnp.clip(pred_c + rres_c, 0, 255), pred_c)
+            rows_c = jnp.where(valid, cy0, self.h // 2)[:, None, None] + \
+                jnp.arange(cuc)[None, :, None]
+            cols_c = cx0[:, None, None] + jnp.arange(cuc)[None, None, :]
+            recon_c = recon_c.at[rows_c, cols_c].set(rec_c, mode="drop")
+            out_c.append((recon_c, lvl_c))
+        (recon_u, lvl_u), (recon_v, lvl_v) = out_c
+        return recon_y, recon_u, recon_v, mode_grid, lvl, lvl_u, lvl_v, best
+
+    def _scan_class(self, modes: jnp.ndarray, n: int, is_luma: bool):
+        """Scan index (0 diag, 1 hor, 2 ver) per block, matching
+        tables.intra_scan_idx."""
+        log2n = n.bit_length() - 1
+        if not (log2n == 2 or (log2n == 3 and is_luma)):
+            return jnp.zeros_like(modes)
+        ver = (modes >= 6) & (modes <= 14)
+        hor = (modes >= 22) & (modes <= 30)
+        return jnp.where(ver, 2, jnp.where(hor, 1, 0)).astype(jnp.int32)
+
+    def _sbh_by_scan(self, lvl, coef, n, qp, scan_sel):
+        out = lvl
+        for s in (0, 1, 2):
+            adj = sign_bit_hiding(lvl, coef, n, qp, True, s,
+                                  self.ps.scaling_list_enabled)
+            out = jnp.where((scan_sel == s)[:, None, None], adj, out)
+        return out
+
+    # -- frame driver ------------------------------------------------------------
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     qp: int):
+        assert qp == self.qp
+        cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        recon_y = jnp.zeros((self.h, self.w), jnp.int32)
+        recon_u = jnp.zeros((self.h // 2, self.w // 2), jnp.int32)
+        recon_v = jnp.zeros((self.h // 2, self.w // 2), jnp.int32)
+        mode_grid = jnp.ones((gh, gw), jnp.int32)
+        ya = np.asarray(y, np.int32)
+        ua = np.asarray(u, np.int32)
+        va = np.asarray(v, np.int32)
+
+        lvl_y_all = np.zeros((self.h, self.w), np.int16)
+        lvl_u_all = np.zeros((self.h // 2, self.w // 2), np.int16)
+        lvl_v_all = np.zeros((self.h // 2, self.w // 2), np.int16)
+        mode_all = np.zeros((gh, gw), np.uint8)
+
+        for d in range(self.ndiag):
+            gxs = self.gxs[d]
+            gys = self.gys[d]
+            valid = self.valid[d]
+            # gather sources for this diagonal (host side)
+            sy = np.stack([ya[gy * cu:(gy + 1) * cu, gx * cu:(gx + 1) * cu]
+                           for gx, gy in zip(gxs, gys)])
+            su = np.stack([ua[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc]
+                           for gx, gy in zip(gxs, gys)])
+            sv = np.stack([va[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc]
+                           for gx, gy in zip(gxs, gys)])
+            inputs = {
+                "gxs": jnp.asarray(gxs), "gys": jnp.asarray(gys),
+                "valid": jnp.asarray(valid),
+                "mask_y": jnp.asarray(self.mask_y[gys, gxs] & valid[:, None]),
+                "mask_c": jnp.asarray(self.mask_c[gys, gxs] & valid[:, None]),
+                "above_ok": jnp.asarray(self.above_ok[gys, gxs]),
+            }
+            (recon_y, recon_u, recon_v, mode_grid,
+             lvl, lvl_u, lvl_v, best) = self._step(
+                inputs, recon_y, recon_u, recon_v, mode_grid,
+                jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
+            lvl = np.asarray(lvl)
+            lvl_u = np.asarray(lvl_u)
+            lvl_v = np.asarray(lvl_v)
+            best = np.asarray(best)
+            for i, (gx, gy) in enumerate(zip(gxs, gys)):
+                if not valid[i]:
+                    continue
+                lvl_y_all[gy * cu:(gy + 1) * cu, gx * cu:(gx + 1) * cu] = lvl[i]
+                lvl_u_all[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc] = lvl_u[i]
+                lvl_v_all[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc] = lvl_v[i]
+                mode_all[gy, gx] = best[i]
+
+        # build FrameDesc
+        desc = FrameDesc.alloc(self.w, self.h)
+        depth = self.ps.log2_ctu - (cu.bit_length() - 1)
+        desc.cu_depth[:] = depth
+        desc.tr_depth[:] = 0
+        r = cu // 4
+        desc.luma_mode[:] = np.repeat(np.repeat(mode_all, r, 0), r, 1)
+        r8 = cu // 8
+        desc.chroma_mode[:] = np.repeat(np.repeat(mode_all, r8, 0), r8, 1)
+        desc.coef_y[:] = lvl_y_all
+        desc.coef_u[:] = lvl_u_all
+        desc.coef_v[:] = lvl_v_all
+        ry = np.asarray(recon_y).astype(np.int32)
+        ru = np.asarray(recon_u).astype(np.int32)
+        rv = np.asarray(recon_v).astype(np.int32)
+        return desc, ry, ru, rv

@@ -39,11 +39,11 @@ class EncoderPipeline:
     def _analyze_intra(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         backend = self.backend
         if backend == "auto":
-            try:
-                import homerhevc_tpu.engine.intra_encoder  # noqa: F401
-                backend = "tpu"
-            except ImportError:
-                backend = "golden"
+            # device wavefront v1 requires raster coding order (CTB == CU == 16)
+            # and dims divisible by 16; otherwise use the golden path
+            ok = (self.cfg.cu_size == 16
+                  and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
+            backend = "tpu" if ok else "golden"
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
             return encode_intra_frame(self.ps, y, u, v, self.cfg.qp,

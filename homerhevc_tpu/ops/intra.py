@@ -109,7 +109,9 @@ def pred_weights(n: int, is_luma: bool):
             if not vertical:
                 # transpose pred grid: swap was handled via pp indexing above
                 pass
-    return jnp.asarray(W), jnp.asarray(S)
+    # return numpy (cached): jnp arrays created inside a jit trace would
+    # leak tracers through the lru_cache
+    return W, S
 
 
 def filter_refs(top: jnp.ndarray, left: jnp.ndarray):
@@ -133,8 +135,8 @@ def predict_all_modes(top_u, left_u, n: int, is_luma: bool):
     ones = jnp.ones(top_u.shape[:-1] + (1,), jnp.int32)
     ref_aug = jnp.concatenate([top_u, left_u, top_f, left_f, ones], axis=-1)
     W, S = pred_weights(n, is_luma)
-    raw = jnp.einsum("mpr,br->bmp", W, ref_aug)
-    pred = raw >> S[None, :, None]
+    raw = jnp.einsum("mpr,br->bmp", jnp.asarray(W), ref_aug)
+    pred = raw >> jnp.asarray(S)[None, :, None]
     return pred.reshape(ref_aug.shape[0], 35, n, n)
 
 
