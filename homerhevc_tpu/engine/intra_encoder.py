@@ -54,6 +54,14 @@ class TpuIntraEncoder:
     qp, flags) — everything static is precomputed at init."""
 
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16):
+        # persistent compilation cache: the whole-frame scan program is big
+        # (~200s compile on the axon tunnel) but static per geometry
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/homerhevc_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
         self.ps = ps
         self.cfg = cfg
         w, h = cfg.width, cfg.height
@@ -69,6 +77,7 @@ class TpuIntraEncoder:
         self.bits_rem = int(lam_sqrt * 6)
         self._build_static()
         self._step = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 4))
+        self._encode_jit = jax.jit(self._encode_frame_impl)
 
     # -- static geometry -----------------------------------------------------
 
@@ -269,73 +278,85 @@ class TpuIntraEncoder:
             out = jnp.where((scan_sel == s)[:, None, None], adj, out)
         return out
 
+    # -- whole-frame jit (one device dispatch per frame) -------------------------
+
+    def _encode_frame_impl(self, src_y, src_u, src_v):
+        """lax.scan over wavefront diagonals; carries recon planes, level
+        planes and the mode grid. One compiled program per frame geometry."""
+        cu, cuc = self.cu, self.cu // 2
+
+        # static per-diagonal tensors (constants in the jaxpr)
+        gxs_all = jnp.asarray(self.gxs)
+        gys_all = jnp.asarray(self.gys)
+        valid_all = jnp.asarray(self.valid)
+        mask_y_all = jnp.asarray(
+            self.mask_y[self.gys, self.gxs] & self.valid[..., None])
+        mask_c_all = jnp.asarray(
+            self.mask_c[self.gys, self.gxs] & self.valid[..., None])
+        above_all = jnp.asarray(self.above_ok[self.gys, self.gxs])
+
+        def body(carry, xs):
+            recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = carry
+            gxs, gys, valid, mask_y, mask_c, above_ok = xs
+            x0s, y0s = gxs * cu, gys * cu
+            inputs = {"gxs": gxs, "gys": gys, "valid": valid,
+                      "mask_y": mask_y, "mask_c": mask_c,
+                      "above_ok": above_ok}
+            # gather sources for this diagonal from the full planes
+            rows = y0s[:, None, None] + jnp.arange(cu)[None, :, None]
+            cols = x0s[:, None, None] + jnp.arange(cu)[None, None, :]
+            sy = src_y[rows, cols]
+            rows_c = (y0s // 2)[:, None, None] + jnp.arange(cuc)[None, :, None]
+            cols_c = (x0s // 2)[:, None, None] + jnp.arange(cuc)[None, None, :]
+            su = src_u[rows_c, cols_c]
+            sv = src_v[rows_c, cols_c]
+            (recon_y, recon_u, recon_v, mode_grid,
+             lvl, lvl_u, lvl_v, best) = self._step_impl(
+                inputs, recon_y, recon_u, recon_v, mode_grid, sy, su, sv)
+            drop_rows = jnp.where(valid, y0s, self.h)[:, None, None] \
+                + jnp.arange(cu)[None, :, None]
+            ly = ly.at[drop_rows, cols].set(lvl, mode="drop")
+            drop_rows_c = jnp.where(valid, y0s // 2, self.h // 2)[:, None, None] \
+                + jnp.arange(cuc)[None, :, None]
+            lu = lu.at[drop_rows_c, cols_c].set(lvl_u, mode="drop")
+            lv = lv.at[drop_rows_c, cols_c].set(lvl_v, mode="drop")
+            return (recon_y, recon_u, recon_v, mode_grid, ly, lu, lv), None
+
+        carry0 = (
+            jnp.zeros((self.h, self.w), jnp.int32),
+            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
+            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
+            jnp.ones((self.gh, self.gw), jnp.int32),
+            jnp.zeros((self.h, self.w), jnp.int32),
+            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
+            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
+        )
+        xs = (gxs_all, gys_all, valid_all, mask_y_all, mask_c_all, above_all)
+        carry, _ = jax.lax.scan(body, carry0, xs)
+        recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = carry
+        return recon_y, recon_u, recon_v, mode_grid, ly, lu, lv
+
     # -- frame driver ------------------------------------------------------------
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int):
         assert qp == self.qp
-        cu, cuc = self.cu, self.cu // 2
-        gw, gh = self.gw, self.gh
-        recon_y = jnp.zeros((self.h, self.w), jnp.int32)
-        recon_u = jnp.zeros((self.h // 2, self.w // 2), jnp.int32)
-        recon_v = jnp.zeros((self.h // 2, self.w // 2), jnp.int32)
-        mode_grid = jnp.ones((gh, gw), jnp.int32)
-        ya = np.asarray(y, np.int32)
-        ua = np.asarray(u, np.int32)
-        va = np.asarray(v, np.int32)
+        cu = self.cu
+        out = self._encode_jit(jnp.asarray(np.asarray(y, np.int32)),
+                               jnp.asarray(np.asarray(u, np.int32)),
+                               jnp.asarray(np.asarray(v, np.int32)))
+        recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = map(np.asarray, out)
 
-        lvl_y_all = np.zeros((self.h, self.w), np.int16)
-        lvl_u_all = np.zeros((self.h // 2, self.w // 2), np.int16)
-        lvl_v_all = np.zeros((self.h // 2, self.w // 2), np.int16)
-        mode_all = np.zeros((gh, gw), np.uint8)
-
-        for d in range(self.ndiag):
-            gxs = self.gxs[d]
-            gys = self.gys[d]
-            valid = self.valid[d]
-            # gather sources for this diagonal (host side)
-            sy = np.stack([ya[gy * cu:(gy + 1) * cu, gx * cu:(gx + 1) * cu]
-                           for gx, gy in zip(gxs, gys)])
-            su = np.stack([ua[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc]
-                           for gx, gy in zip(gxs, gys)])
-            sv = np.stack([va[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc]
-                           for gx, gy in zip(gxs, gys)])
-            inputs = {
-                "gxs": jnp.asarray(gxs), "gys": jnp.asarray(gys),
-                "valid": jnp.asarray(valid),
-                "mask_y": jnp.asarray(self.mask_y[gys, gxs] & valid[:, None]),
-                "mask_c": jnp.asarray(self.mask_c[gys, gxs] & valid[:, None]),
-                "above_ok": jnp.asarray(self.above_ok[gys, gxs]),
-            }
-            (recon_y, recon_u, recon_v, mode_grid,
-             lvl, lvl_u, lvl_v, best) = self._step(
-                inputs, recon_y, recon_u, recon_v, mode_grid,
-                jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
-            lvl = np.asarray(lvl)
-            lvl_u = np.asarray(lvl_u)
-            lvl_v = np.asarray(lvl_v)
-            best = np.asarray(best)
-            for i, (gx, gy) in enumerate(zip(gxs, gys)):
-                if not valid[i]:
-                    continue
-                lvl_y_all[gy * cu:(gy + 1) * cu, gx * cu:(gx + 1) * cu] = lvl[i]
-                lvl_u_all[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc] = lvl_u[i]
-                lvl_v_all[gy * cuc:(gy + 1) * cuc, gx * cuc:(gx + 1) * cuc] = lvl_v[i]
-                mode_all[gy, gx] = best[i]
-
-        # build FrameDesc
         desc = FrameDesc.alloc(self.w, self.h)
         depth = self.ps.log2_ctu - (cu.bit_length() - 1)
         desc.cu_depth[:] = depth
         desc.tr_depth[:] = 0
+        mode_all = mode_grid.astype(np.uint8)
         r = cu // 4
         desc.luma_mode[:] = np.repeat(np.repeat(mode_all, r, 0), r, 1)
         r8 = cu // 8
         desc.chroma_mode[:] = np.repeat(np.repeat(mode_all, r8, 0), r8, 1)
-        desc.coef_y[:] = lvl_y_all
-        desc.coef_u[:] = lvl_u_all
-        desc.coef_v[:] = lvl_v_all
-        ry = np.asarray(recon_y).astype(np.int32)
-        ru = np.asarray(recon_u).astype(np.int32)
-        rv = np.asarray(recon_v).astype(np.int32)
-        return desc, ry, ru, rv
+        desc.coef_y[:] = ly.astype(np.int16)
+        desc.coef_u[:] = lu.astype(np.int16)
+        desc.coef_v[:] = lv.astype(np.int16)
+        return desc, recon_y, recon_u, recon_v
