@@ -78,6 +78,11 @@ class TpuIntraEncoder:
         self._build_static()
         self._step = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 4))
         self._encode_jit = jax.jit(self._encode_frame_impl)
+        # frame-batched variant: the wavefront is latency-bound (one small
+        # step per diagonal); vmapping F independent frames through the same
+        # scan amortizes the per-step overhead — the single-chip analog of
+        # the reference's frame-level "encoder engines"
+        self._encode_batch_jit = jax.jit(jax.vmap(self._encode_frame_impl))
 
     # -- static geometry -----------------------------------------------------
 
@@ -279,13 +284,55 @@ class TpuIntraEncoder:
         return out
 
     # -- whole-frame jit (one device dispatch per frame) -------------------------
+    #
+    # Performance-critical design: no full-plane gathers/scatters inside the
+    # scan. Intra prediction only ever reads block BOUNDARIES, so the carry
+    # holds small per-block caches:
+    #   brow (gh, gw, n): bottom row of each reconstructed block
+    #   rcol (gh, gw, n): right column of each reconstructed block
+    # (per component). Reconstructed blocks and levels stream out as stacked
+    # scan outputs and are assembled into planes with one scatter at the end.
+
+    def _refs_from_caches(self, brow, rcol, gxs, gys, n, mask):
+        """Build substituted (top[2n+1], left[2n+1]) from boundary caches."""
+        gw_m1 = brow.shape[1] - 1
+        gh_m1 = brow.shape[0] - 1
+        gxc = jnp.clip(gxs, 0, gw_m1)
+        gyc = jnp.clip(gys, 0, gh_m1)
+        gxl = jnp.clip(gxs - 1, 0, gw_m1)
+        gya = jnp.clip(gys - 1, 0, gh_m1)
+        gxr = jnp.clip(gxs + 1, 0, gw_m1)
+        # top row 2n: blocks (gya, gx) and (gya, gx+1)
+        top1 = brow[gya, gxc]              # (B, n)
+        top2 = brow[gya, gxr]              # (B, n)
+        corner = brow[gya, gxl][:, -1]     # (B,)
+        # left col n (top..bottom): rcol of (gy, gx-1); below-left never
+        # available in raster order -> zeros (substitution fills them)
+        leftc = rcol[gyc, gxl]             # (B, n)
+        B = gxs.shape[0]
+        zeros = jnp.zeros((B, n), jnp.int32)
+        # substitution sequence: [left bottom..top (2n), corner, top (2n)]
+        seq = jnp.concatenate(
+            [zeros, leftc[:, ::-1], corner[:, None], top1, top2], axis=1)
+        seq = dip.substitute_refs(seq, mask)
+        return self._seq_to_refs(seq, n)
 
     def _encode_frame_impl(self, src_y, src_u, src_v):
-        """lax.scan over wavefront diagonals; carries recon planes, level
-        planes and the mode grid. One compiled program per frame geometry."""
         cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        # sources arrive uint8 (cheap on the host link); widen on device
+        src_y = src_y.astype(jnp.int32)
+        src_u = src_u.astype(jnp.int32)
+        src_v = src_v.astype(jnp.int32)
 
-        # static per-diagonal tensors (constants in the jaxpr)
+        # block the sources once: (gh, gw, n, n)
+        def block(plane, n):
+            return plane.reshape(plane.shape[0] // n, n,
+                                 plane.shape[1] // n, n).transpose(0, 2, 1, 3)
+        by = block(src_y, cu)
+        bu = block(src_u, cuc)
+        bv = block(src_v, cuc)
+
         gxs_all = jnp.asarray(self.gxs)
         gys_all = jnp.asarray(self.gys)
         valid_all = jnp.asarray(self.valid)
@@ -295,58 +342,123 @@ class TpuIntraEncoder:
             self.mask_c[self.gys, self.gxs] & self.valid[..., None])
         above_all = jnp.asarray(self.above_ok[self.gys, self.gxs])
 
+        def component(best, src_blk, brow, rcol, gxs, gys, mask, n, qp,
+                      is_luma, preds_cache=None):
+            """TU pipeline for one component; returns lvl, rec, brow', rcol'."""
+            if preds_cache is None:
+                top, left = self._refs_from_caches(brow, rcol, gxs, gys, n, mask)
+                preds = dip.predict_all_modes(top, left, n, is_luma)
+                if is_luma:
+                    preds = dip.edge_fixes(preds, top, left, n, is_luma)
+            else:
+                preds = preds_cache
+            pred = jnp.take_along_axis(
+                preds, best[:, None, None, None], axis=1)[:, 0]
+            resid = src_blk - pred
+            is_dst = is_luma and n == 4
+            coef = forward_transform(resid, is_dst)
+            lvl = quantize(coef, n, qp, True, self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                scan_sel = self._scan_class(best, n, is_luma)
+                lvl = self._sbh_by_scan_q(lvl, coef, n, qp, scan_sel, is_luma)
+            deq = dequantize(lvl, n, qp, True, self.ps.scaling_list_enabled)
+            rres = inverse_transform(deq, is_dst)
+            any_nz = jnp.any(lvl != 0, axis=(-1, -2))
+            rec = jnp.where(any_nz[:, None, None],
+                            jnp.clip(pred + rres, 0, 255), pred)
+            return lvl, rec
+
         def body(carry, xs):
-            recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = carry
+            (brow, rcol, brow_u, rcol_u, brow_v, rcol_v, mode_grid) = carry
             gxs, gys, valid, mask_y, mask_c, above_ok = xs
-            x0s, y0s = gxs * cu, gys * cu
-            inputs = {"gxs": gxs, "gys": gys, "valid": valid,
-                      "mask_y": mask_y, "mask_c": mask_c,
-                      "above_ok": above_ok}
-            # gather sources for this diagonal from the full planes
-            rows = y0s[:, None, None] + jnp.arange(cu)[None, :, None]
-            cols = x0s[:, None, None] + jnp.arange(cu)[None, None, :]
-            sy = src_y[rows, cols]
-            rows_c = (y0s // 2)[:, None, None] + jnp.arange(cuc)[None, :, None]
-            cols_c = (x0s // 2)[:, None, None] + jnp.arange(cuc)[None, None, :]
-            su = src_u[rows_c, cols_c]
-            sv = src_v[rows_c, cols_c]
-            (recon_y, recon_u, recon_v, mode_grid,
-             lvl, lvl_u, lvl_v, best) = self._step_impl(
-                inputs, recon_y, recon_u, recon_v, mode_grid, sy, su, sv)
-            drop_rows = jnp.where(valid, y0s, self.h)[:, None, None] \
-                + jnp.arange(cu)[None, :, None]
-            ly = ly.at[drop_rows, cols].set(lvl, mode="drop")
-            drop_rows_c = jnp.where(valid, y0s // 2, self.h // 2)[:, None, None] \
-                + jnp.arange(cuc)[None, :, None]
-            lu = lu.at[drop_rows_c, cols_c].set(lvl_u, mode="drop")
-            lv = lv.at[drop_rows_c, cols_c].set(lvl_v, mode="drop")
-            return (recon_y, recon_u, recon_v, mode_grid, ly, lu, lv), None
+            # ---- luma mode decision ----
+            top, left = self._refs_from_caches(brow, rcol, gxs, gys, cu, mask_y)
+            preds = dip.predict_all_modes(top, left, cu, True)
+            preds = dip.edge_fixes(preds, top, left, cu, True)
+            src_blk = by[gys, gxs]
+            sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(-1, -2))
+            gx_l = jnp.clip(gxs - 1, 0, gw - 1)
+            left_mode = jnp.where(gxs > 0, mode_grid[gys, gx_l], 1)
+            gy_a = jnp.clip(gys - 1, 0, gh - 1)
+            above_mode = jnp.where(above_ok, mode_grid[gy_a, gxs], 1)
+            mpm = _mpm_jax(left_mode, above_mode)
+            modes_r = jnp.arange(35)[None, :]
+            in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
+            cost = sad + jnp.where(in_mpm, self.bits_mpm, self.bits_rem)
+            best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+
+            lvl, rec = component(best, src_blk, brow, rcol, gxs, gys, mask_y,
+                                 cu, self.qp, True, preds_cache=preds)
+            lvl_u, rec_u = component(best, bu[gys, gxs], brow_u, rcol_u,
+                                     gxs, gys, mask_c, cuc, self.qp_c, False)
+            lvl_v, rec_v = component(best, bv[gys, gxs], brow_v, rcol_v,
+                                     gxs, gys, mask_c, cuc, self.qp_c, False)
+
+            # update caches (drop invalid via out-of-range row index)
+            gy_s = jnp.where(valid, gys, gh)
+            brow = brow.at[gy_s, gxs].set(rec[:, -1, :], mode="drop")
+            rcol = rcol.at[gy_s, gxs].set(rec[:, :, -1], mode="drop")
+            brow_u = brow_u.at[gy_s, gxs].set(rec_u[:, -1, :], mode="drop")
+            rcol_u = rcol_u.at[gy_s, gxs].set(rec_u[:, :, -1], mode="drop")
+            brow_v = brow_v.at[gy_s, gxs].set(rec_v[:, -1, :], mode="drop")
+            rcol_v = rcol_v.at[gy_s, gxs].set(rec_v[:, :, -1], mode="drop")
+            mode_grid = mode_grid.at[gy_s, gxs].set(best, mode="drop")
+            carry = (brow, rcol, brow_u, rcol_u, brow_v, rcol_v, mode_grid)
+            return carry, (rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best)
 
         carry0 = (
-            jnp.zeros((self.h, self.w), jnp.int32),
-            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
-            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
-            jnp.ones((self.gh, self.gw), jnp.int32),
-            jnp.zeros((self.h, self.w), jnp.int32),
-            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
-            jnp.zeros((self.h // 2, self.w // 2), jnp.int32),
+            jnp.zeros((gh, gw, cu), jnp.int32),
+            jnp.zeros((gh, gw, cu), jnp.int32),
+            jnp.zeros((gh, gw, cuc), jnp.int32),
+            jnp.zeros((gh, gw, cuc), jnp.int32),
+            jnp.zeros((gh, gw, cuc), jnp.int32),
+            jnp.zeros((gh, gw, cuc), jnp.int32),
+            jnp.ones((gh, gw), jnp.int32),
         )
         xs = (gxs_all, gys_all, valid_all, mask_y_all, mask_c_all, above_all)
-        carry, _ = jax.lax.scan(body, carry0, xs)
-        recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = carry
-        return recon_y, recon_u, recon_v, mode_grid, ly, lu, lv
+        carry, outs = jax.lax.scan(body, carry0, xs)
+        mode_grid = carry[6]
+        rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best = outs
+
+        # assemble planes: one scatter per output tensor
+        flat_idx = jnp.asarray(
+            np.where(self.valid, self.gys * gw + self.gxs, gh * gw))
+
+        def assemble(blocks, n, hh, ww):
+            buf = jnp.zeros((gh * gw + 1, n, n), blocks.dtype)
+            buf = buf.at[flat_idx.reshape(-1)].set(
+                blocks.reshape(-1, n, n), mode="drop")
+            return buf[:gh * gw].reshape(gh, gw, n, n) \
+                .transpose(0, 2, 1, 3).reshape(hh, ww)
+        # narrow dtypes before leaving the device: the host link is the
+        # bottleneck (~50 MB/s tunnel), recon fits u8 and levels fit i16
+        recon_y = assemble(rec.astype(jnp.uint8), cu, self.h, self.w)
+        recon_u = assemble(rec_u.astype(jnp.uint8), cuc, self.h // 2, self.w // 2)
+        recon_v = assemble(rec_v.astype(jnp.uint8), cuc, self.h // 2, self.w // 2)
+        ly = assemble(lvl.astype(jnp.int16), cu, self.h, self.w)
+        lu = assemble(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        return recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8), ly, lu, lv
+
+    def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
+        log2n = n.bit_length() - 1
+        mode_dep = log2n == 2 or (log2n == 3 and is_luma)
+        if not mode_dep:
+            # only the diagonal scan can occur at this size
+            return sign_bit_hiding(lvl, coef, n, qp, True, 0,
+                                   self.ps.scaling_list_enabled)
+        out = lvl
+        for s in (0, 1, 2):
+            adj = sign_bit_hiding(lvl, coef, n, qp, True, s,
+                                  self.ps.scaling_list_enabled)
+            out = jnp.where((scan_sel == s)[:, None, None], adj, out)
+        return out
 
     # -- frame driver ------------------------------------------------------------
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int):
-        assert qp == self.qp
-        cu = self.cu
-        out = self._encode_jit(jnp.asarray(np.asarray(y, np.int32)),
-                               jnp.asarray(np.asarray(u, np.int32)),
-                               jnp.asarray(np.asarray(v, np.int32)))
+    def _to_desc(self, out):
         recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = map(np.asarray, out)
-
+        cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         depth = self.ps.log2_ctu - (cu.bit_length() - 1)
         desc.cu_depth[:] = depth
@@ -360,3 +472,28 @@ class TpuIntraEncoder:
         desc.coef_u[:] = lu.astype(np.int16)
         desc.coef_v[:] = lv.astype(np.int16)
         return desc, recon_y, recon_u, recon_v
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     qp: int):
+        assert qp == self.qp
+        out = self._encode_jit(jnp.asarray(np.asarray(y, np.uint8)),
+                               jnp.asarray(np.asarray(u, np.uint8)),
+                               jnp.asarray(np.asarray(v, np.uint8)))
+        return self._to_desc(out)
+
+    def dispatch_frames(self, ys, us, vs):
+        """Async: launch the batched device program, return device arrays
+        immediately (jax dispatch is non-blocking). Pair with fetch_frames
+        to overlap host serialization with device compute."""
+        return self._encode_batch_jit(
+            jnp.asarray(np.asarray(ys, np.uint8)),
+            jnp.asarray(np.asarray(us, np.uint8)),
+            jnp.asarray(np.asarray(vs, np.uint8)))
+
+    def fetch_frames(self, out, n_frames: int):
+        out = [np.asarray(o) for o in out]
+        return [self._to_desc([o[i] for o in out]) for i in range(n_frames)]
+
+    def encode_frames(self, ys, us, vs):
+        """Batched: lists/arrays of F frames -> list of (desc, ry, ru, rv)."""
+        return self.fetch_frames(self.dispatch_frames(ys, us, vs), len(ys))

@@ -33,6 +33,11 @@ class EncoderPipeline:
         self.poc = 0
         self.backend = backend
         self._tpu_encoder = None
+        # frame batching (device throughput): queue frames, analyze in one
+        # vmapped device call — the single-chip "encoder engines" analog
+        self.batch = max(1, cfg.num_frames_in_flight)
+        self._queue: list = []
+        self._pending = None  # (device arrays, n) awaiting fetch
 
     # ---- frame analysis dispatch ------------------------------------------
 
@@ -56,13 +61,20 @@ class EncoderPipeline:
     # ---- serialization ------------------------------------------------------
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
-                         qp: int) -> bytes:
+                         qp: int, use_native: bool = True) -> bytes:
         ps = self.ps
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
                          poc=self.poc, qp=qp)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
+        if (use_native and slice_type == SLICE_I
+                and not ps.cu_qp_delta_enabled and not ps.sao_enabled):
+            from homerhevc_tpu import native
+            payload = native.encode_slice_native(ps, desc, ctx,
+                                                 ps.sign_hiding)
+            if payload is not None:
+                return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)
         sd = SliceDataEncoder(ps, desc, enc, slice_type, qp)
         n_ctus = ps.ctus_x * ps.ctus_y
@@ -75,14 +87,12 @@ class EncoderPipeline:
 
     # ---- public flow ---------------------------------------------------------
 
-    def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
+    def _emit(self, desc, ry, ru, rv):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
-        desc, ry, ru, rv = self._analyze_intra(y, u, v)
         nals = []
         is_idr = self.poc == 0 or (
             cfg.intra_period > 0 and self.poc % cfg.intra_period == 0)
-        # all-intra path for now: every frame IDR-coded
         nal_type = NAL_IDR_W_RADL
         if is_idr or cfg.gop_size == 0:
             nals.append(write_vps(self.ps))
@@ -94,7 +104,52 @@ class EncoderPipeline:
                                  "u": ru.astype(np.uint8),
                                  "v": rv.astype(np.uint8)})
         self.poc += 1
-        yield ef
+        return ef
+
+    def _drain_queue(self, final: bool = False) -> Iterator:
+        """Dispatch the queued batch to the device, then serialize the
+        PREVIOUS batch while the device runs (host/device overlap — the
+        analog of the reference's engine pipelining)."""
+        frames = self._queue
+        self._queue = []
+        if frames and len(frames) > 1 and self._tpu_ok():
+            enc = self._get_tpu()
+            new_pending = (enc.dispatch_frames([f[0] for f in frames],
+                                               [f[1] for f in frames],
+                                               [f[2] for f in frames]),
+                           len(frames))
+        else:
+            new_pending = None
+            for (y, u, v) in frames:
+                desc, ry, ru, rv = self._analyze_intra(y, u, v)
+                yield self._emit(desc, ry, ru, rv)
+        if self._pending is not None:
+            out, n = self._pending
+            self._pending = None
+            for desc, ry, ru, rv in self._get_tpu().fetch_frames(out, n):
+                yield self._emit(desc, ry, ru, rv)
+        self._pending = new_pending
+        if final and self._pending is not None:
+            out, n = self._pending
+            self._pending = None
+            for desc, ry, ru, rv in self._get_tpu().fetch_frames(out, n):
+                yield self._emit(desc, ry, ru, rv)
+
+    def _tpu_ok(self) -> bool:
+        return (self.backend in ("auto", "tpu")
+                and self.cfg.cu_size == 16
+                and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
+
+    def _get_tpu(self):
+        from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
+        if self._tpu_encoder is None:
+            self._tpu_encoder = TpuIntraEncoder(self.ps, self.cfg)
+        return self._tpu_encoder
+
+    def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
+        self._queue.append((y, u, v))
+        if len(self._queue) >= self.batch:
+            yield from self._drain_queue()
 
     def flush(self) -> Iterator:
-        return iter(())
+        yield from self._drain_queue(final=True)

@@ -1,0 +1,620 @@
+// Production host entropy coder: CABAC engine + intra slice-data serializer.
+//
+// C++ twin of homerhevc_tpu/hevc/{cabac,syntax}.py — byte-exact (validated by
+// tests/test_native_cabac.py against the Python serializer on identical
+// FrameDesc inputs). Python owns tables & context init; this library gets the
+// initialized context-state array and the frame description tensors and emits
+// the CABAC payload of one slice (or one WPP row substream).
+//
+// Parity with reference: hmr_binary_encoding.c / hmr_arithmetic_encoding.c
+// (HM-derived engine; spec 9.3) — reimplemented from the same spec.
+//
+// Build: g++ -O3 -shared -fPIC -o libhevcenc.so hevcenc.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- spec tables (identical values to hevc/tables.py) ----------------------
+
+static const uint8_t kLps[64][4] = {
+  {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+  {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+  {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+  {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+  {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+  {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+  {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+  {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+  {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+  {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+  {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+  {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+  {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+  {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+  {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+  {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2},
+};
+static const uint8_t kRenorm[32] = {
+  6,5,4,4,3,3,3,3,2,2,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1};
+static const uint8_t kTransLps[64] = {
+  0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+  22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+  35,35,35,36,36,36,37,37,37,38,38,63};
+static const int8_t kCtxMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+
+// context layout offsets — MUST match hevc/ctx_tables.py OFF
+enum CtxOff {
+  SPLIT_FLAG = 0, SKIP_FLAG = 3, MERGE_FLAG = 6, MERGE_IDX = 7,
+  PART_SIZE = 8, PRED_MODE = 12, INTRA_PRED_MODE = 13, CHROMA_PRED_MODE = 14,
+  INTER_DIR = 16, MVD = 21, REF_PIC = 23, DQP = 25, QT_CBF = 28,
+  QT_ROOT_CBF = 36, SIG_CG = 37, SIG = 41, LAST_X = 83, LAST_Y = 113,
+  ONE = 143, ABS = 167, MVP_IDX = 173, TRANS_SUBDIV = 174,
+  TRANSFORM_SKIP = 177, TQ_BYPASS = 179, SAO_MERGE = 180, SAO_TYPE = 181,
+  NUM_CTX = 182,
+};
+
+struct Cabac {
+  std::vector<uint8_t>* out;
+  uint8_t* ctx;
+  uint32_t low = 0, range = 510;
+  int bits_left = 23, num_buffered = 0;
+  uint32_t buffered = 0xFF;
+  // bit-level writer (the payload starts byte-aligned; we only emit whole
+  // bytes until finish(), which can leave a partial byte)
+  uint32_t acc = 0; int accbits = 0;
+
+  void put_bits(uint32_t v, int n) {
+    acc = (acc << n) | v; accbits += n;
+    while (accbits >= 8) {
+      accbits -= 8;
+      out->push_back((acc >> accbits) & 0xFF);
+    }
+    acc &= (1u << accbits) - 1;
+  }
+  void write_out() {
+    uint32_t lead = low >> (24 - bits_left);
+    bits_left += 8;
+    low &= 0xFFFFFFFFu >> bits_left;
+    if (lead == 0xFF) { num_buffered++; return; }
+    if (num_buffered > 0) {
+      uint32_t carry = lead >> 8;
+      put_bits((buffered + carry) & 0xFF, 8);
+      uint32_t fill = (0xFF + carry) & 0xFF;
+      for (int i = 0; i < num_buffered - 1; i++) put_bits(fill, 8);
+      num_buffered = 1;
+      buffered = lead & 0xFF;
+    } else {
+      num_buffered = 1;
+      buffered = lead;
+    }
+  }
+  inline void bin(int ctx_idx, uint32_t b) {
+    uint8_t s = ctx[ctx_idx];
+    uint32_t lps = kLps[s >> 1][(range >> 6) & 3];
+    range -= lps;
+    if (b != (s & 1)) {
+      int n = kRenorm[lps >> 3];
+      low = (low + range) << n;
+      range = lps << n;
+      uint8_t idx = s >> 1;
+      ctx[ctx_idx] = idx == 0 ? (uint8_t)((s & 1) ^ 1)
+                              : (uint8_t)((kTransLps[idx] << 1) | (s & 1));
+      bits_left -= n;
+    } else {
+      uint8_t idx = s >> 1;
+      uint8_t nidx = idx < 62 ? idx + 1 : 62;
+      ctx[ctx_idx] = (uint8_t)((nidx << 1) | (s & 1));
+      if (range >= 256) return;
+      low <<= 1; range <<= 1; bits_left--;
+    }
+    if (bits_left < 12) write_out();
+  }
+  inline void bypass(uint32_t b) {
+    low <<= 1;
+    if (b) low += range;
+    if (--bits_left < 12) write_out();
+  }
+  inline void bypass_bins(uint32_t v, int n) {
+    while (n > 8) {
+      n -= 8;
+      uint32_t pat = v >> n;
+      low = (low << 8) + range * pat;
+      v -= pat << n;
+      bits_left -= 8;
+      if (bits_left < 12) write_out();
+    }
+    low = (low << n) + range * v;
+    bits_left -= n;
+    if (bits_left < 12) write_out();
+  }
+  inline void terminate(uint32_t b) {
+    range -= 2;
+    if (b) {
+      low = (low + range) << 7;
+      range = 2 << 7;
+      bits_left -= 7;
+    } else if (range >= 256) {
+      return;
+    } else {
+      low <<= 1; range <<= 1; bits_left--;
+    }
+    if (bits_left < 12) write_out();
+  }
+  void finish() {
+    if ((low >> (32 - bits_left)) & ((1u << bits_left) - 1)) {
+      put_bits(buffered + 1, 8);
+      for (int i = 0; i < num_buffered - 1; i++) put_bits(0x00, 8);
+      low -= 1u << (32 - bits_left);
+    } else {
+      if (num_buffered > 0) put_bits(buffered, 8);
+      for (int i = 0; i < num_buffered - 1; i++) put_bits(0xFF, 8);
+    }
+    put_bits((low >> 8) & ((1u << (24 - bits_left)) - 1), 24 - bits_left);
+    // rbsp stop bit + alignment
+    put_bits(1, 1);
+    if (accbits) put_bits(0, 8 - accbits);
+  }
+};
+
+// ---- scan tables ------------------------------------------------------------
+
+struct Scans {
+  // [log2size 2..5][scan 0..2] -> scan-pos -> raster
+  std::vector<int> coeff[6][3];
+  std::vector<int> cg[6][3];
+  Scans() {
+    for (int lg = 2; lg <= 5; lg++) {
+      int n = 1 << lg;
+      for (int s = 0; s < 3; s++) {
+        coeff[lg][s] = build_coeff(n, s);
+        cg[lg][s] = build_order(n / 4 ? n / 4 : 1, s);
+      }
+    }
+  }
+  static std::vector<std::pair<int,int>> diag(int n) {
+    std::vector<std::pair<int,int>> o;
+    int x = 0, y = 0;
+    while ((int)o.size() < n * n) {
+      while (y >= 0) {
+        if (x < n && y < n) o.push_back({x, y});
+        y--; x++;
+      }
+      y = x; x = 0;
+    }
+    return o;
+  }
+  static std::vector<std::pair<int,int>> pos_order(int n, int s) {
+    std::vector<std::pair<int,int>> o;
+    if (s == 0) return diag(n);
+    if (s == 1) { for (int y=0;y<n;y++) for (int x=0;x<n;x++) o.push_back({x,y}); }
+    else        { for (int x=0;x<n;x++) for (int y=0;y<n;y++) o.push_back({x,y}); }
+    return o;
+  }
+  static std::vector<int> build_order(int n, int s) {
+    std::vector<int> v;
+    for (auto& p : pos_order(n, s)) v.push_back(p.second * n + p.first);
+    return v;
+  }
+  static std::vector<int> build_coeff(int n, int s) {
+    std::vector<int> v;
+    if (n == 4) return build_order(4, s);
+    int ncg = n / 4;
+    auto cgo = pos_order(ncg, s);
+    auto in = pos_order(4, s);
+    for (auto& c : cgo)
+      for (auto& i : in)
+        v.push_back((c.second * 4 + i.second) * n + c.first * 4 + i.first);
+    return v;
+  }
+};
+static Scans g_scans;
+
+// ---- frame description + params ---------------------------------------------
+
+struct Params {
+  int width, height;
+  int log2_ctu, log2_min_cb, log2_min_tb, log2_max_tb;
+  int max_tr_depth_intra;
+  int sign_hiding;      // SBH_THRESHOLD gate uses quant-adjusted levels
+  int cu_qp_delta;      // not supported yet (must be 0)
+  int slice_qp;
+};
+
+struct Desc {
+  const uint8_t *cu_depth, *part_nxn, *luma_mode, *chroma_mode, *tr_depth;
+  const int16_t *coef_y, *coef_u, *coef_v;
+  int w8, w4, w, cw;   // strides
+};
+
+struct Enc {
+  Params p;
+  Desc d;
+  Cabac c;
+
+  int depth_at(int x, int y) const { return d.cu_depth[(y>>3)*d.w8 + (x>>3)]; }
+  int lmode(int x, int y) const { return d.luma_mode[(y>>2)*d.w4 + (x>>2)]; }
+  int cmode(int x, int y) const { return d.chroma_mode[(y>>3)*d.w8 + (x>>3)]; }
+  int trd(int x, int y) const { return d.tr_depth[(y>>3)*d.w8 + (x>>3)]; }
+  bool nxn(int x, int y) const { return d.part_nxn[(y>>3)*d.w8 + (x>>3)] != 0; }
+
+  bool region_nz(const int16_t* plane, int stride, int x, int y, int size) const {
+    for (int j = 0; j < size; j++) {
+      const int16_t* row = plane + (y + j) * stride + x;
+      for (int i = 0; i < size; i++) if (row[i]) return true;
+    }
+    return false;
+  }
+
+  static int scan_idx_for(int mode, int log2, bool luma) {
+    if (log2 == 2 || (log2 == 3 && luma)) {
+      if (mode >= 6 && mode <= 14) return 2;
+      if (mode >= 22 && mode <= 30) return 1;
+    }
+    return 0;
+  }
+
+  // ---- residual coding ----------------------------------------------------
+  void residual(const int16_t* plane, int stride, int bx, int by,
+                int log2, int cidx, int scan_sel) {
+    int size = 1 << log2;
+    const std::vector<int>& scan = g_scans.coeff[log2][scan_sel];
+    int nn = size * size;
+    int32_t sc[1024];
+    int last_pos = -1;
+    for (int i = 0; i < nn; i++) {
+      int r = scan[i];
+      sc[i] = plane[(by + r / size) * stride + bx + r % size];
+      if (sc[i]) last_pos = i;
+    }
+    int last_raster = scan[last_pos];
+    int last_x = last_raster % size, last_y = last_raster / size;
+    if (scan_sel == 2) { int t = last_x; last_x = last_y; last_y = t; }
+    encode_last(last_x, last_y, log2, cidx);
+
+    int ncg = size / 4 > 0 ? size / 4 : 1;
+    int num_cg = (last_pos >> 4) + 1;
+    const std::vector<int>& cgo = g_scans.cg[log2][scan_sel];
+    bool cg_nz[64] = {false};
+    for (int ci = 0; ci < num_cg; ci++) {
+      for (int k = ci * 16; k < (ci + 1) * 16; k++)
+        if (sc[k]) { cg_nz[ci] = true; break; }
+    }
+    auto right_below = [&](int ci) {
+      int r = cgo[ci];
+      int cgx = r % ncg, cgy = r / ncg;
+      int res = 0;
+      if (cgx + 1 < ncg)
+        for (int q = 0; q < num_cg; q++) if (cgo[q] == r + 1 && cg_nz[q]) { res |= 1; break; }
+      if (cgy + 1 < ncg)
+        for (int q = 0; q < num_cg; q++) if (cgo[q] == r + ncg && cg_nz[q]) { res |= 2; break; }
+      return res;
+    };
+
+    int c1 = 1;
+    for (int ci = num_cg - 1; ci >= 0; ci--) {
+      int cg_start = ci * 16;
+      bool in_last = ci == num_cg - 1;
+      int prev_csbf = right_below(ci);
+      bool infer_dc = false;
+      bool coded_sb = true;
+      if (!in_last && ci != 0) {
+        coded_sb = cg_nz[ci];
+        c.bin(SIG_CG + (cidx ? 2 : 0) + (prev_csbf ? 1 : 0), coded_sb);
+        infer_dc = true;
+      }
+      if (!coded_sb) continue;
+      int start_n = in_last ? (last_pos - cg_start < 15 ? last_pos - cg_start : 15) : 15;
+      int pos_list[16]; int n_nz = 0;
+      int num_found = 0;
+      for (int n = start_n; n >= 0; n--) {
+        int pos = cg_start + n;
+        int sig = sc[pos] != 0;
+        if (in_last && pos == last_pos) { pos_list[n_nz++] = pos; num_found++; continue; }
+        if (n == 0 && infer_dc && num_found == 0) { pos_list[n_nz++] = pos; continue; }
+        int r = scan[pos];
+        int px = r % size, py = r / size;
+        int ctxinc = sig_ctx(px, py, log2, cidx, scan_sel, prev_csbf);
+        c.bin(SIG + (cidx ? 27 : 0) + ctxinc, sig);
+        if (sig) { pos_list[n_nz++] = pos; num_found++; }
+      }
+      if (!n_nz) continue;
+      int absv[16], sgn[16];
+      for (int i = 0; i < n_nz; i++) {
+        int v = sc[pos_list[i]];
+        absv[i] = v < 0 ? -v : v;
+        sgn[i] = v < 0;
+      }
+      int first_sc = pos_list[n_nz - 1] - cg_start;
+      int last_sc = pos_list[0] - cg_start;
+      bool hide = p.sign_hiding && (last_sc - first_sc) >= 4;
+      int ctx_set = (ci > 0 && cidx == 0) ? 2 : 0;
+      if (c1 == 0) ctx_set++;
+      c1 = 1;
+      int base_one = ONE + (cidx ? 16 : 0) + 4 * ctx_set;
+      int num_g1 = n_nz < 8 ? n_nz : 8;
+      int first_g1 = -1;
+      for (int i = 0; i < num_g1; i++) {
+        int g1 = absv[i] > 1;
+        c.bin(base_one + c1, g1);
+        if (g1) { c1 = 0; if (first_g1 < 0) first_g1 = i; }
+        else if (c1 > 0 && c1 < 3) c1++;
+      }
+      if (first_g1 >= 0)
+        c.bin(ABS + (cidx ? 4 : 0) + ctx_set, absv[first_g1] > 2);
+      int n_signs = hide ? n_nz - 1 : n_nz;
+      for (int i = 0; i < n_signs; i++) c.bypass(sgn[i]);
+      if (c1 == 0 || n_nz > 8) {
+        int rice = 0, fc2 = 1;
+        for (int i = 0; i < n_nz; i++) {
+          int base = i < 8 ? 2 + fc2 : 1;
+          if (absv[i] >= base) {
+            remaining(absv[i] - base, rice);
+            if (absv[i] > (3 << rice)) rice = rice < 4 ? rice + 1 : 4;
+          }
+          if (absv[i] >= 2) fc2 = 0;
+        }
+      }
+    }
+  }
+
+  void remaining(int v, int r) {
+    if (v < (3 << r)) {
+      int len = v >> r;
+      c.bypass_bins((1u << (len + 1)) - 2, len + 1);
+      if (r) c.bypass_bins(v & ((1 << r) - 1), r);
+    } else {
+      int len = r;
+      v -= 3 << r;
+      while (v >= (1 << len)) { v -= 1 << len; len++; }
+      c.bypass_bins((1u << (3 + len + 1 - r)) - 2, 3 + len + 1 - r);
+      if (len) c.bypass_bins(v, len);
+    }
+  }
+
+  static int last_prefix(int v) {
+    if (v < 4) return v;
+    int bl = 32 - __builtin_clz((unsigned)v);
+    return 2 * (bl - 1) + ((v >> (bl - 2)) & 1);
+  }
+
+  void encode_last(int lx, int ly, int log2, int cidx) {
+    int off, shift;
+    if (cidx == 0) { off = 3 * (log2 - 2) + ((log2 - 1) >> 2); shift = (log2 + 1) >> 2; }
+    else { off = 15; shift = log2 - 2; }
+    int gmax = (log2 << 1) - 1;
+    int vals[2] = {lx, ly};
+    int bases[2] = {LAST_X, LAST_Y};
+    for (int k = 0; k < 2; k++) {
+      int pre = last_prefix(vals[k]);
+      for (int i = 0; i < pre; i++) c.bin(bases[k] + off + (i >> shift), 1);
+      if (pre < gmax) c.bin(bases[k] + off + (pre >> shift), 0);
+    }
+    for (int k = 0; k < 2; k++) {
+      int pre = last_prefix(vals[k]);
+      if (pre > 3) {
+        int sl = (pre >> 1) - 1;
+        c.bypass_bins(vals[k] - ((2 + (pre & 1)) << sl), sl);
+      }
+    }
+  }
+
+  static int sig_ctx(int px, int py, int log2, int cidx, int scan_sel, int prev) {
+    if (log2 == 2) return kCtxMap4x4[4 * py + px];
+    if (px == 0 && py == 0) return 0;
+    int xi = px & 3, yi = py & 3, cnt;
+    if (prev == 0) cnt = (xi + yi == 0) ? 2 : (xi + yi <= 2 ? 1 : 0);
+    else if (prev == 1) cnt = yi == 0 ? 2 : (yi == 1 ? 1 : 0);
+    else if (prev == 2) cnt = xi == 0 ? 2 : (xi == 1 ? 1 : 0);
+    else cnt = 2;
+    int off;
+    if (log2 == 3) off = (cidx == 0 && scan_sel != 0) ? 15 : 9;
+    else off = cidx == 0 ? 21 : 12;
+    int extra = (cidx == 0 && ((px >> 2) + (py >> 2)) > 0) ? 3 : 0;
+    return off + extra + cnt;
+  }
+
+  // ---- MPM ------------------------------------------------------------------
+  void mpm_list(int left, int above, int out[3]) {
+    if (left == above) {
+      if (left < 2) { out[0] = 0; out[1] = 1; out[2] = 26; }
+      else {
+        out[0] = left;
+        out[1] = 2 + ((left + 29) % 32);
+        out[2] = 2 + ((left - 1) % 32);
+      }
+    } else {
+      out[0] = left; out[1] = above;
+      if (left != 0 && above != 0) out[2] = 0;
+      else if (left != 1 && above != 1) out[2] = 1;
+      else out[2] = 26;
+    }
+  }
+
+  // ---- transform tree ---------------------------------------------------------
+  void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
+                      int blk, bool intra_split, int max_depth,
+                      bool pcb, bool pcr) {
+    int size = 1 << log2;
+    int target = trd(x0, y0);
+    bool split = target > depth;
+    if (log2 <= p.log2_max_tb && log2 > p.log2_min_tb &&
+        depth < max_depth && !(intra_split && depth == 0)) {
+      c.bin(TRANS_SUBDIV + (5 - log2), split);
+    } else {
+      if (log2 > p.log2_max_tb || (intra_split && depth == 0)) split = true;
+      else split = false;
+    }
+    int cx = x0 >> 1, cy = y0 >> 1, cs = size >> 1;
+    bool cbf_cb = pcb, cbf_cr = pcr;
+    if (log2 > 2) {
+      cbf_cb = region_nz(d.coef_u, d.cw, cx, cy, cs);
+      cbf_cr = region_nz(d.coef_v, d.cw, cx, cy, cs);
+      if (pcb) c.bin(QT_CBF + 4 + depth, cbf_cb);
+      if (pcr) c.bin(QT_CBF + 4 + depth, cbf_cr);
+    }
+    if (split) {
+      int half = size >> 1;
+      int order[4][2] = {{0,0},{half,0},{0,half},{half,half}};
+      for (int i = 0; i < 4; i++)
+        transform_tree(x0 + order[i][0], y0 + order[i][1], x0, y0,
+                       log2 - 1, depth + 1, i, intra_split, max_depth,
+                       cbf_cb, cbf_cr);
+      return;
+    }
+    bool cbf_luma = region_nz(d.coef_y, d.w, x0, y0, size);
+    c.bin(QT_CBF + (depth == 0 ? 1 : 0), cbf_luma);
+    transform_unit(x0, y0, xb, yb, log2, depth, blk, cbf_luma, cbf_cb, cbf_cr);
+  }
+
+  void transform_unit(int x0, int y0, int xb, int yb, int log2, int depth,
+                      int blk, bool cbf_luma, bool cbf_cb, bool cbf_cr) {
+    if (log2 == 2) {
+      cbf_cb = cbf_cb && region_nz(d.coef_u, d.cw, xb >> 1, yb >> 1, 4);
+      cbf_cr = cbf_cr && region_nz(d.coef_v, d.cw, xb >> 1, yb >> 1, 4);
+    }
+    if (!(cbf_luma || cbf_cb || cbf_cr)) return;
+    int size = 1 << log2;
+    if (cbf_luma) {
+      int mode = lmode(x0, y0);
+      residual(d.coef_y, d.w, x0, y0, log2, 0, scan_idx_for(mode, log2, true));
+    }
+    if (log2 > 2 || blk == 3) {
+      int cx, cy, clog2, mx, my;
+      if (log2 > 2) { cx = x0 >> 1; cy = y0 >> 1; clog2 = log2 - 1; mx = x0; my = y0; }
+      else { cx = xb >> 1; cy = yb >> 1; clog2 = 2; mx = xb; my = yb; }
+      int cm = cmode(mx, my);
+      int csel = scan_idx_for(cm, clog2, false);
+      if (cbf_cb) residual(d.coef_u, d.cw, cx, cy, clog2, 1, csel);
+      if (cbf_cr) residual(d.coef_v, d.cw, cx, cy, clog2, 2, csel);
+    }
+  }
+
+  // ---- CU -----------------------------------------------------------------------
+  void coding_unit(int x0, int y0, int log2) {
+    bool is_nxn = nxn(x0, y0);
+    if (log2 == p.log2_min_cb) c.bin(PART_SIZE, is_nxn ? 0 : 1);
+    int n_pu = is_nxn ? 4 : 1;
+    int size = 1 << log2;
+    int pu = is_nxn ? size >> 1 : size;
+    int modes[4], mpms[4][3], in_mpm[4];
+    for (int i = 0; i < n_pu; i++) {
+      int px = x0 + (i & 1) * pu, py = y0 + (i >> 1) * pu;
+      modes[i] = lmode(px, py);
+      int left = (px > 0) ? lmode(px - 1, py) : 1;
+      int ctu = 1 << p.log2_ctu;
+      int above = (py > 0 && (py % ctu) != 0) ? lmode(px, py - 1) : 1;
+      mpm_list(left, above, mpms[i]);
+      in_mpm[i] = (modes[i] == mpms[i][0] || modes[i] == mpms[i][1] ||
+                   modes[i] == mpms[i][2]);
+      c.bin(INTRA_PRED_MODE, in_mpm[i]);
+    }
+    for (int i = 0; i < n_pu; i++) {
+      if (in_mpm[i]) {
+        int idx = modes[i] == mpms[i][0] ? 0 : (modes[i] == mpms[i][1] ? 1 : 2);
+        c.bypass(idx != 0);
+        if (idx) c.bypass(idx - 1);
+      } else {
+        int s[3] = {mpms[i][0], mpms[i][1], mpms[i][2]};
+        if (s[0] > s[1]) { int t = s[0]; s[0] = s[1]; s[1] = t; }
+        if (s[0] > s[2]) { int t = s[0]; s[0] = s[2]; s[2] = t; }
+        if (s[1] > s[2]) { int t = s[1]; s[1] = s[2]; s[2] = t; }
+        int rem = modes[i];
+        for (int k = 2; k >= 0; k--) if (rem > s[k]) rem--;
+        c.bypass_bins(rem, 5);
+      }
+    }
+    // chroma mode
+    int cm = cmode(x0, y0);
+    int lm = modes[0];
+    int syn;
+    if (cm == lm) syn = 4;
+    else {
+      int cands[4] = {0, 26, 10, 1};
+      for (int i = 0; i < 4; i++) if (cands[i] == lm) cands[i] = 34;
+      syn = 0;
+      for (int i = 0; i < 4; i++) if (cands[i] == cm) { syn = i; break; }
+    }
+    if (syn == 4) c.bin(CHROMA_PRED_MODE, 0);
+    else { c.bin(CHROMA_PRED_MODE, 1); c.bypass_bins(syn, 2); }
+    int max_depth = p.max_tr_depth_intra + (is_nxn ? 1 : 0);
+    transform_tree(x0, y0, x0, y0, log2, 0, 0, is_nxn, max_depth, true, true);
+  }
+
+  void coding_quadtree(int x0, int y0, int log2, int depth) {
+    int size = 1 << log2;
+    bool inside = (x0 + size <= p.width) && (y0 + size <= p.height);
+    int cur = depth_at(x0, y0);
+    int split;
+    if (inside && log2 > p.log2_min_cb) {
+      int ctx = 0;
+      if (x0 > 0 && depth_at(x0 - 1, y0) > depth) ctx++;
+      if (y0 > 0 && depth_at(x0, y0 - 1) > depth) ctx++;
+      split = cur > depth;
+      c.bin(SPLIT_FLAG + ctx, split);
+    } else {
+      split = (!inside && log2 > p.log2_min_cb) ? 1
+              : (log2 > p.log2_min_cb && cur > depth);
+    }
+    if (split) {
+      int half = size >> 1;
+      int order[4][2] = {{0,0},{half,0},{0,half},{half,half}};
+      for (int i = 0; i < 4; i++) {
+        int x1 = x0 + order[i][0], y1 = y0 + order[i][1];
+        if (x1 < p.width && y1 < p.height)
+          coding_quadtree(x1, y1, log2 - 1, depth + 1);
+      }
+    } else {
+      coding_unit(x0, y0, log2);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode slice data (all CTUs) for an intra slice. Returns payload length.
+// out_buf must be large enough (caller allocates generously).
+long hevcenc_encode_slice(
+    const uint8_t* ctx_init,     // NUM_CTX initialized context states
+    int width, int height, int log2_ctu, int log2_min_cb,
+    int log2_min_tb, int log2_max_tb, int max_tr_depth_intra,
+    int sign_hiding,
+    const uint8_t* cu_depth, const uint8_t* part_nxn,
+    const uint8_t* luma_mode, const uint8_t* chroma_mode,
+    const uint8_t* tr_depth,
+    const int16_t* coef_y, const int16_t* coef_u, const int16_t* coef_v,
+    uint8_t* out_buf, long out_cap) {
+  Enc e;
+  e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
+               log2_max_tb, max_tr_depth_intra, sign_hiding, 0, 0};
+  e.d.cu_depth = cu_depth; e.d.part_nxn = part_nxn;
+  e.d.luma_mode = luma_mode; e.d.chroma_mode = chroma_mode;
+  e.d.tr_depth = tr_depth;
+  e.d.coef_y = coef_y; e.d.coef_u = coef_u; e.d.coef_v = coef_v;
+  e.d.w8 = width >> 3; e.d.w4 = width >> 2; e.d.w = width; e.d.cw = width >> 1;
+
+  std::vector<uint8_t> out;
+  out.reserve(out_cap);
+  uint8_t ctx[NUM_CTX];
+  memcpy(ctx, ctx_init, NUM_CTX);
+  e.c.out = &out;
+  e.c.ctx = ctx;
+
+  int ctu = 1 << log2_ctu;
+  int cw = (width + ctu - 1) / ctu, ch = (height + ctu - 1) / ctu;
+  int n = cw * ch;
+  for (int i = 0; i < n; i++) {
+    e.coding_quadtree((i % cw) * ctu, (i / cw) * ctu, log2_ctu, 0);
+    e.c.terminate(i == n - 1);
+  }
+  e.c.finish();
+  if ((long)out.size() > out_cap) return -1;
+  memcpy(out_buf, out.data(), out.size());
+  return (long)out.size();
+}
+
+}  // extern "C"

@@ -135,7 +135,13 @@ def predict_all_modes(top_u, left_u, n: int, is_luma: bool):
     ones = jnp.ones(top_u.shape[:-1] + (1,), jnp.int32)
     ref_aug = jnp.concatenate([top_u, left_u, top_f, left_f, ones], axis=-1)
     W, S = pred_weights(n, is_luma)
-    raw = jnp.einsum("mpr,br->bmp", jnp.asarray(W), ref_aug)
+    # run the contraction on the MXU in f32: |W| <= 64, refs <= 255, sums
+    # bounded by ~2^15 (planar/DC worst case) -- exactly representable
+    raw_f = jnp.einsum("mpr,br->bmp",
+                       jnp.asarray(W, jnp.float32),
+                       ref_aug.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    raw = raw_f.astype(jnp.int32)
     pred = raw >> jnp.asarray(S)[None, :, None]
     return pred.reshape(ref_aug.shape[0], 35, n, n)
 
