@@ -430,6 +430,25 @@ class TpuIntraEncoder:
                 blocks.reshape(-1, n, n), mode="drop")
             return buf[:gh * gw].reshape(gh, gw, n, n) \
                 .transpose(0, 2, 1, 3).reshape(hh, ww)
+        # in-loop deblocking on device (post full-frame; intra prediction
+        # correctly used the pre-deblock samples above)
+        if self.ps.deblocking_enabled:
+            from homerhevc_tpu.ops.deblock import (
+                deblock_chroma_uniform, deblock_luma_uniform)
+            ry = assemble(rec, cu, self.h, self.w)
+            ru = assemble(rec_u, cuc, self.h // 2, self.w // 2)
+            rv = assemble(rec_v, cuc, self.h // 2, self.w // 2)
+            ry = deblock_luma_uniform(ry, cu, self.qp)
+            ru = deblock_chroma_uniform(ru, cu, self.qp, self.ps.cb_qp_offset)
+            rv = deblock_chroma_uniform(rv, cu, self.qp, self.ps.cr_qp_offset)
+            recon_y, recon_u, recon_v = (ry.astype(jnp.uint8),
+                                         ru.astype(jnp.uint8),
+                                         rv.astype(jnp.uint8))
+            ly = assemble(lvl.astype(jnp.int16), cu, self.h, self.w)
+            lu = assemble(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+            lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+            return (recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8),
+                    ly, lu, lv)
         # narrow dtypes before leaving the device: the host link is the
         # bottleneck (~50 MB/s tunnel), recon fits u8 and levels fit i16
         recon_y = assemble(rec.astype(jnp.uint8), cu, self.h, self.w)

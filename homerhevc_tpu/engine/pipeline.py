@@ -51,8 +51,21 @@ class EncoderPipeline:
             backend = "tpu" if ok else "golden"
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
-            return encode_intra_frame(self.ps, y, u, v, self.cfg.qp,
-                                      cu_size=min(self.cfg.cu_size, 32))
+            desc, ry, ru, rv = encode_intra_frame(
+                self.ps, y, u, v, self.cfg.qp,
+                cu_size=min(self.cfg.cu_size, 32))
+            if self.ps.deblocking_enabled:
+                from homerhevc_tpu.golden import deblock as gdb
+                cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
+                tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
+                qp8 = np.full_like(tu8, self.cfg.qp)
+                bs_v, bs_h = gdb.intra_bs_maps(tu8)
+                ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
+                ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
+                                              self.ps.cb_qp_offset)
+                rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
+                                              self.ps.cr_qp_offset)
+            return desc, ry, ru, rv
         from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
         if self._tpu_encoder is None:
             self._tpu_encoder = TpuIntraEncoder(self.ps, self.cfg)

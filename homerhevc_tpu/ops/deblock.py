@@ -1,0 +1,132 @@
+"""Device (JAX) deblocking filter for the uniform-grid intra path
+(CTB = CU = TU = `bsize`, every interior edge BS=2, uniform QP).
+
+Bit-exact to golden/deblock.py (oracle tests in tests/test_deblock.py).
+Runs as two batched passes over edge strips: all vertical edges, then all
+horizontal edges on the vertically-filtered plane (normative order).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu.golden.deblock import BETA_TABLE, TC_TABLE
+from homerhevc_tpu.hevc.tables import chroma_qp
+
+
+def _clip3(lo, hi, v):
+    return jnp.minimum(jnp.maximum(v, lo), hi)
+
+
+def _luma_filter_groups(p, q, beta, tc):
+    """p, q: (..., 4lines, 4taps) int32 (tap 0 adjacent to edge)."""
+    dp = jnp.abs(p[..., :, 2] - 2 * p[..., :, 1] + p[..., :, 0])
+    dq = jnp.abs(q[..., :, 2] - 2 * q[..., :, 1] + q[..., :, 0])
+    dp0, dp3 = dp[..., 0], dp[..., 3]
+    dq0, dq3 = dq[..., 0], dq[..., 3]
+    on = (dp0 + dq0 + dp3 + dq3) < beta
+
+    def sc(k):
+        return ((2 * (dp[..., k] + dq[..., k]) < (beta >> 2))
+                & (jnp.abs(p[..., k, 3] - p[..., k, 0])
+                   + jnp.abs(q[..., k, 0] - q[..., k, 3]) < (beta >> 3))
+                & (jnp.abs(p[..., k, 0] - q[..., k, 0]) < ((5 * tc + 1) >> 1)))
+    strong = on & sc(0) & sc(3)
+    normal = on & ~strong
+
+    p0, p1, p2, p3 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    t2 = 2 * tc
+    sp0 = _clip3(p0 - t2, p0 + t2, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    sp1 = _clip3(p1 - t2, p1 + t2, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = _clip3(p2 - t2, p2 + t2, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    sq0 = _clip3(q0 - t2, q0 + t2, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+    sq1 = _clip3(q1 - t2, q1 + t2, (q2 + q1 + q0 + p0 + 2) >> 2)
+    sq2 = _clip3(q2 - t2, q2 + t2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    do_line = jnp.abs(delta) < 10 * tc
+    dlt = _clip3(-tc, tc, delta)
+    np0 = jnp.clip(p0 + dlt, 0, 255)
+    nq0 = jnp.clip(q0 - dlt, 0, 255)
+    side = (beta + (beta >> 1)) >> 3
+    dEp = (dp0 + dp3 < side)[..., None]
+    dEq = (dq0 + dq3 < side)[..., None]
+    tc2 = tc >> 1
+    np1 = jnp.clip(p1 + _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1), 0, 255)
+    nq1 = jnp.clip(q1 + _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1), 0, 255)
+
+    sN = strong[..., None]
+    nN = normal[..., None] & do_line
+    op = jnp.stack([
+        jnp.where(sN, sp0, jnp.where(nN, np0, p0)),
+        jnp.where(sN, sp1, jnp.where(nN & dEp, np1, p1)),
+        jnp.where(sN, sp2, p2),
+        p3,
+    ], axis=-1)
+    oq = jnp.stack([
+        jnp.where(sN, sq0, jnp.where(nN, nq0, q0)),
+        jnp.where(sN, sq1, jnp.where(nN & dEq, nq1, q1)),
+        jnp.where(sN, sq2, q2),
+        q3,
+    ], axis=-1)
+    return op, oq
+
+
+def _luma_vertical_pass(x, bsize, beta, tc):
+    h, w = x.shape
+    ne = w // bsize - 1
+    if ne <= 0:
+        return x
+    xs = (np.arange(ne) + 1) * bsize
+    cols = jnp.asarray(xs[:, None] + np.arange(-4, 4)[None, :])
+    strips = x[:, cols].transpose(1, 0, 2)          # (E, H, 8)
+    g = strips.reshape(ne, h // 4, 4, 8)
+    p = g[..., 3::-1]
+    q = g[..., 4:]
+    op, oq = _luma_filter_groups(p, q, beta, tc)
+    ng = jnp.concatenate([op[..., ::-1], oq], axis=-1)
+    ns = ng.reshape(ne, h, 8).transpose(1, 0, 2)
+    return x.at[:, cols].set(ns)
+
+
+def deblock_luma_uniform(plane: jnp.ndarray, bsize: int, qp: int,
+                         beta_offset: int = 0, tc_offset: int = 0):
+    """plane: (H, W) int32, uniform TU grid of `bsize`, BS=2 everywhere."""
+    beta = int(BETA_TABLE[min(max(0, qp + beta_offset * 2), 51)])
+    tc = int(TC_TABLE[min(max(0, qp + 2 + tc_offset * 2), 53)])
+    out = _luma_vertical_pass(plane, bsize, beta, tc)
+    out = _luma_vertical_pass(out.T, bsize, beta, tc).T
+    return out
+
+
+def _chroma_pass(x, step, tc):
+    h, w = x.shape
+    ne = w // step - 1
+    if ne <= 0:
+        return x
+    xs = (np.arange(ne) + 1) * step
+    cols = jnp.asarray(xs[:, None] + np.arange(-2, 2)[None, :])
+    s = x[:, cols].transpose(1, 0, 2)               # (E, h, 4): p1 p0 q0 q1
+    p1, p0, q0, q1 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    delta = _clip3(-tc, tc, (((q0 - p0) * 4) + p1 - q1 + 4) >> 3)
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    ns = jnp.stack([p1, np0, nq0, q1], axis=-1).transpose(1, 0, 2)
+    return x.at[:, cols].set(ns)
+
+
+def deblock_chroma_uniform(plane: jnp.ndarray, bsize_luma: int, qp: int,
+                           chroma_qp_off: int = 0, tc_offset: int = 0):
+    """Chroma plane; edges on the chroma 8-grid at TU boundaries (intra
+    BS=2). For uniform luma grid `bsize_luma`, chroma edges are every
+    max(8, bsize_luma/2) chroma samples."""
+    step = max(8, bsize_luma // 2)
+    qpc = chroma_qp(qp + chroma_qp_off)
+    tc = int(TC_TABLE[min(max(0, qpc + 2 + tc_offset * 2), 53)])
+    if tc == 0:
+        return plane
+    out = _chroma_pass(plane, step, tc)
+    out = _chroma_pass(out.T, step, tc).T
+    return out
