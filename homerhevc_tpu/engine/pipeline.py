@@ -74,22 +74,26 @@ class EncoderPipeline:
     # ---- serialization ------------------------------------------------------
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
-                         qp: int, use_native: bool = True) -> bytes:
+                         qp: int, use_native: bool = True,
+                         sao_params=None) -> bytes:
         ps = self.ps
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                         poc=self.poc, qp=qp)
+                         poc=self.poc, qp=qp,
+                         sao_luma=sao_params is not None,
+                         sao_chroma=sao_params is not None)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
-        if (use_native and slice_type == SLICE_I
-                and not ps.cu_qp_delta_enabled and not ps.sao_enabled):
+        if (use_native and slice_type == SLICE_I and sao_params is None
+                and not ps.cu_qp_delta_enabled):
             from homerhevc_tpu import native
             payload = native.encode_slice_native(ps, desc, ctx,
                                                  ps.sign_hiding)
             if payload is not None:
                 return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)
-        sd = SliceDataEncoder(ps, desc, enc, slice_type, qp)
+        sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
+                              sao_params=sao_params)
         n_ctus = ps.ctus_x * ps.ctus_y
         for i in range(n_ctus):
             sd.encode_ctu(i % ps.ctus_x, i // ps.ctus_x)
@@ -100,9 +104,17 @@ class EncoderPipeline:
 
     # ---- public flow ---------------------------------------------------------
 
-    def _emit(self, desc, ry, ru, rv):
+    def _emit(self, desc, ry, ru, rv, src=None):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
+        sao_params = None
+        if self.ps.sao_enabled and src is not None:
+            from homerhevc_tpu.hevc.sao import sao_apply_component, sao_decide
+            sao_params = sao_decide(src, (ry, ru, rv), self.ps.ctu_size,
+                                    cfg.qp)
+            ry = sao_apply_component(ry, sao_params, 0, self.ps.ctu_size)
+            ru = sao_apply_component(ru, sao_params, 1, self.ps.ctu_size // 2)
+            rv = sao_apply_component(rv, sao_params, 2, self.ps.ctu_size // 2)
         nals = []
         is_idr = self.poc == 0 or (
             cfg.intra_period > 0 and self.poc % cfg.intra_period == 0)
@@ -111,7 +123,8 @@ class EncoderPipeline:
             nals.append(write_vps(self.ps))
             nals.append(write_sps(self.ps))
             nals.append(write_pps(self.ps))
-        nals.append(self._serialize_slice(desc, SLICE_I, nal_type, cfg.qp))
+        nals.append(self._serialize_slice(desc, SLICE_I, nal_type, cfg.qp,
+                                          sao_params=sao_params))
         ef = EncodedFrame(self.poc, "I", nals,
                           recon={"y": ry.astype(np.uint8),
                                  "u": ru.astype(np.uint8),
@@ -130,23 +143,26 @@ class EncoderPipeline:
             new_pending = (enc.dispatch_frames([f[0] for f in frames],
                                                [f[1] for f in frames],
                                                [f[2] for f in frames]),
-                           len(frames))
+                           frames)
         else:
             new_pending = None
             for (y, u, v) in frames:
                 desc, ry, ru, rv = self._analyze_intra(y, u, v)
-                yield self._emit(desc, ry, ru, rv)
+                yield self._emit(desc, ry, ru, rv, src=(y, u, v))
+
+        def fetch_pending(pending):
+            out, pframes = pending
+            results = self._get_tpu().fetch_frames(out, len(pframes))
+            for (desc, ry, ru, rv), src in zip(results, pframes):
+                yield self._emit(desc, ry, ru, rv, src=src)
+
         if self._pending is not None:
-            out, n = self._pending
-            self._pending = None
-            for desc, ry, ru, rv in self._get_tpu().fetch_frames(out, n):
-                yield self._emit(desc, ry, ru, rv)
+            pending, self._pending = self._pending, None
+            yield from fetch_pending(pending)
         self._pending = new_pending
         if final and self._pending is not None:
-            out, n = self._pending
-            self._pending = None
-            for desc, ry, ru, rv in self._get_tpu().fetch_frames(out, n):
-                yield self._emit(desc, ry, ru, rv)
+            pending, self._pending = self._pending, None
+            yield from fetch_pending(pending)
 
     def _tpu_ok(self) -> bool:
         return (self.backend in ("auto", "tpu")

@@ -24,7 +24,8 @@ from homerhevc_tpu.hevc.syntax import (
 class SliceDataParser:
     def __init__(self, ps: ParamSets, width: int, height: int,
                  dec: CabacDecoder, slice_type: int = SLICE_I,
-                 slice_qp: int = 32, trace: bool = False):
+                 slice_qp: int = 32, trace: bool = False,
+                 sao_enabled: bool = False):
         self.ps = ps
         self.d = FrameDesc.alloc(width, height)
         self.e = dec
@@ -33,6 +34,11 @@ class SliceDataParser:
         self.ctu_size = ps.ctu_size
         self.trace = trace
         self.log = []
+        self.sao = None
+        if sao_enabled:
+            from homerhevc_tpu.hevc.sao import SaoFrameParams
+            self.sao = SaoFrameParams.alloc(
+                -(-height // ps.ctu_size), -(-width // ps.ctu_size))
 
     def _t(self, *args):
         if self.trace:
@@ -52,7 +58,57 @@ class SliceDataParser:
     def parse_ctu(self, ctu_x: int, ctu_y: int) -> None:
         x0 = ctu_x * self.ctu_size
         y0 = ctu_y * self.ctu_size
+        if self.sao is not None:
+            self._parse_sao_ctu(ctu_x, ctu_y)
         self._coding_quadtree(x0, y0, self.ps.log2_ctu, 0)
+
+    def _parse_sao_ctu(self, cx: int, cy: int) -> None:
+        e, sp = self.e, self.sao
+        merge_left = merge_up = False
+        if cx > 0:
+            merge_left = bool(e.decode_bin(OFF["sao_merge"]))
+        if cy > 0 and not merge_left:
+            merge_up = bool(e.decode_bin(OFF["sao_merge"]))
+        sp.merge_left[cy, cx] = merge_left
+        sp.merge_up[cy, cx] = merge_up
+        if merge_left:
+            sp.copy_from(cy, cx - 1, cy, cx)
+            return
+        if merge_up:
+            sp.copy_from(cy - 1, cx, cy, cx)
+            return
+        for c_idx in range(3):
+            if c_idx == 0:
+                t = 0
+                if e.decode_bin(OFF["sao_type"]):
+                    t = 2 if e.decode_bypass() else 1
+                sp.type_luma[cy, cx] = t
+            elif c_idx == 1:
+                t = 0
+                if e.decode_bin(OFF["sao_type"]):
+                    t = 2 if e.decode_bypass() else 1
+                sp.type_chroma[cy, cx] = t
+            else:
+                t = int(sp.type_chroma[cy, cx])
+            if t == 0:
+                continue
+            offs = []
+            for i in range(4):
+                v = 0
+                while v < 7 and e.decode_bypass():
+                    v += 1
+                offs.append(v)
+            if t == 1:
+                for i in range(4):
+                    if offs[i] and e.decode_bypass():
+                        offs[i] = -offs[i]
+                sp.band_pos[cy, cx, c_idx] = e.decode_bypass_bins(5)
+            else:
+                if c_idx == 0:
+                    sp.eo_class_luma[cy, cx] = e.decode_bypass_bins(2)
+                elif c_idx == 1:
+                    sp.eo_class_chroma[cy, cx] = e.decode_bypass_bins(2)
+            sp.offsets[cy, cx, c_idx] = offs
 
     def parse_ctu_end(self) -> int:
         return self.e.decode_terminate()

@@ -128,7 +128,7 @@ class SliceDataEncoder:
         self.e = enc
         self.slice_type = slice_type
         self.slice_qp = slice_qp
-        self.sao = sao_params  # SaoFrameParams or None
+        self.sao = sao_params  # SaoFrameParams (slice sao flags on) or None
         self.ctu_size = ps.ctu_size
         self.min_cb = 1 << ps.log2_min_cb
         # cu_qp_delta state
@@ -564,7 +564,44 @@ class SliceDataEncoder:
         extra = 3 if (c_idx == 0 and ((px >> 2) + (py >> 2)) > 0) else 0
         return offset + extra + cnt
 
-    # ---- SAO syntax (filled in with the SAO stage) ------------------------------
+    # ---- SAO syntax (spec 7.3.8.3) ----------------------------------------------
 
-    def _encode_sao_ctu(self, ctu_x: int, ctu_y: int) -> None:
-        raise NotImplementedError("SAO syntax lands with the SAO stage")
+    def _encode_sao_ctu(self, cx: int, cy: int) -> None:
+        e, sp = self.e, self.sao
+        if cx > 0:
+            e.encode_bin(OFF["sao_merge"], int(sp.merge_left[cy, cx]))
+        if cy > 0 and not (cx > 0 and sp.merge_left[cy, cx]):
+            e.encode_bin(OFF["sao_merge"], int(sp.merge_up[cy, cx]))
+        if (cx > 0 and sp.merge_left[cy, cx]) or sp.merge_up[cy, cx]:
+            return
+        for c_idx in range(3):
+            if c_idx == 0:
+                t = int(sp.type_luma[cy, cx])
+            elif c_idx == 1:
+                t = int(sp.type_chroma[cy, cx])
+            else:
+                t = int(sp.type_chroma[cy, cx])  # inherited, nothing coded
+            if c_idx < 2:
+                e.encode_bin(OFF["sao_type"], int(t != 0))
+                if t != 0:
+                    e.encode_bypass(int(t == 2))
+            if t == 0:
+                continue
+            off = sp.offsets[cy, cx, c_idx]
+            for i in range(4):
+                v = abs(int(off[i]))
+                # TR cMax=7 bypass
+                for _ in range(v):
+                    e.encode_bypass(1)
+                if v < 7:
+                    e.encode_bypass(0)
+            if t == 1:  # band
+                for i in range(4):
+                    if off[i] != 0:
+                        e.encode_bypass(int(off[i] < 0))
+                e.encode_bypass_bins(int(sp.band_pos[cy, cx, c_idx]), 5)
+            else:  # edge: offsets signs inferred; class coded for luma/cb
+                if c_idx == 0:
+                    e.encode_bypass_bins(int(sp.eo_class_luma[cy, cx]), 2)
+                elif c_idx == 1:
+                    e.encode_bypass_bins(int(sp.eo_class_chroma[cy, cx]), 2)

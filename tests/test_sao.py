@@ -1,0 +1,84 @@
+"""SAO: e2e conformance (FFmpeg decode == our post-SAO recon) and syntax
+round-trip through the parser."""
+
+import numpy as np
+import pytest
+
+from homerhevc_tpu.config import EncoderConfig
+from tests.conftest import decode_annexb, make_yuv
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_e2e_sao(tmp_path, rng, deblock):
+    from homerhevc_tpu.api import Encoder
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=34, gop_size=0, sao=True,
+                        deblocking=deblock, sign_hiding=True, cu_size=16)
+    enc = Encoder(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    efs = list(enc.encode(y, u, v)) + list(enc.flush())
+    path = tmp_path / "sao.265"
+    with open(path, "wb") as f:
+        f.write(efs[0].annex_b())
+    dec = decode_annexb(path)
+    assert len(dec) == 1
+    d = np.abs(dec[0].astype(int) - efs[0].recon["y"].astype(int))
+    assert d.max() == 0, f"maxdiff {d.max()}"
+
+
+def test_sao_syntax_roundtrip(rng):
+    """Serialize a frame with synthetic SAO params; parse back; compare."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.hevc.sao import SaoFrameParams
+    from homerhevc_tpu.hevc.syntax import FrameDesc, SliceDataEncoder
+    from homerhevc_tpu.hevc.cabac import CabacEncoder
+    from homerhevc_tpu.hevc.cabac_dec import BitReader, CabacDecoder
+    from homerhevc_tpu.hevc.ctx_tables import init_contexts
+    from homerhevc_tpu.hevc.bitstream import BitWriter
+    from homerhevc_tpu.hevc.parse import SliceDataParser
+
+    w, h = 64, 32
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=0, sao=True,
+                        deblocking=False, sign_hiding=False, cu_size=16)
+    pipe = EncoderPipeline(cfg)
+    ps = pipe.ps
+    desc = FrameDesc.alloc(w, h)
+    desc.cu_depth[:] = 0
+    desc.luma_mode[:] = 1
+    desc.chroma_mode[:] = 1
+    sp = SaoFrameParams.alloc(2, 4)
+    sp.type_luma[0, 0] = 2; sp.eo_class_luma[0, 0] = 3
+    sp.offsets[0, 0, 0] = [1, 2, 0, 7]
+    sp.type_chroma[0, 0] = 1
+    sp.band_pos[0, 0, 1] = 13; sp.offsets[0, 0, 1] = [0, -2, 3, 0]
+    sp.band_pos[0, 0, 2] = 30; sp.offsets[0, 0, 2] = [-1, 0, 0, 5]
+    sp.merge_left[0, 1] = True
+    sp.copy_from(0, 0, 0, 1)
+    sp.merge_up[1, 0] = True
+    sp.copy_from(0, 0, 1, 0)
+    sp.type_luma[0, 2] = 2; sp.eo_class_luma[0, 2] = 1
+    sp.offsets[0, 2, 0] = [3, 0, 1, 0]
+
+    bw = BitWriter()
+    enc = CabacEncoder(bw, init_contexts("I", 32))
+    sd = SliceDataEncoder(ps, desc, enc, slice_qp=32, sao_params=sp)
+    n = 8
+    for i in range(n):
+        sd.encode_ctu(i % 4, i // 4)
+        sd.encode_ctu_end(i == n - 1)
+    enc.finish()
+    bw.write_byte_alignment()
+
+    br = BitReader(bw.get_bytes())
+    dec = CabacDecoder(br, init_contexts("I", 32))
+    p = SliceDataParser(ps, w, h, dec, slice_qp=32, sao_enabled=True)
+    for i in range(n):
+        p.parse_ctu(i % 4, i // 4)
+        assert p.parse_ctu_end() == (1 if i == n - 1 else 0)
+    q = p.sao
+    assert np.array_equal(q.type_luma, sp.type_luma)
+    assert np.array_equal(q.type_chroma, sp.type_chroma)
+    assert np.array_equal(q.eo_class_luma, sp.eo_class_luma)
+    assert np.array_equal(q.band_pos, sp.band_pos)
+    assert np.array_equal(q.offsets, np.abs(sp.offsets) *
+                          np.where(sp.offsets < 0, -1, 1))
