@@ -35,9 +35,14 @@ class EncoderPipeline:
         self._tpu_encoder = None
         # frame batching (device throughput): queue frames, analyze in one
         # vmapped device call — the single-chip "encoder engines" analog
-        self.batch = max(1, cfg.num_frames_in_flight)
+        # frame batching only applies to all-intra (P frames chain on the
+        # previous reconstruction, like the reference's engine ref-window
+        # dependency, hmr_encoder_lib.c:2386)
+        self.batch = max(1, cfg.num_frames_in_flight) if cfg.gop_size == 0 else 1
         self._queue: list = []
-        self._pending = None  # (device arrays, n) awaiting fetch
+        self._pending = None  # (device arrays, frames) awaiting fetch
+        self._last_recon = None  # filtered recon planes of previous frame
+        self.gop_poc = 0
 
     # ---- frame analysis dispatch ------------------------------------------
 
@@ -71,16 +76,38 @@ class EncoderPipeline:
             self._tpu_encoder = TpuIntraEncoder(self.ps, self.cfg)
         return self._tpu_encoder.encode_frame(y, u, v, self.cfg.qp)
 
+    def _analyze_inter(self, y, u, v):
+        """P-frame analysis against the previous filtered reconstruction."""
+        from homerhevc_tpu.golden.inter_frame import encode_inter_frame
+        assert self._last_recon is not None
+        desc, ry, ru, rv = encode_inter_frame(
+            self.ps, (y, u, v), self._last_recon, self.cfg.qp, cu_size=16)
+        if self.ps.deblocking_enabled:
+            from homerhevc_tpu.golden import deblock as gdb
+            import numpy as np
+            tu8 = np.full((self.cfg.height // 8, self.cfg.width // 8), 16,
+                          np.int32)
+            qp8 = np.full_like(tu8, self.cfg.qp)
+            bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
+            ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
+            ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
+                                          self.ps.cb_qp_offset)
+            rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
+                                          self.ps.cr_qp_offset)
+        return desc, ry, ru, rv
+
     # ---- serialization ------------------------------------------------------
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
                          qp: int, use_native: bool = True,
                          sao_params=None) -> bytes:
         ps = self.ps
+        refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                         poc=self.poc, qp=qp,
+                         poc=self.gop_poc, qp=qp,
                          sao_luma=sao_params is not None,
-                         sao_chroma=sao_params is not None)
+                         sao_chroma=sao_params is not None,
+                         ref_pocs_before=refs)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
@@ -104,7 +131,15 @@ class EncoderPipeline:
 
     # ---- public flow ---------------------------------------------------------
 
-    def _emit(self, desc, ry, ru, rv, src=None):
+    def _is_intra_poc(self, poc: int) -> bool:
+        if self.cfg.gop_size == 0:
+            return True
+        if poc == 0:
+            return True
+        ip = self.cfg.intra_period
+        return ip > 0 and poc % ip == 0
+
+    def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
         sao_params = None
@@ -116,20 +151,25 @@ class EncoderPipeline:
             ru = sao_apply_component(ru, sao_params, 1, self.ps.ctu_size // 2)
             rv = sao_apply_component(rv, sao_params, 2, self.ps.ctu_size // 2)
         nals = []
-        is_idr = self.poc == 0 or (
-            cfg.intra_period > 0 and self.poc % cfg.intra_period == 0)
-        nal_type = NAL_IDR_W_RADL
-        if is_idr or cfg.gop_size == 0:
+        if slice_type == SLICE_I:
+            self.gop_poc = 0
+            nal_type = NAL_IDR_W_RADL
             nals.append(write_vps(self.ps))
             nals.append(write_sps(self.ps))
             nals.append(write_pps(self.ps))
-        nals.append(self._serialize_slice(desc, SLICE_I, nal_type, cfg.qp,
+        else:
+            nal_type = NAL_TRAIL_R
+        nals.append(self._serialize_slice(desc, slice_type, nal_type, cfg.qp,
                                           sao_params=sao_params))
-        ef = EncodedFrame(self.poc, "I", nals,
+        self._last_recon = (np.asarray(ry, np.int32), np.asarray(ru, np.int32),
+                            np.asarray(rv, np.int32))
+        ef = EncodedFrame(self.poc, "I" if slice_type == SLICE_I else "P",
+                          nals,
                           recon={"y": ry.astype(np.uint8),
                                  "u": ru.astype(np.uint8),
                                  "v": rv.astype(np.uint8)})
         self.poc += 1
+        self.gop_poc += 1
         return ef
 
     def _drain_queue(self, final: bool = False) -> Iterator:
@@ -147,8 +187,13 @@ class EncoderPipeline:
         else:
             new_pending = None
             for (y, u, v) in frames:
-                desc, ry, ru, rv = self._analyze_intra(y, u, v)
-                yield self._emit(desc, ry, ru, rv, src=(y, u, v))
+                if self._is_intra_poc(self.poc):
+                    desc, ry, ru, rv = self._analyze_intra(y, u, v)
+                    yield self._emit(desc, ry, ru, rv, src=(y, u, v))
+                else:
+                    desc, ry, ru, rv = self._analyze_inter(y, u, v)
+                    yield self._emit(desc, ry, ru, rv, src=(y, u, v),
+                                     slice_type=SLICE_P)
 
         def fetch_pending(pending):
             out, pframes = pending

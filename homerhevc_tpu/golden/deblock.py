@@ -252,6 +252,46 @@ def deblock_plane_chroma(recon: np.ndarray, qp_map8: np.ndarray,
     return out
 
 
+def inter_bs_maps(desc, tu_size8: np.ndarray):
+    """Boundary-strength maps for a P frame (spec 8.7.2.4): BS=2 when either
+    side is intra; else BS=1 when either side's TU has nonzero luma levels or
+    the MVs differ by >= 1 pel (4 quarter-pels); else 0. Edges only on the
+    8-grid at TU/PU boundaries (uniform grid: TU == PU)."""
+    h8, w8 = tu_size8.shape
+    bs_v = np.zeros((h8, w8), np.int32)
+    bs_h = np.zeros((h8, w8), np.int32)
+    # per-unit: does the TU covering this unit have nonzero luma levels?
+    nz = np.zeros((h8, w8), bool)
+    for uy in range(h8):
+        for ux in range(w8):
+            ts = int(tu_size8[uy, ux])
+            x0 = (ux * 8 // ts) * ts
+            y0 = (uy * 8 // ts) * ts
+            nz[uy, ux] = bool(desc.coef_y[y0:y0 + ts, x0:x0 + ts].any())
+    from homerhevc_tpu.hevc.syntax import MODE_INTRA
+    intra = desc.pred_mode == MODE_INTRA
+    mv = desc.mv
+
+    def bs_between(uy, ux, vy, vx):
+        if intra[uy, ux] or intra[vy, vx]:
+            return 2
+        if nz[uy, ux] or nz[vy, vx]:
+            return 1
+        if (abs(int(mv[uy, ux, 0]) - int(mv[vy, vx, 0])) >= 4
+                or abs(int(mv[uy, ux, 1]) - int(mv[vy, vx, 1])) >= 4):
+            return 1
+        return 0
+
+    for uy in range(h8):
+        for ux in range(w8):
+            ts = int(tu_size8[uy, ux])
+            if ux > 0 and (ux * 8) % ts == 0:
+                bs_v[uy, ux] = bs_between(uy, ux, uy, ux - 1)
+            if uy > 0 and (uy * 8) % ts == 0:
+                bs_h[uy, ux] = bs_between(uy, ux, uy - 1, ux)
+    return bs_v, bs_h
+
+
 def intra_bs_maps(tu_size8: np.ndarray):
     """Boundary-strength maps for an all-intra frame: BS=2 on every TU
     boundary lying on the 8-grid; 0 elsewhere."""

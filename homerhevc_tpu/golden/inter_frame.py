@@ -1,0 +1,156 @@
+"""Golden (numpy) P-frame encoder: full-pel motion estimation over a search
+window in the reference picture, uniform 2Nx2N CUs, merge/skip syntax
+selection from final MVs.
+
+Design note (TPU-first, SURVEY.md §7): unlike intra, inter CUs have NO
+intra-frame reconstruction dependency when P frames carry no intra CUs, so
+decisions are made independently per CU (one flat batch on device). Merge /
+skip / AMVP are then pure syntax selection over the final motion field —
+exactly what a decoder derives. The golden encoder mirrors that structure.
+
+Parity with reference: hmr_motion_inter.c motion_inter (:4467) with the
+branch-heavy diamond search (:1404) replaced by a windowed full search —
+cheaper than branching on TPU, and exhaustive within the window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from homerhevc_tpu.hevc import tables as T
+from homerhevc_tpu.hevc.headers import ParamSets
+from homerhevc_tpu.hevc.inter import MotionField, amvp_candidates, merge_candidates
+from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER
+from homerhevc_tpu.golden.interp import mc_chroma, mc_luma
+from homerhevc_tpu.golden.transform import forward_transform, inverse_transform
+from homerhevc_tpu.golden.quantize import dequantize, quantize, sign_bit_hiding
+
+
+def full_pel_search(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
+                    rng: int) -> tuple[int, int]:
+    """Exhaustive full-pel search in [-rng, rng]^2 around (0,0).
+    Tie-break: first minimum in (dy, dx) raster order of the window —
+    the device implementation uses the identical ordering."""
+    n = src_blk.shape[0]
+    H, W = ref.shape
+    best = (1 << 60, 0, 0)
+    src = src_blk.astype(np.int32)
+    for dy in range(-rng, rng + 1):
+        for dx in range(-rng, rng + 1):
+            ys = np.clip(np.arange(y0 + dy, y0 + dy + n), 0, H - 1)
+            xs = np.clip(np.arange(x0 + dx, x0 + dx + n), 0, W - 1)
+            cand = ref[np.ix_(ys, xs)].astype(np.int32)
+            sad = int(np.abs(src - cand).sum())
+            # small zero-bias like the reference's mv-cost
+            cost = sad + (abs(dx) + abs(dy))
+            if cost < best[0]:
+                best = (cost, dx, dy)
+    return best[1], best[2]
+
+
+def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
+                       cu_size: int = 16, search: int = 8):
+    """Encode one P frame (pure inter, 2Nx2N CUs). Returns
+    (FrameDesc, recon_y, recon_u, recon_v)."""
+    sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
+    ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
+    h, w = sy.shape
+    n = cu_size
+    nc = n // 2
+    gh, gw = h // n, w // n
+    desc = FrameDesc.alloc(w, h)
+    desc.pred_mode[:] = MODE_INTER
+    desc.cu_depth[:] = ps.log2_ctu - (n.bit_length() - 1)
+    recon_y = np.zeros_like(sy)
+    recon_u = np.zeros_like(su)
+    recon_v = np.zeros_like(sv)
+    sl = ps.scaling_list_enabled
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+
+    # ---- phase 1: independent per-CU ME + residual -------------------------
+    for gy in range(gh):
+        for gx in range(gw):
+            x0, y0 = gx * n, gy * n
+            src_blk = sy[y0:y0 + n, x0:x0 + n]
+            dx, dy = full_pel_search(src_blk, ry_ref, x0, y0, search)
+            mv = (4 * dx, 4 * dy)
+            desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
+            pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
+            resid = src_blk - pred
+            coef = forward_transform(resid, False)
+            lvl = quantize(coef, qp, False, sl)
+            if ps.sign_hiding and np.any(lvl):
+                lvl = sign_bit_hiding(lvl, coef, qp, False, T.SCAN_DIAG, sl)
+            if np.any(lvl):
+                r = inverse_transform(dequantize(lvl, qp, False, sl), False)
+                recon_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + r, 0, 255)
+            else:
+                recon_y[y0:y0 + n, x0:x0 + n] = pred
+            desc.coef_y[y0:y0 + n, x0:x0 + n] = lvl.astype(np.int16)
+            # chroma
+            cx0, cy0 = x0 // 2, y0 // 2
+            for splane, rplane, recon_c, coefs in (
+                    (su, ru_ref, recon_u, desc.coef_u),
+                    (sv, rv_ref, recon_v, desc.coef_v)):
+                cpred = mc_chroma(rplane, cx0, cy0, nc, mv[0], mv[1])
+                cres = splane[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
+                ccoef = forward_transform(cres, False)
+                clvl = quantize(ccoef, qp_c, False, sl)
+                if ps.sign_hiding and np.any(clvl):
+                    clvl = sign_bit_hiding(clvl, ccoef, qp_c, False,
+                                           T.SCAN_DIAG, sl)
+                if np.any(clvl):
+                    cr = inverse_transform(dequantize(clvl, qp_c, False, sl),
+                                           False)
+                    recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = \
+                        np.clip(cpred + cr, 0, 255)
+                else:
+                    recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
+                coefs[cy0:cy0 + nc, cx0:cx0 + nc] = clvl.astype(np.int16)
+
+    # ---- phase 2: syntax selection over the final motion field -------------
+    select_inter_syntax(ps, desc, cu_size)
+    return desc, recon_y, recon_u, recon_v
+
+
+def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int) -> None:
+    """Choose skip/merge/AMVP syntax per CU from final MVs + residuals.
+    Shared by the golden and device paths (pure host logic)."""
+    w, h = desc.width, desc.height
+    n = cu_size
+    mf = MotionField(*desc.pred_mode.shape)
+    mf.mv = desc.mv
+    mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+    for gy in range(h // n):
+        for gx in range(w // n):
+            x0, y0 = gx * n, gy * n
+            ux, uy = x0 // 8, y0 // 8
+            if desc.pred_mode[uy, ux] != MODE_INTER:
+                continue
+            mv = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
+            has_res = (desc.coef_y[y0:y0 + n, x0:x0 + n].any()
+                       or desc.coef_u[y0 // 2:(y0 + n) // 2,
+                                      x0 // 2:(x0 + n) // 2].any()
+                       or desc.coef_v[y0 // 2:(y0 + n) // 2,
+                                      x0 // 2:(x0 + n) // 2].any())
+            cands = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+            merge_k = next((k for k, c in enumerate(cands)
+                            if (c[0], c[1]) == mv and c[2] == 0), None)
+            sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
+            if merge_k is not None and not has_res:
+                desc.skip[sl8] = 1
+                desc.inter_mode[sl8] = 0
+                desc.merge_idx[sl8] = merge_k
+                desc.root_cbf[sl8] = 0
+            elif merge_k is not None:
+                desc.inter_mode[sl8] = 1
+                desc.merge_idx[sl8] = merge_k
+                desc.root_cbf[sl8] = 1  # merge 2Nx2N: root cbf inferred 1
+            else:
+                mvp = amvp_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+                c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+                c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+                f = 0 if c0 <= c1 else 1
+                desc.inter_mode[sl8] = 2
+                desc.mvp_flag[sl8] = f
+                desc.root_cbf[sl8] = 1 if has_res else 0

@@ -1,0 +1,117 @@
+"""Inter prediction normative derivations: merge candidate list and AMVP
+(spec 8.5.3.2), specialized for P slices, 2Nx2N PUs, single reference,
+sps_temporal_mvp off (matching this encoder's SPS).
+
+Parity with reference: hmr_motion_inter.c (get_merge_mvp_candidates :1937,
+get_amvp_candidates :2342). Both the encoder decisions and the serializer
+use these, so encoder assumptions always match what a decoder derives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MERGE_MAX = 5
+
+
+class MotionField:
+    """Per-8x8-unit motion info for one frame: mv (quarter-pel), ref_idx
+    (-1 = unavailable/intra)."""
+
+    def __init__(self, h8: int, w8: int):
+        self.mv = np.zeros((h8, w8, 2), np.int32)
+        self.ref = np.full((h8, w8), -1, np.int32)
+
+    def at(self, x: int, y: int):
+        """Motion at luma pixel (x, y); None if outside/intra."""
+        h8, w8 = self.ref.shape
+        ux, uy = x >> 3, y >> 3
+        if x < 0 or y < 0 or ux >= w8 or uy >= h8:
+            return None
+        if self.ref[uy, ux] < 0:
+            return None
+        return (int(self.mv[uy, ux, 0]), int(self.mv[uy, ux, 1]),
+                int(self.ref[uy, ux]))
+
+
+def _coded_before(x: int, y: int, cur_x: int, cur_y: int, ctu: int,
+                  pic_w: int) -> bool:
+    """Raster-CTU z-scan precedence (same rule as intra availability)."""
+    if x < 0 or y < 0:
+        return False
+    ctu_cur = (cur_y // ctu) * ((pic_w + ctu - 1) // ctu) + cur_x // ctu
+    ctu_n = (y // ctu) * ((pic_w + ctu - 1) // ctu) + x // ctu
+    if ctu_n != ctu_cur:
+        return ctu_n < ctu_cur
+    # same CTU: z-order compare at 4x4 granularity
+    def z(px, py):
+        zx, zy = (px % ctu) // 4, (py % ctu) // 4
+        v = 0
+        for b in range(8):
+            v |= ((zx >> b) & 1) << (2 * b)
+            v |= ((zy >> b) & 1) << (2 * b + 1)
+        return v
+    return z(x, y) < z(cur_x, cur_y)
+
+
+def merge_candidates(mf: MotionField, x0: int, y0: int, n: int,
+                     ctu: int, pic_w: int, pic_h: int,
+                     max_cand: int = MERGE_MAX):
+    """Merge list for a 2Nx2N PU at (x0, y0) size n (spec 8.5.3.2.3).
+    Returns list of (mvx, mvy, ref)."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at(x, y)
+
+    a1 = nb(x0 - 1, y0 + n - 1)
+    b1 = nb(x0 + n - 1, y0 - 1)
+    b0 = nb(x0 + n, y0 - 1)
+    a0 = nb(x0 - 1, y0 + n)
+    b2 = nb(x0 - 1, y0 - 1)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    # no TMVP (sps flag off); zero-MV fill (single ref -> all (0,0,0))
+    while len(cands) < max_cand:
+        cands.append((0, 0, 0))
+    return cands[:max_cand]
+
+
+def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,
+                    ctu: int, pic_w: int, pic_h: int):
+    """AMVP list (2 entries) for ref 0 (spec 8.5.3.2.5-8). Single-ref
+    specialization: every inter neighbour has the same reference, so no
+    scaling paths arise."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at(x, y)
+
+    a0 = nb(x0 - 1, y0 + n)
+    a1 = nb(x0 - 1, y0 + n - 1)
+    b0 = nb(x0 + n, y0 - 1)
+    b1 = nb(x0 + n - 1, y0 - 1)
+    b2 = nb(x0 - 1, y0 - 1)
+    mv_a = next((c for c in (a0, a1) if c is not None), None)
+    mv_b = next((c for c in (b0, b1, b2) if c is not None), None)
+    lst = []
+    if mv_a is not None:
+        lst.append((mv_a[0], mv_a[1]))
+    if mv_b is not None and (mv_a is None or (mv_b[0], mv_b[1]) != (mv_a[0], mv_a[1])):
+        lst.append((mv_b[0], mv_b[1]))
+    while len(lst) < 2:
+        lst.append((0, 0))
+    return lst[:2]

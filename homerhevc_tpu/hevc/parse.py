@@ -39,6 +39,7 @@ class SliceDataParser:
             from homerhevc_tpu.hevc.sao import SaoFrameParams
             self.sao = SaoFrameParams.alloc(
                 -(-height // ps.ctu_size), -(-width // ps.ctu_size))
+        self._coded_mask = np.zeros((height // 8, width // 8), bool)
 
     def _t(self, *args):
         if self.trace:
@@ -48,7 +49,8 @@ class SliceDataParser:
         return int(self.d.cu_depth[y // 8, x // 8])
 
     def _is_intra_at(self, x, y):
-        return True  # intra slices only for now
+        from homerhevc_tpu.hevc.syntax import MODE_INTRA
+        return self.d.pred_mode[y // 8, x // 8] == MODE_INTRA
 
     def _luma_mode_at(self, x, y):
         return int(self.d.luma_mode[y // 4, x // 4])
@@ -143,7 +145,28 @@ class SliceDataParser:
     def _coding_unit(self, x0, y0, log2_size):
         ps, e, d = self.ps, self.e, self.d
         if self.slice_type != SLICE_I:
-            raise NotImplementedError
+            ux, uy = x0 // 8, y0 // 8
+            size8 = (1 << log2_size) // 8
+            sl8 = (slice(uy, uy + size8), slice(ux, ux + size8))
+            ctx = 0
+            if x0 > 0 and d.skip[uy, ux - 1]:
+                ctx += 1
+            if y0 > 0 and d.skip[uy - 1, ux]:
+                ctx += 1
+            skip = e.decode_bin(OFF["skip_flag"] + ctx)
+            from homerhevc_tpu.hevc.syntax import MODE_INTER
+            if skip:
+                d.skip[sl8] = 1
+                d.pred_mode[sl8] = MODE_INTER
+                idx = self._parse_merge_idx()
+                self._apply_merge(x0, y0, 1 << log2_size, idx, sl8)
+                d.inter_mode[sl8] = 0
+                d.root_cbf[sl8] = 0
+                return
+            if e.decode_bin(OFF["pred_mode"]) == 0:
+                d.pred_mode[sl8] = MODE_INTER
+                self._inter_cu(x0, y0, log2_size, sl8)
+                return
         nxn = False
         if log2_size == ps.log2_min_cb:
             nxn = e.decode_bin(OFF["part_size"]) == 0
@@ -194,6 +217,99 @@ class SliceDataParser:
         self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
                              intra_split, max_depth, True, True)
 
+    def _parse_merge_idx(self, max_cand: int = 5) -> int:
+        e = self.e
+        if max_cand <= 1:
+            return 0
+        if not e.decode_bin(OFF["merge_idx"]):
+            return 0
+        idx = 1
+        while idx < max_cand - 1 and e.decode_bypass():
+            idx += 1
+        return idx
+
+    def _motion_field(self):
+        from homerhevc_tpu.hevc.inter import MotionField
+        from homerhevc_tpu.hevc.syntax import MODE_INTER
+        import numpy as np
+        mf = MotionField(*self.d.pred_mode.shape)
+        mf.mv = self.d.mv
+        mf.ref = np.where((self.d.pred_mode == MODE_INTER)
+                          & self._coded_mask, 0, -1)
+        return mf
+
+    def _apply_merge(self, x0, y0, size, idx, sl8):
+        from homerhevc_tpu.hevc.inter import merge_candidates
+        mf = self._motion_field()
+        cands = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
+                                 self.d.width, self.d.height)
+        mv = cands[idx]
+        self.d.merge_idx[sl8] = idx
+        self.d.mv[sl8[0], sl8[1], 0] = mv[0]
+        self.d.mv[sl8[0], sl8[1], 1] = mv[1]
+        self._mark_coded(sl8)
+
+    def _mark_coded(self, sl8):
+        self._coded_mask[sl8] = True
+
+    def _parse_mvd(self):
+        e = self.e
+        g0x = e.decode_bin(OFF["mvd"])
+        g0y = e.decode_bin(OFF["mvd"])
+        g1x = e.decode_bin(OFF["mvd"] + 1) if g0x else 0
+        g1y = e.decode_bin(OFF["mvd"] + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            v = 1
+            if g1:
+                v = 2 + self._parse_eg_bypass(1)
+            if e.decode_bypass():
+                v = -v
+            out.append(v)
+        return out[0], out[1]
+
+    def _parse_eg_bypass(self, k: int) -> int:
+        e = self.e
+        v = 0
+        while e.decode_bypass():
+            v += 1 << k
+            k += 1
+        suffix = 0
+        for _ in range(k):
+            suffix = (suffix << 1) | e.decode_bypass()
+        return v + suffix
+
+    def _inter_cu(self, x0, y0, log2_size, sl8):
+        ps, e, d = self.ps, self.e, self.d
+        size = 1 << log2_size
+        part = e.decode_bin(OFF["part_size"])
+        assert part == 1, "only 2Nx2N inter supported"
+        merge = e.decode_bin(OFF["merge_flag"])
+        if merge:
+            idx = self._parse_merge_idx()
+            self._apply_merge(x0, y0, size, idx, sl8)
+            d.inter_mode[sl8] = 1
+            rcbf = 1  # inferred for merge 2Nx2N
+        else:
+            mvd_x, mvd_y = self._parse_mvd()
+            f = e.decode_bin(OFF["mvp_idx"])
+            from homerhevc_tpu.hevc.inter import amvp_candidates
+            mvp = amvp_candidates(self._motion_field(), x0, y0, size,
+                                  ps.ctu_size, d.width, d.height)
+            d.mv[sl8[0], sl8[1], 0] = mvp[f][0] + mvd_x
+            d.mv[sl8[0], sl8[1], 1] = mvp[f][1] + mvd_y
+            d.mvp_flag[sl8] = f
+            d.inter_mode[sl8] = 2
+            self._mark_coded(sl8)
+            rcbf = e.decode_bin(OFF["qt_root_cbf"])
+        d.root_cbf[sl8] = rcbf
+        if rcbf:
+            self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
+                                 False, ps.max_tr_depth_inter, True, True)
+
     def _transform_tree(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
                         intra_split, max_depth, parent_cbf_cb, parent_cbf_cr):
         ps, e, d = self.ps, self.e, self.d
@@ -225,7 +341,10 @@ class SliceDataParser:
                                      depth + 1, i, intra_split, max_depth,
                                      cbf_cb, cbf_cr)
             return
-        cbf_luma = e.decode_bin(OFF["qt_cbf"] + (1 if depth == 0 else 0))
+        if self._is_intra_at(x0, y0) or depth != 0 or cbf_cb or cbf_cr:
+            cbf_luma = e.decode_bin(OFF["qt_cbf"] + (1 if depth == 0 else 0))
+        else:
+            cbf_luma = 1  # inter root with no chroma cbf: inferred
         self._t("cbf_luma", x0, y0, depth, cbf_luma)
         self._transform_unit(x0, y0, x_base, y_base, log2_size, depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
@@ -245,7 +364,8 @@ class SliceDataParser:
         size = 1 << log2_size
         if cbf_luma:
             mode = self._luma_mode_at(x0, y0)
-            scan = T.intra_scan_idx(mode, log2_size, True)
+            scan = T.intra_scan_idx(mode, log2_size, True) \
+                if self._is_intra_at(x0, y0) else T.SCAN_DIAG
             blk = self._residual_coding(log2_size, 0, scan)
             d.coef_y[y0:y0 + size, x0:x0 + size] = blk
         if log2_size > 2 or blk_idx == 3:
@@ -256,7 +376,8 @@ class SliceDataParser:
                 cx, cy, clog2 = x_base // 2, y_base // 2, 2
                 cmx, cmy = x_base, y_base
             cmode = int(d.chroma_mode[cmy // 8, cmx // 8])
-            cscan = T.intra_scan_idx(cmode, clog2, False)
+            cscan = T.intra_scan_idx(cmode, clog2, False) \
+                if self._is_intra_at(cmx, cmy) else T.SCAN_DIAG
             csz = 1 << clog2
             if cbf_cb:
                 d.coef_u[cy:cy + csz, cx:cx + csz] = \

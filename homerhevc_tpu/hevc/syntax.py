@@ -66,6 +66,13 @@ class FrameDesc:
     coef_u: np.ndarray
     coef_v: np.ndarray
     qp_map: Optional[np.ndarray] = None
+    # inter fields (valid where pred_mode == MODE_INTER)
+    skip: Optional[np.ndarray] = None        # (h8,w8) u8: coded cu_skip_flag
+    inter_mode: Optional[np.ndarray] = None  # 0=skip, 1=merge, 2=amvp
+    merge_idx: Optional[np.ndarray] = None
+    mvp_flag: Optional[np.ndarray] = None
+    mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel
+    root_cbf: Optional[np.ndarray] = None
 
     @classmethod
     def alloc(cls, width: int, height: int) -> "FrameDesc":
@@ -81,6 +88,12 @@ class FrameDesc:
             coef_y=np.zeros((height, width), np.int16),
             coef_u=np.zeros((height // 2, width // 2), np.int16),
             coef_v=np.zeros((height // 2, width // 2), np.int16),
+            skip=np.zeros((h8, w8), np.uint8),
+            inter_mode=np.zeros((h8, w8), np.uint8),
+            merge_idx=np.zeros((h8, w8), np.uint8),
+            mvp_flag=np.zeros((h8, w8), np.uint8),
+            mv=np.zeros((h8, w8, 2), np.int32),
+            root_cbf=np.zeros((h8, w8), np.uint8),
         )
 
 
@@ -134,6 +147,14 @@ class SliceDataEncoder:
         # cu_qp_delta state
         self.qp_pred = slice_qp
         self.cu_qp_delta_coded = False
+        # motion field (final MVs) for AMVP derivation in P slices
+        self.motion_field = None
+        if slice_type != SLICE_I and desc.mv is not None:
+            from homerhevc_tpu.hevc.inter import MotionField
+            mf = MotionField(*desc.pred_mode.shape)
+            mf.mv = desc.mv
+            mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+            self.motion_field = mf
 
     # ---- neighbor helpers --------------------------------------------------
 
@@ -189,9 +210,17 @@ class SliceDataEncoder:
 
     def _coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         ps, e, d = self.ps, self.e, self.d
-        assert self._is_intra_at(x0, y0), "inter serialization arrives with P frames"
         if self.slice_type != SLICE_I:
-            self._encode_cu_skip(x0, y0, 0)
+            is_intra = self._is_intra_at(x0, y0)
+            skip = bool(d.skip[y0 // 8, x0 // 8])
+            self._encode_cu_skip(x0, y0, int(skip))
+            if skip:
+                self._encode_merge_idx(int(d.merge_idx[y0 // 8, x0 // 8]))
+                return
+            if not is_intra:
+                e.encode_bin(OFF["pred_mode"], 0)
+                self._inter_cu(x0, y0, log2_size)
+                return
             e.encode_bin(OFF["pred_mode"], 1)  # pred_mode_flag = intra
         nxn = bool(d.part_nxn[y0 // 8, x0 // 8])
         if log2_size == ps.log2_min_cb:
@@ -246,9 +275,79 @@ class SliceDataEncoder:
                              intra_split, max_depth, True, True)
 
     def _encode_cu_skip(self, x0: int, y0: int, skip: int) -> None:
+        d = self.d
         ctx = 0
-        # neighbor skip flags: not tracked yet (intra-only path); P path fills in
+        if x0 > 0 and d.skip[y0 // 8, (x0 - 1) // 8]:
+            ctx += 1
+        if y0 > 0 and d.skip[(y0 - 1) // 8, x0 // 8]:
+            ctx += 1
         self.e.encode_bin(OFF["skip_flag"] + ctx, skip)
+
+    def _encode_merge_idx(self, idx: int, max_cand: int = 5) -> None:
+        """merge_idx: TR cMax = max_cand-1; bin0 ctx, rest bypass."""
+        e = self.e
+        if max_cand <= 1:
+            return
+        e.encode_bin(OFF["merge_idx"], int(idx > 0))
+        if idx > 0:
+            for i in range(1, idx):
+                e.encode_bypass(1)
+            if idx < max_cand - 1:
+                e.encode_bypass(0)
+
+    def _encode_mvd(self, mvd_x: int, mvd_y: int) -> None:
+        """mvd_coding (spec 7.3.8.9 / 9.3.3.9)."""
+        e = self.e
+        ax, ay = abs(mvd_x), abs(mvd_y)
+        e.encode_bin(OFF["mvd"], int(ax > 0))
+        e.encode_bin(OFF["mvd"], int(ay > 0))
+        if ax > 0:
+            e.encode_bin(OFF["mvd"] + 1, int(ax > 1))
+        if ay > 0:
+            e.encode_bin(OFF["mvd"] + 1, int(ay > 1))
+        for a, v in ((ax, mvd_x), (ay, mvd_y)):
+            if a > 0:
+                if a > 1:
+                    self._encode_eg_bypass(a - 2, 1)
+                e.encode_bypass(int(v < 0))
+
+    def _encode_eg_bypass(self, value: int, k: int) -> None:
+        """Exp-Golomb order-k bypass (HM xWriteEpExGolomb)."""
+        e = self.e
+        while value >= (1 << k):
+            e.encode_bypass(1)
+            value -= 1 << k
+            k += 1
+        e.encode_bypass(0)
+        while k:
+            k -= 1
+            e.encode_bypass((value >> k) & 1)
+
+    def _inter_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        """Inter CU, 2Nx2N PU, P slice, single reference."""
+        ps, e, d = self.ps, self.e, self.d
+        ux, uy = x0 // 8, y0 // 8
+        e.encode_bin(OFF["part_size"], 1)  # PART_2Nx2N
+        mode = int(d.inter_mode[uy, ux])   # 1=merge, 2=amvp
+        e.encode_bin(OFF["merge_flag"], int(mode == 1))
+        if mode == 1:
+            self._encode_merge_idx(int(d.merge_idx[uy, ux]))
+        else:
+            # P slice, 1 ref: no inter_pred_idc, no ref_idx
+            from homerhevc_tpu.hevc.inter import amvp_candidates
+            mvp = amvp_candidates(self.motion_field, x0, y0, 1 << log2_size,
+                                  ps.ctu_size, d.width, d.height)
+            f = int(d.mvp_flag[uy, ux])
+            mvd_x = int(d.mv[uy, ux, 0]) - mvp[f][0]
+            mvd_y = int(d.mv[uy, ux, 1]) - mvp[f][1]
+            self._encode_mvd(mvd_x, mvd_y)
+            e.encode_bin(OFF["mvp_idx"], f)
+        rcbf = int(d.root_cbf[uy, ux])
+        if mode != 1:  # merge 2Nx2N: rqt_root_cbf inferred 1
+            e.encode_bin(OFF["qt_root_cbf"], rcbf)
+        if rcbf:
+            self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
+                                 False, ps.max_tr_depth_inter, True, True)
 
     # ---- transform tree -------------------------------------------------------
 
@@ -292,8 +391,11 @@ class SliceDataEncoder:
             return
         # leaf: cbf_luma then transform_unit
         cbf_luma = self._region_cbf(d.coef_y, x0, y0, size)
-        # intra: always coded; ctx 1 if depth==0 else 0
-        e.encode_bin(OFF["qt_cbf"] + (1 if depth == 0 else 0), int(cbf_luma))
+        # coded unless inter at depth 0 with no chroma cbf (then inferred 1)
+        if self._is_intra_at(x0, y0) or depth != 0 or cbf_cb or cbf_cr:
+            e.encode_bin(OFF["qt_cbf"] + (1 if depth == 0 else 0), int(cbf_luma))
+        else:
+            assert cbf_luma, "inter root with all-zero cbf must use rqt_root_cbf=0"
         self._transform_unit(x0, y0, x_base, y_base, log2_size, depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 

@@ -1,0 +1,75 @@
+"""P-frame end-to-end conformance: IPPP stream decodes in FFmpeg to exactly
+our reconstructions."""
+
+import numpy as np
+import pytest
+
+from homerhevc_tpu.config import EncoderConfig
+from tests.conftest import decode_annexb, make_yuv
+
+
+def _shifted(y, u, v, dx, dy, rng):
+    """Shift content to create real motion + light noise."""
+    y2 = np.roll(np.roll(y, dy, 0), dx, 1)
+    u2 = np.roll(np.roll(u, dy // 2, 0), dx // 2, 1)
+    v2 = np.roll(np.roll(v, dy // 2, 0), dx // 2, 1)
+    y2 = np.clip(y2.astype(int) + rng.randint(-2, 3, y2.shape), 0, 255)
+    return y2.astype(np.uint8), u2, v2
+
+
+@pytest.mark.parametrize("deblock,sao", [(False, False), (True, False),
+                                         (True, True)])
+def test_e2e_ippp(tmp_path, rng, deblock, sao):
+    from homerhevc_tpu.api import Encoder
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, intra_period=0,
+                        sao=sao, deblocking=deblock, sign_hiding=True,
+                        cu_size=16)
+    enc = Encoder(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    frames = [(y, u, v)]
+    for i in range(3):
+        frames.append(_shifted(*frames[-1], dx=2 + i, dy=1, rng=rng))
+    efs = []
+    path = tmp_path / "ippp.265"
+    with open(path, "wb") as f:
+        for fr in frames:
+            for ef in enc.encode(*fr):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    assert [e.frame_type for e in efs] == ["I", "P", "P", "P"]
+    dec = decode_annexb(path)
+    assert len(dec) == 4, f"decoded {len(dec)}/4"
+    for i, dy_ in enumerate(dec):
+        d = np.abs(dy_.astype(int) - efs[i].recon["y"].astype(int))
+        assert d.max() == 0, f"frame {i} ({efs[i].frame_type}): maxdiff {d.max()}"
+
+
+def test_inter_syntax_modes(tmp_path, rng):
+    """Static scene -> P frames should be mostly skip; still exact."""
+    from homerhevc_tpu.api import Encoder
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, intra_period=0,
+                        sao=False, deblocking=False, sign_hiding=False,
+                        cu_size=16)
+    enc = Encoder(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    efs = []
+    path = tmp_path / "skip.265"
+    with open(path, "wb") as f:
+        for _ in range(3):
+            for ef in enc.encode(y, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    dec = decode_annexb(path)
+    assert len(dec) == 3
+    for i in range(3):
+        assert np.array_equal(dec[i], efs[i].recon["y"]), f"frame {i}"
+    # P frames of a static scene should be tiny (mostly skip)
+    assert efs[1].bits < efs[0].bits / 4
