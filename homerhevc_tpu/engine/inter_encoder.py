@@ -1,0 +1,199 @@
+"""TPU P-frame encoder: batched windowed full-search ME + MC + residual
+pipeline for ALL CUs of the frame in one device program (P frames carry no
+intra-frame dependency in this design, so there is no wavefront — the entire
+frame is one batch; SURVEY.md §7 step 7 done the TPU way).
+
+Bit-exact to golden/inter_frame.py (tests/test_tpu_inter.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu.config import EncoderConfig
+from homerhevc_tpu.golden.interp import CHROMA_FILT
+from homerhevc_tpu.hevc import tables as T
+from homerhevc_tpu.hevc.headers import ParamSets
+from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER
+from homerhevc_tpu.golden.inter_frame import select_inter_syntax
+from homerhevc_tpu.ops.quant import dequantize, quantize, sign_bit_hiding
+from homerhevc_tpu.ops.transform import forward_transform, inverse_transform
+
+
+class TpuInterEncoder:
+    def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16,
+                 search: int = 8):
+        self.ps = ps
+        self.cfg = cfg
+        self.cu = cu
+        self.search = search
+        self.w, self.h = cfg.width, cfg.height
+        assert self.w % cu == 0 and self.h % cu == 0
+        self.gw, self.gh = self.w // cu, self.h // cu
+        self.qp = cfg.qp
+        self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
+        self._jit = jax.jit(self._impl)
+
+    # ---- device program -----------------------------------------------------
+
+    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v):
+        cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        R = self.search
+        sy = src_y.astype(jnp.int32)
+        su = src_u.astype(jnp.int32)
+        sv = src_v.astype(jnp.int32)
+        ry = ref_y.astype(jnp.int32)
+
+        # ---- ME: SAD maps via shifted-plane block sums ----
+        pad = jnp.pad(ry, R, mode="edge")
+        side = 2 * R + 1
+
+        def me_body(k, carry):
+            best_cost, best_idx = carry
+            dy = k // side - R
+            dx = k % side - R
+            shifted = jax.lax.dynamic_slice(pad, (R + dy, R + dx),
+                                            (self.h, self.w))
+            d = jnp.abs(sy - shifted)
+            sad = d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
+            cost = sad + (jnp.abs(dx) + jnp.abs(dy))
+            better = cost < best_cost  # strict: keeps first min like golden
+            return (jnp.where(better, cost, best_cost),
+                    jnp.where(better, k, best_idx))
+
+        best_cost = jnp.full((gh, gw), 1 << 30, jnp.int32)
+        best_idx = jnp.zeros((gh, gw), jnp.int32)
+        best_cost, best_idx = jax.lax.fori_loop(
+            0, side * side, me_body, (best_cost, best_idx))
+        dyx = jnp.stack([best_idx // side - R, best_idx % side - R], axis=-1)
+        mvs = jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1) * 4  # qpel (x,y)
+
+        # ---- luma MC + residual ----
+        bys = jnp.arange(gh) * cu
+        bxs = jnp.arange(gw) * cu
+        rows = (bys[:, None] + dyx[..., 0] + R)[:, :, None, None] \
+            + jnp.arange(cu)[None, None, :, None]
+        cols = (bxs[None, :] + dyx[..., 1] + R)[:, :, None, None] \
+            + jnp.arange(cu)[None, None, None, :]
+        pred = pad[rows, cols]                              # (gh, gw, cu, cu)
+        src_blk = sy.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3)
+        resid = (src_blk - pred).reshape(gh * gw, cu, cu)
+        coef = forward_transform(resid, False)
+        lvl = quantize(coef, cu, self.qp, False, self.ps.scaling_list_enabled)
+        if self.ps.sign_hiding:
+            lvl = sign_bit_hiding(lvl, coef, cu, self.qp, False, 0,
+                                  self.ps.scaling_list_enabled)
+        deq = dequantize(lvl, cu, self.qp, False, self.ps.scaling_list_enabled)
+        rres = inverse_transform(deq, False)
+        nz = jnp.any(lvl != 0, axis=(-1, -2))
+        rec = jnp.where(nz[:, None, None],
+                        jnp.clip(pred.reshape(gh * gw, cu, cu) + rres, 0, 255),
+                        pred.reshape(gh * gw, cu, cu))
+
+        # ---- chroma MC (frac in {0,4} per axis) + residual ----
+        def chroma(src_c, ref_c):
+            rc = ref_c.astype(jnp.int32)
+            padc = jnp.pad(rc, R // 2 + 2, mode="edge")
+            f4 = jnp.asarray(np.asarray(CHROMA_FILT[4], np.int64),
+                             jnp.int32)
+            # prefiltered planes for frac (fx, fy) in {0,4}^2 over padded ref
+            def hfilt(x):
+                return (f4[0] * x[:, :-3] + f4[1] * x[:, 1:-2]
+                        + f4[2] * x[:, 2:-1] + f4[3] * x[:, 3:])
+            def vfilt(x):
+                return (f4[0] * x[:-3, :] + f4[1] * x[1:-2, :]
+                        + f4[2] * x[2:-1, :] + f4[3] * x[3:, :])
+            # plane00: integer
+            p00 = padc
+            # half-x: align so that output[y][x] = filter at (x-1..x+2)
+            ph = hfilt(padc)               # width-3, offset: x -> x-1 tap start
+            p40 = jnp.clip((ph + 32) >> 6, 0, 255)
+            pv = vfilt(padc)
+            p04 = jnp.clip((pv + 32) >> 6, 0, 255)
+            phv = vfilt(ph)                # scale 4096
+            p44 = jnp.clip((phv + 2048) >> 12, 0, 255)
+            # gather per CU: chroma mv = luma qpel value; int part >>3,
+            # frac = &7 in {0,4}
+            mvx, mvy = mvs[..., 0], mvs[..., 1]
+            ix, iy = mvx >> 3, mvy >> 3
+            fx, fy = (mvx & 7) // 4, (mvy & 7) // 4   # 0 or 1
+            P = R // 2 + 2
+            cby = jnp.arange(gh) * cuc
+            cbx = jnp.arange(gw) * cuc
+            rws = (cby[:, None] + iy + P)[:, :, None, None] \
+                + jnp.arange(cuc)[None, None, :, None]
+            cls = (cbx[None, :] + ix + P)[:, :, None, None] \
+                + jnp.arange(cuc)[None, None, None, :]
+            # offsets of the filtered planes relative to padc coordinates:
+            # hfilt output x corresponds to padc x+1 tap center... constructed
+            # so that plane[y, x] equals interpolation AT (y, x) when indexed
+            # with the same base as p00 shifted by -1 in the filtered dims.
+            g00 = p00[rws, cls]
+            g40 = p40[rws, cls - 1]
+            g04 = p04[rws - 1, cls]
+            g44 = p44[rws - 1, cls - 1]
+            fxb = fx[:, :, None, None].astype(bool)
+            fyb = fy[:, :, None, None].astype(bool)
+            predc = jnp.where(fxb & fyb, g44,
+                              jnp.where(fxb, g40,
+                                        jnp.where(fyb, g04, g00)))
+            src_cb = src_c.astype(jnp.int32).reshape(
+                gh, cuc, gw, cuc).transpose(0, 2, 1, 3)
+            resc = (src_cb - predc).reshape(gh * gw, cuc, cuc)
+            coefc = forward_transform(resc, False)
+            lvlc = quantize(coefc, cuc, self.qp_c, False,
+                            self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                lvlc = sign_bit_hiding(lvlc, coefc, cuc, self.qp_c, False, 0,
+                                       self.ps.scaling_list_enabled)
+            deqc = dequantize(lvlc, cuc, self.qp_c, False,
+                              self.ps.scaling_list_enabled)
+            rrc = inverse_transform(deqc, False)
+            nzc = jnp.any(lvlc != 0, axis=(-1, -2))
+            pc = predc.reshape(gh * gw, cuc, cuc)
+            recc = jnp.where(nzc[:, None, None],
+                             jnp.clip(pc + rrc, 0, 255), pc)
+            return lvlc, recc
+
+        lvl_u, rec_u = chroma(su, ref_u)
+        lvl_v, rec_v = chroma(sv, ref_v)
+
+        def unblock(blocks, n, hh, ww):
+            return blocks.reshape(gh, gw, n, n).transpose(0, 2, 1, 3) \
+                .reshape(hh, ww)
+        recon_y = unblock(rec, cu, self.h, self.w)
+        recon_u = unblock(rec_u, cuc, self.h // 2, self.w // 2)
+        recon_v = unblock(rec_v, cuc, self.h // 2, self.w // 2)
+        ly = unblock(lvl.astype(jnp.int16), cu, self.h, self.w)
+        lu = unblock(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
+                recon_v.astype(jnp.uint8), mvs.astype(jnp.int16), ly, lu, lv)
+
+    # ---- host driver ----------------------------------------------------------
+
+    def encode_frame(self, src, ref):
+        y, u, v = src
+        ry, ru, rv = ref
+        out = self._jit(jnp.asarray(np.asarray(y, np.uint8)),
+                        jnp.asarray(np.asarray(u, np.uint8)),
+                        jnp.asarray(np.asarray(v, np.uint8)),
+                        jnp.asarray(np.asarray(ry, np.uint8)),
+                        jnp.asarray(np.asarray(ru, np.uint8)),
+                        jnp.asarray(np.asarray(rv, np.uint8)))
+        recon_y, recon_u, recon_v, mvs, ly, lu, lv = map(np.asarray, out)
+        cu = self.cu
+        desc = FrameDesc.alloc(self.w, self.h)
+        desc.pred_mode[:] = MODE_INTER
+        desc.cu_depth[:] = self.ps.log2_ctu - (cu.bit_length() - 1)
+        r8 = cu // 8
+        desc.mv[:] = np.repeat(np.repeat(mvs.astype(np.int32), r8, 0), r8, 1)
+        desc.coef_y[:] = ly
+        desc.coef_u[:] = lu
+        desc.coef_v[:] = lv
+        select_inter_syntax(self.ps, desc, cu)
+        return (desc, recon_y.astype(np.int32), recon_u.astype(np.int32),
+                recon_v.astype(np.int32))

@@ -78,10 +78,17 @@ class EncoderPipeline:
 
     def _analyze_inter(self, y, u, v):
         """P-frame analysis against the previous filtered reconstruction."""
-        from homerhevc_tpu.golden.inter_frame import encode_inter_frame
         assert self._last_recon is not None
-        desc, ry, ru, rv = encode_inter_frame(
-            self.ps, (y, u, v), self._last_recon, self.cfg.qp, cu_size=16)
+        if self._tpu_ok():
+            if getattr(self, "_tpu_inter", None) is None:
+                from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+                self._tpu_inter = TpuInterEncoder(self.ps, self.cfg)
+            desc, ry, ru, rv = self._tpu_inter.encode_frame(
+                (y, u, v), self._last_recon)
+        else:
+            from homerhevc_tpu.golden.inter_frame import encode_inter_frame
+            desc, ry, ru, rv = encode_inter_frame(
+                self.ps, (y, u, v), self._last_recon, self.cfg.qp, cu_size=16)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             import numpy as np
