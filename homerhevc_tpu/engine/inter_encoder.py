@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from homerhevc_tpu.config import EncoderConfig
-from homerhevc_tpu.golden.interp import CHROMA_FILT
 from homerhevc_tpu.hevc import tables as T
 from homerhevc_tpu.hevc.headers import ParamSets
 from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER
@@ -69,18 +68,43 @@ class TpuInterEncoder:
         best_cost, best_idx = jax.lax.fori_loop(
             0, side * side, me_body, (best_cost, best_idx))
         dyx = jnp.stack([best_idx // side - R, best_idx % side - R], axis=-1)
-        mvs = jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1) * 4  # qpel (x,y)
+        mvs = (jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1) * 4) \
+            .reshape(gh * gw, 2)                            # qpel (x, y)
+
+        # ---- sub-pel refinement (half then quarter) ----
+        from homerhevc_tpu.ops.interp import mc_chroma_batch, mc_luma_batch
+        B = gh * gw
+        padL = R + 8
+        ref_padL = jnp.pad(ry, padL, mode="edge")
+        x0s = (jnp.arange(B) % gw) * cu
+        y0s = (jnp.arange(B) // gw) * cu
+        src_blk = sy.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
+            .reshape(B, cu, cu)
+        me_prec = int(self.cfg.motion_estimation_precision)
+
+        def refine(mv_cur, step):
+            bc = jnp.full((B,), 1 << 30, jnp.int32)
+            bmv = mv_cur
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    cand = mv_cur + jnp.asarray([dx, dy], jnp.int32)
+                    p = mc_luma_batch(ref_padL, padL, x0s, y0s, cu, cand)
+                    sad = jnp.sum(jnp.abs(src_blk - p), axis=(-1, -2))
+                    cost = sad + ((jnp.abs(cand[:, 0])
+                                   + jnp.abs(cand[:, 1])) >> 2)
+                    better = cost < bc
+                    bc = jnp.where(better, cost, bc)
+                    bmv = jnp.where(better[:, None], cand, bmv)
+            return bmv
+
+        if me_prec >= 1:
+            mvs = refine(mvs, 2)
+        if me_prec >= 2:
+            mvs = refine(mvs, 1)
 
         # ---- luma MC + residual ----
-        bys = jnp.arange(gh) * cu
-        bxs = jnp.arange(gw) * cu
-        rows = (bys[:, None] + dyx[..., 0] + R)[:, :, None, None] \
-            + jnp.arange(cu)[None, None, :, None]
-        cols = (bxs[None, :] + dyx[..., 1] + R)[:, :, None, None] \
-            + jnp.arange(cu)[None, None, None, :]
-        pred = pad[rows, cols]                              # (gh, gw, cu, cu)
-        src_blk = sy.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3)
-        resid = (src_blk - pred).reshape(gh * gw, cu, cu)
+        pred = mc_luma_batch(ref_padL, padL, x0s, y0s, cu, mvs)
+        resid = src_blk - pred
         coef = forward_transform(resid, False)
         lvl = quantize(coef, cu, self.qp, False, self.ps.scaling_list_enabled)
         if self.ps.sign_hiding:
@@ -90,59 +114,18 @@ class TpuInterEncoder:
         rres = inverse_transform(deq, False)
         nz = jnp.any(lvl != 0, axis=(-1, -2))
         rec = jnp.where(nz[:, None, None],
-                        jnp.clip(pred.reshape(gh * gw, cu, cu) + rres, 0, 255),
-                        pred.reshape(gh * gw, cu, cu))
+                        jnp.clip(pred + rres, 0, 255), pred)
 
-        # ---- chroma MC (frac in {0,4} per axis) + residual ----
+        # ---- chroma MC (batched per-CU fractional filters) + residual ----
+        padC = R // 2 + 4
+        cx0s, cy0s = x0s // 2, y0s // 2
+
         def chroma(src_c, ref_c):
-            rc = ref_c.astype(jnp.int32)
-            padc = jnp.pad(rc, R // 2 + 2, mode="edge")
-            f4 = jnp.asarray(np.asarray(CHROMA_FILT[4], np.int64),
-                             jnp.int32)
-            # prefiltered planes for frac (fx, fy) in {0,4}^2 over padded ref
-            def hfilt(x):
-                return (f4[0] * x[:, :-3] + f4[1] * x[:, 1:-2]
-                        + f4[2] * x[:, 2:-1] + f4[3] * x[:, 3:])
-            def vfilt(x):
-                return (f4[0] * x[:-3, :] + f4[1] * x[1:-2, :]
-                        + f4[2] * x[2:-1, :] + f4[3] * x[3:, :])
-            # plane00: integer
-            p00 = padc
-            # half-x: align so that output[y][x] = filter at (x-1..x+2)
-            ph = hfilt(padc)               # width-3, offset: x -> x-1 tap start
-            p40 = jnp.clip((ph + 32) >> 6, 0, 255)
-            pv = vfilt(padc)
-            p04 = jnp.clip((pv + 32) >> 6, 0, 255)
-            phv = vfilt(ph)                # scale 4096
-            p44 = jnp.clip((phv + 2048) >> 12, 0, 255)
-            # gather per CU: chroma mv = luma qpel value; int part >>3,
-            # frac = &7 in {0,4}
-            mvx, mvy = mvs[..., 0], mvs[..., 1]
-            ix, iy = mvx >> 3, mvy >> 3
-            fx, fy = (mvx & 7) // 4, (mvy & 7) // 4   # 0 or 1
-            P = R // 2 + 2
-            cby = jnp.arange(gh) * cuc
-            cbx = jnp.arange(gw) * cuc
-            rws = (cby[:, None] + iy + P)[:, :, None, None] \
-                + jnp.arange(cuc)[None, None, :, None]
-            cls = (cbx[None, :] + ix + P)[:, :, None, None] \
-                + jnp.arange(cuc)[None, None, None, :]
-            # offsets of the filtered planes relative to padc coordinates:
-            # hfilt output x corresponds to padc x+1 tap center... constructed
-            # so that plane[y, x] equals interpolation AT (y, x) when indexed
-            # with the same base as p00 shifted by -1 in the filtered dims.
-            g00 = p00[rws, cls]
-            g40 = p40[rws, cls - 1]
-            g04 = p04[rws - 1, cls]
-            g44 = p44[rws - 1, cls - 1]
-            fxb = fx[:, :, None, None].astype(bool)
-            fyb = fy[:, :, None, None].astype(bool)
-            predc = jnp.where(fxb & fyb, g44,
-                              jnp.where(fxb, g40,
-                                        jnp.where(fyb, g04, g00)))
+            ref_padC = jnp.pad(ref_c.astype(jnp.int32), padC, mode="edge")
+            predc = mc_chroma_batch(ref_padC, padC, cx0s, cy0s, cuc, mvs)
             src_cb = src_c.astype(jnp.int32).reshape(
-                gh, cuc, gw, cuc).transpose(0, 2, 1, 3)
-            resc = (src_cb - predc).reshape(gh * gw, cuc, cuc)
+                gh, cuc, gw, cuc).transpose(0, 2, 1, 3).reshape(B, cuc, cuc)
+            resc = src_cb - predc
             coefc = forward_transform(resc, False)
             lvlc = quantize(coefc, cuc, self.qp_c, False,
                             self.ps.scaling_list_enabled)
@@ -153,9 +136,8 @@ class TpuInterEncoder:
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
             nzc = jnp.any(lvlc != 0, axis=(-1, -2))
-            pc = predc.reshape(gh * gw, cuc, cuc)
             recc = jnp.where(nzc[:, None, None],
-                             jnp.clip(pc + rrc, 0, 255), pc)
+                             jnp.clip(predc + rrc, 0, 255), predc)
             return lvlc, recc
 
         lvl_u, rec_u = chroma(su, ref_u)
@@ -171,7 +153,8 @@ class TpuInterEncoder:
         lu = unblock(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
-                recon_v.astype(jnp.uint8), mvs.astype(jnp.int16), ly, lu, lv)
+                recon_v.astype(jnp.uint8),
+                mvs.reshape(gh, gw, 2).astype(jnp.int16), ly, lu, lv)
 
     # ---- host driver ----------------------------------------------------------
 

@@ -48,6 +48,26 @@ def full_pel_search(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
     return best[1], best[2]
 
 
+def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
+                  mv_q: tuple[int, int], step: int) -> tuple[int, int]:
+    """One refinement stage around mv_q (quarter-pel units) with the given
+    step (2 = half-pel, 1 = quarter-pel). Evaluates the 3x3 neighbourhood in
+    (dy, dx) raster order, strict '<' (identical ordering on device).
+    Cost = SAD + (|mvx|+|mvy|) >> 2 (same bias unit as the full-pel stage)."""
+    n = src_blk.shape[0]
+    src = src_blk.astype(np.int32)
+    best = (1 << 60, mv_q[0], mv_q[1])
+    for dy in (-step, 0, step):
+        for dx in (-step, 0, step):
+            mvx, mvy = mv_q[0] + dx, mv_q[1] + dy
+            pred = mc_luma(ref, x0, y0, n, mvx, mvy)
+            sad = int(np.abs(src - pred).sum())
+            cost = sad + ((abs(mvx) + abs(mvy)) >> 2)
+            if cost < best[0]:
+                best = (cost, mvx, mvy)
+    return best[1], best[2]
+
+
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 8):
     """Encode one P frame (pure inter, 2Nx2N CUs). Returns
@@ -68,12 +88,17 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
+    me_prec = int(ps.cfg.motion_estimation_precision)
     for gy in range(gh):
         for gx in range(gw):
             x0, y0 = gx * n, gy * n
             src_blk = sy[y0:y0 + n, x0:x0 + n]
             dx, dy = full_pel_search(src_blk, ry_ref, x0, y0, search)
             mv = (4 * dx, 4 * dy)
+            if me_prec >= 1:  # half-pel
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2)
+            if me_prec >= 2:  # quarter-pel
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1)
             desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
             pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
             resid = src_blk - pred

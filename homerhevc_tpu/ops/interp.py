@@ -1,0 +1,71 @@
+"""Device (JAX) batched MC interpolation: per-CU fractional filters via
+coefficient gathers (no 15-plane prefiltering needed).
+
+Bit-exact to golden/interp.py (unified two-pass formulation — the golden
+integer/frac special cases are algebraically identical to the generic
+filter with the identity tap set).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu.golden.interp import CHROMA_FILT, LUMA_FILT
+
+LUMA_TAPS = np.asarray([LUMA_FILT[f] for f in range(4)], np.int32)     # (4,8)
+CHROMA_TAPS = np.asarray([CHROMA_FILT[f] for f in range(8)], np.int32)  # (8,4)
+
+
+def _windowed(x, k, axis):
+    """Stack k sliding slices along a new last axis."""
+    slices = []
+    n = x.shape[axis] - k + 1
+    for i in range(k):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(i, i + n)
+        slices.append(x[tuple(idx)])
+    return jnp.stack(slices, axis=-1)
+
+
+def mc_luma_batch(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
+                  y0s: jnp.ndarray, n: int, mvs: jnp.ndarray) -> jnp.ndarray:
+    """Batched luma MC: ref_pad is the reference edge-padded by `pad`;
+    x0s/y0s (B,) block origins (unpadded coords); mvs (B,2) quarter-pel.
+    Returns (B, n, n) int32 pixels."""
+    mvx, mvy = mvs[:, 0], mvs[:, 1]
+    ix, iy = mvx >> 2, mvy >> 2
+    fx, fy = mvx & 3, mvy & 3
+    by = y0s + iy + pad - 3
+    bx = x0s + ix + pad - 3
+    rows = by[:, None, None] + jnp.arange(n + 7)[None, :, None]
+    cols = bx[:, None, None] + jnp.arange(n + 7)[None, None, :]
+    patch = ref_pad[rows, cols].astype(jnp.int32)       # (B, n+7, n+7)
+    fxt = jnp.asarray(LUMA_TAPS)[fx]                    # (B, 8)
+    fyt = jnp.asarray(LUMA_TAPS)[fy]
+    wx = _windowed(patch, 8, axis=2)                    # (B, n+7, n, 8)
+    h = jnp.einsum("bk,byxk->byx", fxt, wx)             # scale 64
+    wy = _windowed(h, 8, axis=1)                        # (B, n, n, 8)
+    v = jnp.einsum("bk,byxk->byx", fyt, wy) >> 6        # scale 64
+    return jnp.clip((v + 32) >> 6, 0, 255)
+
+
+def mc_chroma_batch(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
+                    y0s: jnp.ndarray, n: int, mvs: jnp.ndarray) -> jnp.ndarray:
+    """Batched chroma MC: mvs are the LUMA quarter-pel MVs (chroma
+    eighth-pel). Block origins in chroma coords."""
+    mvx, mvy = mvs[:, 0], mvs[:, 1]
+    ix, iy = mvx >> 3, mvy >> 3
+    fx, fy = mvx & 7, mvy & 7
+    by = y0s + iy + pad - 1
+    bx = x0s + ix + pad - 1
+    rows = by[:, None, None] + jnp.arange(n + 3)[None, :, None]
+    cols = bx[:, None, None] + jnp.arange(n + 3)[None, None, :]
+    patch = ref_pad[rows, cols].astype(jnp.int32)       # (B, n+3, n+3)
+    fxt = jnp.asarray(CHROMA_TAPS)[fx]
+    fyt = jnp.asarray(CHROMA_TAPS)[fy]
+    wx = _windowed(patch, 4, axis=2)
+    h = jnp.einsum("bk,byxk->byx", fxt, wx)
+    wy = _windowed(h, 4, axis=1)
+    v = jnp.einsum("bk,byxk->byx", fyt, wy) >> 6
+    return jnp.clip((v + 32) >> 6, 0, 255)
