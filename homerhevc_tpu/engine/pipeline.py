@@ -43,10 +43,16 @@ class EncoderPipeline:
         self._pending = None  # (device arrays, frames) awaiting fetch
         self._last_recon = None  # filtered recon planes of previous frame
         self.gop_poc = 0
+        from homerhevc_tpu.engine.rate_control import RateControl
+        self.rc = RateControl(cfg)
+        self._tpu_by_qp = {}
+        self._tpu_inter_by_qp = {}
 
     # ---- frame analysis dispatch ------------------------------------------
 
-    def _analyze_intra(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    def _analyze_intra(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       qp=None):
+        qp = self.cfg.qp if qp is None else qp
         backend = self.backend
         if backend == "auto":
             # device wavefront v1 requires raster coding order (CTB == CU == 16)
@@ -57,13 +63,12 @@ class EncoderPipeline:
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
             desc, ry, ru, rv = encode_intra_frame(
-                self.ps, y, u, v, self.cfg.qp,
-                cu_size=min(self.cfg.cu_size, 32))
+                self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
             if self.ps.deblocking_enabled:
                 from homerhevc_tpu.golden import deblock as gdb
                 cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
                 tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-                qp8 = np.full_like(tu8, self.cfg.qp)
+                qp8 = np.full_like(tu8, qp)
                 bs_v, bs_h = gdb.intra_bs_maps(tu8)
                 ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
                 ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
@@ -71,30 +76,30 @@ class EncoderPipeline:
                 rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
                                               self.ps.cr_qp_offset)
             return desc, ry, ru, rv
-        from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
-        if self._tpu_encoder is None:
-            self._tpu_encoder = TpuIntraEncoder(self.ps, self.cfg)
-        return self._tpu_encoder.encode_frame(y, u, v, self.cfg.qp)
+        return self._get_tpu(qp).encode_frame(y, u, v, qp)
 
-    def _analyze_inter(self, y, u, v):
+    def _analyze_inter(self, y, u, v, qp=None):
         """P-frame analysis against the previous filtered reconstruction."""
+        qp = self.cfg.qp if qp is None else qp
         assert self._last_recon is not None
         if self._tpu_ok():
-            if getattr(self, "_tpu_inter", None) is None:
+            if qp not in self._tpu_inter_by_qp:
                 from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
-                self._tpu_inter = TpuInterEncoder(self.ps, self.cfg)
-            desc, ry, ru, rv = self._tpu_inter.encode_frame(
+                import dataclasses
+                cfgq = dataclasses.replace(self.cfg, qp=qp)
+                self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
+            desc, ry, ru, rv = self._tpu_inter_by_qp[qp].encode_frame(
                 (y, u, v), self._last_recon)
         else:
             from homerhevc_tpu.golden.inter_frame import encode_inter_frame
             desc, ry, ru, rv = encode_inter_frame(
-                self.ps, (y, u, v), self._last_recon, self.cfg.qp, cu_size=16)
+                self.ps, (y, u, v), self._last_recon, qp, cu_size=16)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             import numpy as np
             tu8 = np.full((self.cfg.height // 8, self.cfg.width // 8), 16,
                           np.int32)
-            qp8 = np.full_like(tu8, self.cfg.qp)
+            qp8 = np.full_like(tu8, qp)
             bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
             ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
             ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
@@ -146,14 +151,14 @@ class EncoderPipeline:
         ip = self.cfg.intra_period
         return ip > 0 and poc % ip == 0
 
-    def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I):
+    def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I, qp=None):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
         sao_params = None
         if self.ps.sao_enabled and src is not None:
             from homerhevc_tpu.hevc.sao import sao_apply_component, sao_decide
-            sao_params = sao_decide(src, (ry, ru, rv), self.ps.ctu_size,
-                                    cfg.qp)
+            sao_params = sao_decide(src, (ry, ru, rv), self.ps.ctu_size, qp)
             ry = sao_apply_component(ry, sao_params, 0, self.ps.ctu_size)
             ru = sao_apply_component(ru, sao_params, 1, self.ps.ctu_size // 2)
             rv = sao_apply_component(rv, sao_params, 2, self.ps.ctu_size // 2)
@@ -166,7 +171,7 @@ class EncoderPipeline:
             nals.append(write_pps(self.ps))
         else:
             nal_type = NAL_TRAIL_R
-        nals.append(self._serialize_slice(desc, slice_type, nal_type, cfg.qp,
+        nals.append(self._serialize_slice(desc, slice_type, nal_type, qp,
                                           sao_params=sao_params))
         self._last_recon = (np.asarray(ry, np.int32), np.asarray(ru, np.int32),
                             np.asarray(rv, np.int32))
@@ -174,7 +179,9 @@ class EncoderPipeline:
                           nals,
                           recon={"y": ry.astype(np.uint8),
                                  "u": ru.astype(np.uint8),
-                                 "v": rv.astype(np.uint8)})
+                                 "v": rv.astype(np.uint8)},
+                          avg_qp=qp)
+        self.rc.end_pic(ef.bits, slice_type == SLICE_I)
         self.poc += 1
         self.gop_poc += 1
         return ef
@@ -186,27 +193,30 @@ class EncoderPipeline:
         frames = self._queue
         self._queue = []
         if frames and len(frames) > 1 and self._tpu_ok():
-            enc = self._get_tpu()
+            qp = self.rc.pic_qp(True)
+            enc = self._get_tpu(qp)
             new_pending = (enc.dispatch_frames([f[0] for f in frames],
                                                [f[1] for f in frames],
                                                [f[2] for f in frames]),
-                           frames)
+                           frames, qp)
         else:
             new_pending = None
             for (y, u, v) in frames:
-                if self._is_intra_poc(self.poc):
-                    desc, ry, ru, rv = self._analyze_intra(y, u, v)
-                    yield self._emit(desc, ry, ru, rv, src=(y, u, v))
+                intra = self._is_intra_poc(self.poc)
+                qp = self.rc.pic_qp(intra)
+                if intra:
+                    desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
+                    yield self._emit(desc, ry, ru, rv, src=(y, u, v), qp=qp)
                 else:
-                    desc, ry, ru, rv = self._analyze_inter(y, u, v)
+                    desc, ry, ru, rv = self._analyze_inter(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v),
-                                     slice_type=SLICE_P)
+                                     slice_type=SLICE_P, qp=qp)
 
         def fetch_pending(pending):
-            out, pframes = pending
-            results = self._get_tpu().fetch_frames(out, len(pframes))
+            out, pframes, qp = pending
+            results = self._get_tpu(qp).fetch_frames(out, len(pframes))
             for (desc, ry, ru, rv), src in zip(results, pframes):
-                yield self._emit(desc, ry, ru, rv, src=src)
+                yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
 
         if self._pending is not None:
             pending, self._pending = self._pending, None
@@ -221,11 +231,14 @@ class EncoderPipeline:
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
 
-    def _get_tpu(self):
-        from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
-        if self._tpu_encoder is None:
-            self._tpu_encoder = TpuIntraEncoder(self.ps, self.cfg)
-        return self._tpu_encoder
+    def _get_tpu(self, qp=None):
+        qp = self.cfg.qp if qp is None else qp
+        if qp not in self._tpu_by_qp:
+            from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
+            import dataclasses
+            cfgq = dataclasses.replace(self.cfg, qp=qp)
+            self._tpu_by_qp[qp] = TpuIntraEncoder(self.ps, cfgq)
+        return self._tpu_by_qp[qp]
 
     def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
         self._queue.append((y, u, v))

@@ -1,0 +1,60 @@
+"""Rate control: VBV-model CBR/VBR at frame granularity.
+
+Parity with reference: hmr_rate_control.c (init :30, per-pic target :89-140,
+end-pic VBV update :152-263, I/P compensators :142). The reference adjusts
+QP per CTU inside a frame; this TPU build adjusts QP per frame (SURVEY.md §7
+hard-part (4): per-CTU feedback consumes bits-so-far, which fights batching —
+frame granularity with measured-vs-target correction is the accepted
+relaxation; RC is non-normative). Per-CTU delta-QP syntax exists
+(cu_qp_delta) for a finer-grained follow-up.
+"""
+
+from __future__ import annotations
+
+import math
+
+from homerhevc_tpu.config import BitrateMode, EncoderConfig
+
+
+class RateControl:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.enabled = cfg.bitrate_mode != BitrateMode.FIXED_QP
+        self.avg_bits = cfg.bitrate_kbps * 1000.0 / cfg.frame_rate
+        self.vbv_size = cfg.bitrate_kbps * 1000.0 * cfg.vbv_size
+        self.fullness = cfg.vbv_init * self.vbv_size
+        self.qp = cfg.qp
+        self.intra_period = cfg.intra_period if cfg.intra_period > 0 else 100
+        # I frames get an amortized budget multiple (reference :89-140)
+        self.i_weight = min(2.25 * math.sqrt(self.intra_period), 8.0)
+        self._ema_ratio = 1.0
+
+    def pic_qp(self, is_intra: bool) -> int:
+        if not self.enabled:
+            return self.cfg.qp
+        qp = self.qp
+        # VBV pressure: deviation from the configured initial fullness
+        dev = (self.fullness - self.cfg.vbv_init * self.vbv_size) \
+            / max(self.vbv_size, 1.0)
+        qp = qp - dev * 6.0
+        return int(min(51, max(0, round(qp))))
+
+    def target_bits(self, is_intra: bool) -> float:
+        if is_intra:
+            return self.avg_bits * self.i_weight
+        # P frames absorb the I-frame surplus over the intra period
+        n = self.intra_period
+        return self.avg_bits * max(0.25, (n - self.i_weight) / max(1, n - 1))
+
+    def end_pic(self, bits: int, is_intra: bool) -> None:
+        if not self.enabled:
+            return
+        self.fullness += bits - self.avg_bits
+        self.fullness = min(max(self.fullness, 0.0), 2.0 * self.vbv_size)
+        target = self.target_bits(is_intra)
+        ratio = bits / max(target, 1.0)
+        self._ema_ratio = 0.6 * self._ema_ratio + 0.4 * ratio
+        # log-domain QP correction, clipped to +-2 per picture
+        step = 3.0 * math.log2(max(self._ema_ratio, 1e-3))
+        step = min(2.0, max(-2.0, step))
+        self.qp = min(51.0, max(0.0, self.qp + step))

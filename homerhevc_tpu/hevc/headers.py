@@ -54,7 +54,9 @@ class ParamSets:
             sao_enabled=cfg.sao,
             deblocking_enabled=cfg.deblocking,
             sign_hiding=cfg.sign_hiding,
-            cu_qp_delta_enabled=cfg.bitrate_mode != BitrateMode.FIXED_QP,
+            # rate control currently operates at frame granularity (slice QP);
+            # per-CTU cu_qp_delta is reserved for the finer-grained RC
+            cu_qp_delta_enabled=False,
             wpp=cfg.wpp,
             num_ref=max(1, cfg.num_ref_frames),
             init_qp=cfg.qp,
