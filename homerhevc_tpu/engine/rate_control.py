@@ -33,18 +33,18 @@ class RateControl:
         if not self.enabled:
             return self.cfg.qp
         qp = self.qp
-        # VBV pressure: deviation from the configured initial fullness
+        # VBV pressure: buffer above its nominal level -> raise QP,
+        # buffer draining (undershoot) -> lower QP
         dev = (self.fullness - self.cfg.vbv_init * self.vbv_size) \
             / max(self.vbv_size, 1.0)
-        qp = qp - dev * 6.0
+        qp = qp + dev * 6.0
         return int(min(51, max(0, round(qp))))
 
     def target_bits(self, is_intra: bool) -> float:
-        if is_intra:
-            return self.avg_bits * self.i_weight
-        # P frames absorb the I-frame surplus over the intra period
+        # normalize so that one I + (n-1) P frames sum to n * avg_bits
         n = self.intra_period
-        return self.avg_bits * max(0.25, (n - self.i_weight) / max(1, n - 1))
+        target_p = self.avg_bits * n / (n - 1 + self.i_weight)
+        return target_p * self.i_weight if is_intra else target_p
 
     def end_pic(self, bits: int, is_intra: bool) -> None:
         if not self.enabled:
