@@ -1,0 +1,113 @@
+"""Command-line encoder app — parity with the reference homer_app
+(src/homer_app/homer_app.c: parse_args :126, main :363, defaults :307-337).
+
+Usage:
+    python -m homerhevc_tpu.cli -i in.yuv -o out.265 -widthxheight 1280x720 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from homerhevc_tpu.api import Encoder
+from homerhevc_tpu.config import BitrateMode, EncoderConfig, MEPrecision
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="homerhevc_tpu",
+        description="TPU-native HEVC encoder (HomerHEVC-compatible CLI)")
+    p.add_argument("-i", dest="infile", required=True, help="input yuv file")
+    p.add_argument("-o", dest="outfile", required=True, help="output 265 file")
+    p.add_argument("-o-raw", dest="rawfile", default=None,
+                   help="output reconstructed frames (yuv)")
+    p.add_argument("-widthxheight", dest="size", default="1280x720")
+    p.add_argument("-frame_rate", type=float, default=25.0)
+    p.add_argument("-cu_size", type=int, default=16,
+                   help="CTB size (16/32/64); 16 enables the TPU fast path")
+    p.add_argument("-intra_period", type=int, default=100)
+    p.add_argument("-gop_size", type=int, default=1,
+                   help="0=all intra, 1=IPPP")
+    p.add_argument("-num_ref_frames", type=int, default=1)
+    p.add_argument("-qp", type=int, default=32)
+    p.add_argument("-motion_estimation_precision", type=int, default=2,
+                   help="0=pel 1=half 2=quarter")
+    p.add_argument("-chroma_qp_offset", type=int, default=2)
+    p.add_argument("-sign_hiding", type=int, default=1)
+    p.add_argument("-sao", type=int, default=0)
+    p.add_argument("-deblocking", type=int, default=1)
+    p.add_argument("-bitrate_mode", type=int, default=0,
+                   help="0=FIXED_QP 1=CBR 2=VBR")
+    p.add_argument("-bitrate", type=int, default=1250, help="kbps")
+    p.add_argument("-vbv_size", type=float, default=1.0)
+    p.add_argument("-vbv_init", type=float, default=0.35)
+    p.add_argument("-n_frames", type=int, default=1000)
+    p.add_argument("-skipped_frames", type=int, default=0)
+    p.add_argument("-n_frames_in_flight", type=int, default=8,
+                   help="device frame batch (all-intra only)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    w, h = (int(t) for t in args.size.split("x"))
+    cfg = EncoderConfig(
+        width=w, height=h, frame_rate=args.frame_rate, cu_size=args.cu_size,
+        intra_period=args.intra_period, gop_size=args.gop_size,
+        num_ref_frames=args.num_ref_frames, qp=args.qp,
+        motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
+        chroma_qp_offset=args.chroma_qp_offset,
+        sign_hiding=bool(args.sign_hiding), sao=bool(args.sao),
+        deblocking=bool(args.deblocking),
+        bitrate_mode=BitrateMode(args.bitrate_mode),
+        bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
+        vbv_init=args.vbv_init,
+        num_frames_in_flight=args.n_frames_in_flight)
+    enc = Encoder(cfg)
+    fsz = w * h * 3 // 2
+    total_bits = 0
+    n_done = 0
+    rawf = open(args.rawfile, "wb") if args.rawfile else None
+    t0 = None
+    with open(args.infile, "rb") as fin, open(args.outfile, "wb") as fout:
+        fin.seek(args.skipped_frames * fsz)
+
+        def handle(ef):
+            nonlocal total_bits, n_done
+            fout.write(ef.annex_b())
+            total_bits += ef.bits
+            if rawf is not None:
+                rawf.write(ef.recon["y"].tobytes())
+                rawf.write(ef.recon["u"].tobytes())
+                rawf.write(ef.recon["v"].tobytes())
+            n_done += 1
+
+        for k in range(args.n_frames):
+            buf = fin.read(fsz)
+            if len(buf) < fsz:
+                break
+            raw = np.frombuffer(buf, np.uint8)
+            y = raw[:w * h].reshape(h, w)
+            u = raw[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+            v = raw[w * h + w * h // 4:].reshape(h // 2, w // 2)
+            if t0 is None:
+                t0 = time.time()  # exclude first-call compile from fps
+            for ef in enc.encode(y, u, v):
+                handle(ef)
+        for ef in enc.flush():
+            handle(ef)
+        dt = max(time.time() - (t0 or time.time()), 1e-9)
+    if rawf is not None:
+        rawf.close()
+    kbps = total_bits * cfg.frame_rate / max(n_done, 1) / 1000.0
+    print(f"{n_done} frames in {dt*1000:.0f} ms: {n_done/dt:.2f} fps, "
+          f"{kbps:.0f} kbps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
