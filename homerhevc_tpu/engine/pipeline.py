@@ -110,10 +110,57 @@ class EncoderPipeline:
 
     # ---- serialization ------------------------------------------------------
 
+    def _serialize_slice_wpp(self, desc, slice_type: int, nal_type: int,
+                             qp: int, sao_params=None) -> bytes:
+        """WPP slice: one CABAC substream per CTU row; contexts fork from the
+        state after the second CTB of the row above (spec entropy sync;
+        reference ee_copy_entropy_model hmr_encoder_lib.c:2371). Rows are
+        independent byte streams -> host-parallel entropy coding."""
+        from homerhevc_tpu.hevc.bitstream import BitWriter
+        ps = self.ps
+        st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
+        rows = []
+        saved_ctx = None      # ctx snapshot after CTB 1 of the previous row
+        prev_saved = None
+        for cy in range(ps.ctus_y):
+            if cy == 0 or prev_saved is None:
+                ctx = init_contexts(st, qp)
+            else:
+                ctx = prev_saved.copy()
+            bw_row = BitWriter()
+            enc = CabacEncoder(bw_row, ctx)
+            sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
+                                  sao_params=sao_params)
+            saved = None
+            for cx in range(ps.ctus_x):
+                sd.encode_ctu(cx, cy)
+                last_ctu = (cy == ps.ctus_y - 1) and (cx == ps.ctus_x - 1)
+                sd.encode_ctu_end(end_of_slice=last_ctu)
+                if cx == 1:
+                    saved = ctx.copy()
+            if cy != ps.ctus_y - 1:
+                enc.encode_terminate(1)  # end_of_subset_one_bit
+            enc.finish()
+            bw_row.write_byte_alignment()
+            rows.append(bw_row.get_bytes())
+            prev_saved = saved if saved is not None else prev_saved
+        offsets = [len(r) for r in rows[:-1]]
+        refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
+        sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
+                         poc=self.gop_poc, qp=qp,
+                         sao_luma=sao_params is not None,
+                         sao_chroma=sao_params is not None,
+                         ref_pocs_before=refs)
+        bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
+        return make_nal(nal_type, bw.get_bytes() + b"".join(rows))
+
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
                          qp: int, use_native: bool = True,
                          sao_params=None) -> bytes:
         ps = self.ps
+        if ps.wpp:
+            return self._serialize_slice_wpp(desc, slice_type, nal_type, qp,
+                                             sao_params=sao_params)
         refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
                          poc=self.gop_poc, qp=qp,
