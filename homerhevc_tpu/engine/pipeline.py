@@ -119,6 +119,22 @@ class EncoderPipeline:
         from homerhevc_tpu.hevc.bitstream import BitWriter
         ps = self.ps
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
+        # native fast path
+        from homerhevc_tpu import native
+        res = native.encode_slice_native(
+            ps, desc, init_contexts(st, qp), ps.sign_hiding,
+            slice_type=slice_type, sao_params=sao_params, wpp=True)
+        if res is not None:
+            payload, row_sizes = res
+            refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
+            sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
+                             poc=self.gop_poc, qp=qp,
+                             sao_luma=sao_params is not None,
+                             sao_chroma=sao_params is not None,
+                             ref_pocs_before=refs)
+            bw = write_slice_header(ps, sp,
+                                    entry_point_offsets=row_sizes[:-1])
+            return make_nal(nal_type, bw.get_bytes() + payload)
         rows = []
         saved_ctx = None      # ctx snapshot after CTB 1 of the previous row
         prev_saved = None
@@ -170,11 +186,11 @@ class EncoderPipeline:
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
-        if (use_native and slice_type == SLICE_I and sao_params is None
-                and not ps.cu_qp_delta_enabled):
+        if use_native and not ps.cu_qp_delta_enabled:
             from homerhevc_tpu import native
-            payload = native.encode_slice_native(ps, desc, ctx,
-                                                 ps.sign_hiding)
+            payload = native.encode_slice_native(
+                ps, desc, ctx, ps.sign_hiding, slice_type=slice_type,
+                sao_params=sao_params)
             if payload is not None:
                 return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)

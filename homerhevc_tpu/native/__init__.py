@@ -17,6 +17,8 @@ _SRC = os.path.join(_DIR, "hevcenc.cpp")
 _SO = os.path.join(_DIR, "libhevcenc.so")
 _lib = None
 
+_I32P = ctypes.c_void_p
+
 
 def _build() -> bool:
     try:
@@ -38,51 +40,75 @@ def get_lib():
     if not _build():
         return None
     lib = ctypes.CDLL(_SO)
-    lib.hevcenc_encode_slice.restype = ctypes.c_long
-    lib.hevcenc_encode_slice.argtypes = [
-        ctypes.c_char_p,                          # ctx_init
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.c_char_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_long,
-    ]
+    lib.hevcenc_encode_slice2.restype = ctypes.c_long
+    lib.hevcenc_encode_slice2.argtypes = (
+        [ctypes.c_char_p]
+        + [ctypes.c_int] * 11
+        + [ctypes.c_char_p] * 6          # cu_depth..pred_mode
+        + [_I32P] * 3                    # coef planes (int16)
+        + [ctypes.c_char_p] * 5 + [_I32P]  # inter maps + mv
+        + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
+        + [_I32P, ctypes.c_long, _I32P])
     _lib = lib
     return lib
 
 
-def encode_slice_native(ps, desc, ctx_init: np.ndarray,
-                        sign_hiding: bool) -> bytes | None:
-    """Run the C++ serializer; returns the CABAC payload bytes (byte-aligned,
-    includes rbsp stop bit + padding) or None if unavailable."""
+def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
+                        slice_type: int = 2, sao_params=None,
+                        wpp: bool = False):
+    """Run the C++ serializer. Returns payload bytes, or (payload,
+    row_sizes) when wpp. None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    cap = desc.width * desc.height * 4 + 4096
+    cap = desc.width * desc.height * 4 + 65536
     out = np.zeros(cap, np.uint8)
+    ctus_y = -(-desc.height // ps.ctu_size)
+    row_sizes = np.zeros(ctus_y, np.int64)
 
-    def b(a, dt):
+    def b(a, dt=np.uint8):
         return np.ascontiguousarray(a, dt).tobytes()
 
-    cu_depth = b(desc.cu_depth, np.uint8)
-    part_nxn = b(desc.part_nxn.astype(np.uint8), np.uint8)
-    luma_mode = b(desc.luma_mode, np.uint8)
-    chroma_mode = b(desc.chroma_mode, np.uint8)
-    tr_depth = b(desc.tr_depth, np.uint8)
-    coef_y = np.ascontiguousarray(desc.coef_y, np.int16)
-    coef_u = np.ascontiguousarray(desc.coef_u, np.int16)
-    coef_v = np.ascontiguousarray(desc.coef_v, np.int16)
-    n = lib.hevcenc_encode_slice(
+    def ptr(a, dt):
+        arr = np.ascontiguousarray(a, dt)
+        return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+    coef_y, py_ = ptr(desc.coef_y, np.int16)
+    coef_u, pu_ = ptr(desc.coef_u, np.int16)
+    coef_v, pv_ = ptr(desc.coef_v, np.int16)
+    mv_arr, pmv = ptr(desc.mv, np.int32)
+    if sao_params is not None:
+        sp = sao_params
+        sml = b(sp.merge_left.astype(np.uint8))
+        smu = b(sp.merge_up.astype(np.uint8))
+        stl, p_stl = ptr(sp.type_luma, np.int32)
+        stc, p_stc = ptr(sp.type_chroma, np.int32)
+        sel, p_sel = ptr(sp.eo_class_luma, np.int32)
+        sec, p_sec = ptr(sp.eo_class_chroma, np.int32)
+        sbd, p_sbd = ptr(sp.band_pos, np.int32)
+        sof, p_sof = ptr(sp.offsets, np.int32)
+    else:
+        sml = smu = None
+        p_stl = p_stc = p_sel = p_sec = p_sbd = p_sof = None
+
+    n = lib.hevcenc_encode_slice2(
         ctx_init.tobytes(),
         desc.width, desc.height, ps.log2_ctu, ps.log2_min_cb,
-        ps.log2_min_tb, ps.log2_max_tb, ps.max_tr_depth_intra,
-        int(sign_hiding),
-        cu_depth, part_nxn, luma_mode, chroma_mode, tr_depth,
-        coef_y.ctypes.data_as(ctypes.c_void_p),
-        coef_u.ctypes.data_as(ctypes.c_void_p),
-        coef_v.ctypes.data_as(ctypes.c_void_p),
-        out.ctypes.data_as(ctypes.c_void_p), cap)
+        ps.log2_min_tb, ps.log2_max_tb,
+        ps.max_tr_depth_intra, ps.max_tr_depth_inter,
+        int(sign_hiding), slice_type, int(wpp),
+        b(desc.cu_depth), b(desc.part_nxn.astype(np.uint8)),
+        b(desc.luma_mode), b(desc.chroma_mode), b(desc.tr_depth),
+        b(desc.pred_mode),
+        py_, pu_, pv_,
+        b(desc.skip), b(desc.inter_mode), b(desc.merge_idx),
+        b(desc.mvp_flag), b(desc.root_cbf), pmv,
+        sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        row_sizes.ctypes.data_as(ctypes.c_void_p))
     if n < 0:
         return None
-    return out[:n].tobytes()
+    payload = out[:n].tobytes()
+    if wpp:
+        return payload, row_sizes.tolist()
+    return payload

@@ -218,14 +218,27 @@ struct Params {
   int width, height;
   int log2_ctu, log2_min_cb, log2_min_tb, log2_max_tb;
   int max_tr_depth_intra;
+  int max_tr_depth_inter;
   int sign_hiding;      // SBH_THRESHOLD gate uses quant-adjusted levels
   int cu_qp_delta;      // not supported yet (must be 0)
   int slice_qp;
+  int slice_type;       // 2 = I, 1 = P
+  int wpp;              // entropy_coding_sync substreams
 };
 
 struct Desc {
   const uint8_t *cu_depth, *part_nxn, *luma_mode, *chroma_mode, *tr_depth;
   const int16_t *coef_y, *coef_u, *coef_v;
+  // inter maps (P slices; may be null for I)
+  const uint8_t *skip, *inter_mode, *merge_idx, *mvp_flag, *root_cbf;
+  const int32_t *mv;     // (h8, w8, 2)
+  const uint8_t *pred_mode;  // 0 = inter, 1 = intra
+  // SAO per-CTU params (may be null)
+  const uint8_t *sao_merge_left, *sao_merge_up;
+  const int32_t *sao_type_l, *sao_type_c, *sao_eo_l, *sao_eo_c;
+  const int32_t *sao_band;   // (cy, cx, 3)
+  const int32_t *sao_off;    // (cy, cx, 3, 4)
+  int ctus_x;
   int w8, w4, w, cw;   // strides
 };
 
@@ -465,7 +478,8 @@ struct Enc {
       return;
     }
     bool cbf_luma = region_nz(d.coef_y, d.w, x0, y0, size);
-    c.bin(QT_CBF + (depth == 0 ? 1 : 0), cbf_luma);
+    if (is_intra(x0, y0) || depth != 0 || cbf_cb || cbf_cr)
+      c.bin(QT_CBF + (depth == 0 ? 1 : 0), cbf_luma);
     transform_unit(x0, y0, xb, yb, log2, depth, blk, cbf_luma, cbf_cb, cbf_cr);
   }
 
@@ -478,22 +492,182 @@ struct Enc {
     if (!(cbf_luma || cbf_cb || cbf_cr)) return;
     int size = 1 << log2;
     if (cbf_luma) {
-      int mode = lmode(x0, y0);
-      residual(d.coef_y, d.w, x0, y0, log2, 0, scan_idx_for(mode, log2, true));
+      int sel = is_intra(x0, y0)
+          ? scan_idx_for(lmode(x0, y0), log2, true) : 0;
+      residual(d.coef_y, d.w, x0, y0, log2, 0, sel);
     }
     if (log2 > 2 || blk == 3) {
       int cx, cy, clog2, mx, my;
       if (log2 > 2) { cx = x0 >> 1; cy = y0 >> 1; clog2 = log2 - 1; mx = x0; my = y0; }
       else { cx = xb >> 1; cy = yb >> 1; clog2 = 2; mx = xb; my = yb; }
-      int cm = cmode(mx, my);
-      int csel = scan_idx_for(cm, clog2, false);
+      int csel = is_intra(mx, my)
+          ? scan_idx_for(cmode(mx, my), clog2, false) : 0;
       if (cbf_cb) residual(d.coef_u, d.cw, cx, cy, clog2, 1, csel);
       if (cbf_cr) residual(d.coef_v, d.cw, cx, cy, clog2, 2, csel);
     }
   }
 
+  // ---- inter derivations (twin of hevc/inter.py) -------------------------------
+  bool is_intra(int x, int y) const {
+    return d.pred_mode == nullptr || d.pred_mode[(y>>3)*d.w8 + (x>>3)] != 0;
+  }
+  static int zaddr(int px, int py, int ctu) {
+    int zx = (px % ctu) / 4, zy = (py % ctu) / 4, v = 0;
+    for (int b = 0; b < 8; b++) {
+      v |= ((zx >> b) & 1) << (2 * b);
+      v |= ((zy >> b) & 1) << (2 * b + 1);
+    }
+    return v;
+  }
+  bool coded_before(int x, int y, int cx0, int cy0) const {
+    if (x < 0 || y < 0) return false;
+    int ctu = 1 << p.log2_ctu;
+    int cw = (p.width + ctu - 1) / ctu;
+    int a = (y / ctu) * cw + x / ctu;
+    int b = (cy0 / ctu) * cw + cx0 / ctu;
+    if (a != b) return a < b;
+    return zaddr(x, y, ctu) < zaddr(cx0, cy0, ctu);
+  }
+  struct MV { int x, y, ref; };
+  bool motion_at(int x, int y, int cx0, int cy0, MV* out) const {
+    if (x < 0 || y < 0 || x >= p.width || y >= p.height) return false;
+    if (!coded_before(x, y, cx0, cy0)) return false;
+    int u = (y >> 3) * d.w8 + (x >> 3);
+    if (d.pred_mode[u] != 0) return false;  // intra
+    out->x = d.mv[2 * u];
+    out->y = d.mv[2 * u + 1];
+    out->ref = 0;
+    return true;
+  }
+  int merge_list(int x0, int y0, int n, MV out[5]) const {
+    MV a1, b1, b0, a0, b2;
+    bool ha1 = motion_at(x0 - 1, y0 + n - 1, x0, y0, &a1);
+    bool hb1 = motion_at(x0 + n - 1, y0 - 1, x0, y0, &b1);
+    bool hb0 = motion_at(x0 + n, y0 - 1, x0, y0, &b0);
+    bool ha0 = motion_at(x0 - 1, y0 + n, x0, y0, &a0);
+    bool hb2 = motion_at(x0 - 1, y0 - 1, x0, y0, &b2);
+    int cnt = 0;
+    auto same = [](bool hx, const MV& u, bool hy, const MV& v) {
+      return hx && hy && u.x == v.x && u.y == v.y && u.ref == v.ref;
+    };
+    if (ha1) out[cnt++] = a1;
+    if (hb1 && !same(hb1, b1, ha1, a1)) out[cnt++] = b1;
+    if (hb0 && !same(hb0, b0, hb1, b1)) out[cnt++] = b0;
+    if (ha0 && !same(ha0, a0, ha1, a1)) out[cnt++] = a0;
+    if (cnt < 4 && hb2 && !same(hb2, b2, ha1, a1) && !same(hb2, b2, hb1, b1))
+      out[cnt++] = b2;
+    while (cnt < 5) out[cnt++] = MV{0, 0, 0};
+    return 5;
+  }
+  void amvp_list(int x0, int y0, int n, MV out[2]) const {
+    MV a0, a1, b0, b1, b2, mva, mvb;
+    bool hva = false, hvb = false;
+    if (motion_at(x0 - 1, y0 + n, x0, y0, &a0)) { mva = a0; hva = true; }
+    else if (motion_at(x0 - 1, y0 + n - 1, x0, y0, &a1)) { mva = a1; hva = true; }
+    if (motion_at(x0 + n, y0 - 1, x0, y0, &b0)) { mvb = b0; hvb = true; }
+    else if (motion_at(x0 + n - 1, y0 - 1, x0, y0, &b1)) { mvb = b1; hvb = true; }
+    else if (motion_at(x0 - 1, y0 - 1, x0, y0, &b2)) { mvb = b2; hvb = true; }
+    int cnt = 0;
+    if (hva) out[cnt++] = mva;
+    if (hvb && (!hva || mvb.x != mva.x || mvb.y != mva.y)) out[cnt++] = mvb;
+    while (cnt < 2) out[cnt++] = MV{0, 0, 0};
+  }
+
+  void encode_merge_idx(int idx, int max_cand = 5) {
+    if (max_cand <= 1) return;
+    c.bin(MERGE_IDX, idx > 0);
+    if (idx > 0) {
+      for (int i = 1; i < idx; i++) c.bypass(1);
+      if (idx < max_cand - 1) c.bypass(0);
+    }
+  }
+  void encode_eg_bypass(int value, int k) {
+    while (value >= (1 << k)) { c.bypass(1); value -= 1 << k; k++; }
+    c.bypass(0);
+    while (k) { k--; c.bypass((value >> k) & 1); }
+  }
+  void encode_mvd(int mx, int my) {
+    int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+    c.bin(MVD, ax > 0);
+    c.bin(MVD, ay > 0);
+    if (ax > 0) c.bin(MVD + 1, ax > 1);
+    if (ay > 0) c.bin(MVD + 1, ay > 1);
+    if (ax > 0) { if (ax > 1) encode_eg_bypass(ax - 2, 1); c.bypass(mx < 0); }
+    if (ay > 0) { if (ay > 1) encode_eg_bypass(ay - 2, 1); c.bypass(my < 0); }
+  }
+
+  void inter_cu(int x0, int y0, int log2) {
+    int u = (y0 >> 3) * d.w8 + (x0 >> 3);
+    c.bin(PART_SIZE, 1);  // 2Nx2N
+    int mode = d.inter_mode[u];  // 1=merge, 2=amvp
+    c.bin(MERGE_FLAG, mode == 1);
+    if (mode == 1) {
+      encode_merge_idx(d.merge_idx[u]);
+    } else {
+      MV mvp[2];
+      amvp_list(x0, y0, 1 << log2, mvp);
+      int f = d.mvp_flag[u];
+      encode_mvd(d.mv[2 * u] - mvp[f].x, d.mv[2 * u + 1] - mvp[f].y);
+      c.bin(MVP_IDX, f);
+    }
+    int rcbf = d.root_cbf[u];
+    if (mode != 1) c.bin(QT_ROOT_CBF, rcbf);
+    if (rcbf)
+      transform_tree(x0, y0, x0, y0, log2, 0, 0, false,
+                     p.max_tr_depth_inter, true, true);
+  }
+
+  // ---- SAO ------------------------------------------------------------------------
+  void sao_ctu(int cx, int cy) {
+    int ci = cy * d.ctus_x + cx;
+    bool ml = d.sao_merge_left[ci] != 0;
+    bool mu = d.sao_merge_up[ci] != 0;
+    if (cx > 0) c.bin(SAO_MERGE, ml);
+    if (cy > 0 && !(cx > 0 && ml)) c.bin(SAO_MERGE, mu);
+    if ((cx > 0 && ml) || mu) return;
+    for (int cidx = 0; cidx < 3; cidx++) {
+      int t = cidx == 0 ? d.sao_type_l[ci] : d.sao_type_c[ci];
+      if (cidx < 2) {
+        c.bin(SAO_TYPE, t != 0);
+        if (t != 0) c.bypass(t == 2);
+      }
+      if (t == 0) continue;
+      const int32_t* off = d.sao_off + (ci * 3 + cidx) * 4;
+      for (int i = 0; i < 4; i++) {
+        int v = off[i] < 0 ? -off[i] : off[i];
+        for (int k = 0; k < v; k++) c.bypass(1);
+        if (v < 7) c.bypass(0);
+      }
+      if (t == 1) {
+        for (int i = 0; i < 4; i++) if (off[i]) c.bypass(off[i] < 0);
+        c.bypass_bins(d.sao_band[ci * 3 + cidx], 5);
+      } else {
+        if (cidx == 0) c.bypass_bins(d.sao_eo_l[ci], 2);
+        else if (cidx == 1) c.bypass_bins(d.sao_eo_c[ci], 2);
+      }
+    }
+  }
+
   // ---- CU -----------------------------------------------------------------------
   void coding_unit(int x0, int y0, int log2) {
+    if (p.slice_type != 2) {
+      int u = (y0 >> 3) * d.w8 + (x0 >> 3);
+      int ctx = 0;
+      if (x0 > 0 && d.skip[(y0 >> 3) * d.w8 + ((x0 - 1) >> 3)]) ctx++;
+      if (y0 > 0 && d.skip[((y0 - 1) >> 3) * d.w8 + (x0 >> 3)]) ctx++;
+      int sk = d.skip[u];
+      c.bin(SKIP_FLAG + ctx, sk);
+      if (sk) { encode_merge_idx(d.merge_idx[u]); return; }
+      bool ii = is_intra(x0, y0);
+      c.bin(PRED_MODE, ii ? 1 : 0);
+      if (!ii) { inter_cu(x0, y0, log2); return; }
+      intra_cu(x0, y0, log2);
+      return;
+    }
+    intra_cu(x0, y0, log2);
+  }
+
+  void intra_cu(int x0, int y0, int log2) {
     bool is_nxn = nxn(x0, y0);
     if (log2 == p.log2_min_cb) c.bin(PART_SIZE, is_nxn ? 0 : 1);
     int n_pu = is_nxn ? 4 : 1;
@@ -503,9 +677,10 @@ struct Enc {
     for (int i = 0; i < n_pu; i++) {
       int px = x0 + (i & 1) * pu, py = y0 + (i >> 1) * pu;
       modes[i] = lmode(px, py);
-      int left = (px > 0) ? lmode(px - 1, py) : 1;
+      int left = (px > 0 && is_intra(px - 1, py)) ? lmode(px - 1, py) : 1;
       int ctu = 1 << p.log2_ctu;
-      int above = (py > 0 && (py % ctu) != 0) ? lmode(px, py - 1) : 1;
+      int above = (py > 0 && (py % ctu) != 0 && is_intra(px, py - 1))
+          ? lmode(px, py - 1) : 1;
       mpm_list(left, above, mpms[i]);
       in_mpm[i] = (modes[i] == mpms[i][0] || modes[i] == mpms[i][1] ||
                    modes[i] == mpms[i][2]);
@@ -576,45 +751,92 @@ struct Enc {
 
 extern "C" {
 
-// Encode slice data (all CTUs) for an intra slice. Returns payload length.
-// out_buf must be large enough (caller allocates generously).
-long hevcenc_encode_slice(
+// Encode slice data for an I or P slice, optionally as WPP row substreams.
+// Returns total payload length (rows concatenated); when wpp != 0, fills
+// row_sizes[ctus_y] with each substream's byte length.
+long hevcenc_encode_slice2(
     const uint8_t* ctx_init,     // NUM_CTX initialized context states
     int width, int height, int log2_ctu, int log2_min_cb,
-    int log2_min_tb, int log2_max_tb, int max_tr_depth_intra,
-    int sign_hiding,
+    int log2_min_tb, int log2_max_tb,
+    int max_tr_depth_intra, int max_tr_depth_inter,
+    int sign_hiding, int slice_type, int wpp,
     const uint8_t* cu_depth, const uint8_t* part_nxn,
     const uint8_t* luma_mode, const uint8_t* chroma_mode,
-    const uint8_t* tr_depth,
+    const uint8_t* tr_depth, const uint8_t* pred_mode,
     const int16_t* coef_y, const int16_t* coef_u, const int16_t* coef_v,
-    uint8_t* out_buf, long out_cap) {
+    const uint8_t* skip, const uint8_t* inter_mode, const uint8_t* merge_idx,
+    const uint8_t* mvp_flag, const uint8_t* root_cbf, const int32_t* mv,
+    const uint8_t* sao_merge_left, const uint8_t* sao_merge_up,
+    const int32_t* sao_type_l, const int32_t* sao_type_c,
+    const int32_t* sao_eo_l, const int32_t* sao_eo_c,
+    const int32_t* sao_band, const int32_t* sao_off,
+    uint8_t* out_buf, long out_cap, long* row_sizes) {
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
-               log2_max_tb, max_tr_depth_intra, sign_hiding, 0, 0};
+               log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
+               sign_hiding, 0, 0, slice_type, wpp};
   e.d.cu_depth = cu_depth; e.d.part_nxn = part_nxn;
   e.d.luma_mode = luma_mode; e.d.chroma_mode = chroma_mode;
-  e.d.tr_depth = tr_depth;
+  e.d.tr_depth = tr_depth; e.d.pred_mode = pred_mode;
   e.d.coef_y = coef_y; e.d.coef_u = coef_u; e.d.coef_v = coef_v;
-  e.d.w8 = width >> 3; e.d.w4 = width >> 2; e.d.w = width; e.d.cw = width >> 1;
-
-  std::vector<uint8_t> out;
-  out.reserve(out_cap);
-  uint8_t ctx[NUM_CTX];
-  memcpy(ctx, ctx_init, NUM_CTX);
-  e.c.out = &out;
-  e.c.ctx = ctx;
-
+  e.d.skip = skip; e.d.inter_mode = inter_mode; e.d.merge_idx = merge_idx;
+  e.d.mvp_flag = mvp_flag; e.d.root_cbf = root_cbf; e.d.mv = mv;
+  e.d.sao_merge_left = sao_merge_left; e.d.sao_merge_up = sao_merge_up;
+  e.d.sao_type_l = sao_type_l; e.d.sao_type_c = sao_type_c;
+  e.d.sao_eo_l = sao_eo_l; e.d.sao_eo_c = sao_eo_c;
+  e.d.sao_band = sao_band; e.d.sao_off = sao_off;
+  e.d.w8 = width >> 3; e.d.w4 = width >> 2; e.d.w = width;
+  e.d.cw = width >> 1;
   int ctu = 1 << log2_ctu;
   int cw = (width + ctu - 1) / ctu, ch = (height + ctu - 1) / ctu;
-  int n = cw * ch;
-  for (int i = 0; i < n; i++) {
-    e.coding_quadtree((i % cw) * ctu, (i / cw) * ctu, log2_ctu, 0);
-    e.c.terminate(i == n - 1);
+  e.d.ctus_x = cw;
+  bool has_sao = sao_merge_left != nullptr;
+
+  std::vector<uint8_t> all;
+  all.reserve(out_cap);
+  uint8_t ctx[NUM_CTX], saved[NUM_CTX];
+  bool have_saved = false;
+  memcpy(ctx, ctx_init, NUM_CTX);
+
+  if (!wpp) {
+    std::vector<uint8_t> out;
+    e.c.out = &out;
+    e.c.ctx = ctx;
+    int n = cw * ch;
+    for (int i = 0; i < n; i++) {
+      int cx = i % cw, cy = i / cw;
+      if (has_sao) e.sao_ctu(cx, cy);
+      e.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
+      e.c.terminate(i == n - 1);
+    }
+    e.c.finish();
+    if ((long)out.size() > out_cap) return -1;
+    memcpy(out_buf, out.data(), out.size());
+    return (long)out.size();
   }
-  e.c.finish();
-  if ((long)out.size() > out_cap) return -1;
-  memcpy(out_buf, out.data(), out.size());
-  return (long)out.size();
+
+  for (int cy = 0; cy < ch; cy++) {
+    std::vector<uint8_t> out;
+    uint8_t rowctx[NUM_CTX];
+    if (cy == 0 || !have_saved) memcpy(rowctx, ctx_init, NUM_CTX);
+    else memcpy(rowctx, saved, NUM_CTX);
+    e.c = Cabac{};
+    e.c.out = &out;
+    e.c.ctx = rowctx;
+    for (int cx = 0; cx < cw; cx++) {
+      if (has_sao) e.sao_ctu(cx, cy);
+      e.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
+      e.c.terminate(cy == ch - 1 && cx == cw - 1);
+      if (cx == 1) { memcpy(saved, rowctx, NUM_CTX); have_saved = true; }
+    }
+    if (cy != ch - 1) e.c.terminate(1);
+    e.c.finish();
+    row_sizes[cy] = (long)out.size();
+    all.insert(all.end(), out.begin(), out.end());
+  }
+  if ((long)all.size() > out_cap) return -1;
+  memcpy(out_buf, all.data(), all.size());
+  return (long)all.size();
 }
 
 }  // extern "C"
