@@ -158,7 +158,7 @@ class TpuInterEncoder:
 
     # ---- host driver ----------------------------------------------------------
 
-    def encode_frame(self, src, ref):
+    def encode_frame(self, src, ref, is_b: bool = False):
         y, u, v = src
         ry, ru, rv = ref
         out = self._jit(jnp.asarray(np.asarray(y, np.uint8)),
@@ -177,6 +177,6 @@ class TpuInterEncoder:
         desc.coef_y[:] = ly
         desc.coef_u[:] = lu
         desc.coef_v[:] = lv
-        select_inter_syntax(self.ps, desc, cu)
+        select_inter_syntax(self.ps, desc, cu, is_b=is_b)
         return (desc, recon_y.astype(np.int32), recon_u.astype(np.int32),
                 recon_v.astype(np.int32))

@@ -15,13 +15,13 @@ import numpy as np
 
 from homerhevc_tpu.config import BitrateMode, EncoderConfig
 from homerhevc_tpu.hevc.bitstream import (
-    NAL_IDR_W_RADL, NAL_TRAIL_R, make_nal,
+    NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R, make_nal,
 )
 from homerhevc_tpu.hevc.cabac import CabacEncoder
 from homerhevc_tpu.hevc.ctx_tables import init_contexts
 from homerhevc_tpu.hevc.headers import (
-    SLICE_I, SLICE_P, ParamSets, SliceParams, write_pps, write_slice_header,
-    write_sps, write_vps,
+    SLICE_B, SLICE_I, SLICE_P, ParamSets, SliceParams, write_pps,
+    write_slice_header, write_sps, write_vps,
 )
 from homerhevc_tpu.hevc.syntax import SliceDataEncoder
 
@@ -78,10 +78,11 @@ class EncoderPipeline:
             return desc, ry, ru, rv
         return self._get_tpu(qp).encode_frame(y, u, v, qp)
 
-    def _analyze_inter(self, y, u, v, qp=None):
-        """P-frame analysis against the previous filtered reconstruction."""
+    def _analyze_inter(self, y, u, v, qp=None, ref=None, is_b=False):
+        """Inter frame analysis against a filtered reference picture."""
         qp = self.cfg.qp if qp is None else qp
-        assert self._last_recon is not None
+        ref = self._last_recon if ref is None else ref
+        assert ref is not None
         if self._tpu_ok():
             if qp not in self._tpu_inter_by_qp:
                 from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
@@ -89,11 +90,11 @@ class EncoderPipeline:
                 cfgq = dataclasses.replace(self.cfg, qp=qp)
                 self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
             desc, ry, ru, rv = self._tpu_inter_by_qp[qp].encode_frame(
-                (y, u, v), self._last_recon)
+                (y, u, v), ref, is_b=is_b)
         else:
             from homerhevc_tpu.golden.inter_frame import encode_inter_frame
             desc, ry, ru, rv = encode_inter_frame(
-                self.ps, (y, u, v), self._last_recon, qp, cu_size=16)
+                self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             import numpy as np
@@ -111,7 +112,8 @@ class EncoderPipeline:
     # ---- serialization ------------------------------------------------------
 
     def _serialize_slice_wpp(self, desc, slice_type: int, nal_type: int,
-                             qp: int, sao_params=None) -> bytes:
+                             qp: int, sao_params=None, poc=None,
+                             refs_before=(), refs_after=()) -> bytes:
         """WPP slice: one CABAC substream per CTU row; contexts fork from the
         state after the second CTB of the row above (spec entropy sync;
         reference ee_copy_entropy_model hmr_encoder_lib.c:2371). Rows are
@@ -126,12 +128,12 @@ class EncoderPipeline:
             slice_type=slice_type, sao_params=sao_params, wpp=True)
         if res is not None:
             payload, row_sizes = res
-            refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
             sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                             poc=self.gop_poc, qp=qp,
+                             poc=self.gop_poc if poc is None else poc, qp=qp,
                              sao_luma=sao_params is not None,
                              sao_chroma=sao_params is not None,
-                             ref_pocs_before=refs)
+                             ref_pocs_before=refs_before,
+                             ref_pocs_after=refs_after)
             bw = write_slice_header(ps, sp,
                                     entry_point_offsets=row_sizes[:-1])
             return make_nal(nal_type, bw.get_bytes() + payload)
@@ -172,17 +174,23 @@ class EncoderPipeline:
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
                          qp: int, use_native: bool = True,
-                         sao_params=None) -> bytes:
+                         sao_params=None, poc=None,
+                         refs_before=None, refs_after=()) -> bytes:
         ps = self.ps
+        if refs_before is None:
+            refs_before = ((self.gop_poc - 1,)
+                           if slice_type != SLICE_I else ())
         if ps.wpp:
             return self._serialize_slice_wpp(desc, slice_type, nal_type, qp,
-                                             sao_params=sao_params)
-        refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
+                                             sao_params=sao_params, poc=poc,
+                                             refs_before=refs_before,
+                                             refs_after=refs_after)
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                         poc=self.gop_poc, qp=qp,
+                         poc=self.gop_poc if poc is None else poc, qp=qp,
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
-                         ref_pocs_before=refs)
+                         ref_pocs_before=refs_before,
+                         ref_pocs_after=refs_after)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
@@ -214,7 +222,8 @@ class EncoderPipeline:
         ip = self.cfg.intra_period
         return ip > 0 and poc % ip == 0
 
-    def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I, qp=None):
+    def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I, qp=None,
+              poc=None, refs_before=None, refs_after=(), is_ref=True):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -232,14 +241,20 @@ class EncoderPipeline:
             nals.append(write_vps(self.ps))
             nals.append(write_sps(self.ps))
             nals.append(write_pps(self.ps))
-        else:
+        elif is_ref:
             nal_type = NAL_TRAIL_R
+        else:
+            nal_type = NAL_TRAIL_N
         nals.append(self._serialize_slice(desc, slice_type, nal_type, qp,
-                                          sao_params=sao_params))
-        self._last_recon = (np.asarray(ry, np.int32), np.asarray(ru, np.int32),
-                            np.asarray(rv, np.int32))
-        ef = EncodedFrame(self.poc, "I" if slice_type == SLICE_I else "P",
-                          nals,
+                                          sao_params=sao_params, poc=poc,
+                                          refs_before=refs_before,
+                                          refs_after=refs_after))
+        if is_ref:
+            self._last_recon = (np.asarray(ry, np.int32),
+                                np.asarray(ru, np.int32),
+                                np.asarray(rv, np.int32))
+        ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
+        ef = EncodedFrame(self.poc, ftype, nals,
                           recon={"y": ry.astype(np.uint8),
                                  "u": ru.astype(np.uint8),
                                  "v": rv.astype(np.uint8)},
@@ -264,7 +279,11 @@ class EncoderPipeline:
                            frames, qp)
         else:
             new_pending = None
-            for (y, u, v) in frames:
+            for fr in frames:
+                if self.cfg.gop_size >= 2:
+                    yield from self._encode_gop2(fr, final=False)
+                    continue
+                y, u, v = fr
                 intra = self._is_intra_poc(self.poc)
                 qp = self.rc.pic_qp(intra)
                 if intra:
@@ -274,6 +293,8 @@ class EncoderPipeline:
                     desc, ry, ru, rv = self._analyze_inter(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v),
                                      slice_type=SLICE_P, qp=qp)
+        if final and self.cfg.gop_size >= 2:
+            yield from self._encode_gop2(None, final=True)
 
         def fetch_pending(pending):
             out, pframes, qp = pending
@@ -288,6 +309,75 @@ class EncoderPipeline:
         if final and self._pending is not None:
             pending, self._pending = self._pending, None
             yield from fetch_pending(pending)
+
+    def _encode_gop2(self, frame, final: bool) -> Iterator:
+        """IBP GOP (gop_size 2, 1 B frame): anchors at even display
+        positions, B between them, emitted in decode order I0 P2 B1 P4 B3...
+        B frames predict from the previous anchor (L0-uni this round) and
+        carry both anchors in their RPS."""
+        if not hasattr(self, "_disp"):
+            self._disp = 0
+            self._held = None
+            self._idr_base = 0
+            self._prev_anchor = None
+
+        def emit_anchor(t, fr):
+            intra = t == 0 or (self.cfg.intra_period > 0
+                               and (t - self._idr_base) % self.cfg.intra_period == 0)
+            qp = self.rc.pic_qp(intra)
+            if intra and self._held is not None:
+                # closed GOP: the held frame becomes a trailing P before IDR
+                bt, fb = self._held
+                self._held = None
+                qb = self.rc.pic_qp(False)
+                d2, r2y, r2u, r2v = self._analyze_inter(*fb, qp=qb)
+                yield self._emit(d2, r2y, r2u, r2v, src=fb,
+                                 slice_type=SLICE_P, qp=qb,
+                                 poc=bt - self._idr_base,
+                                 refs_before=(bt - 1 - self._idr_base,))
+            if intra:
+                self._idr_base = t
+                desc, ry, ru, rv = self._analyze_intra(*fr, qp=qp)
+                self._prev_anchor = None
+                yield self._emit(desc, ry, ru, rv, src=fr, qp=qp)
+            else:
+                poc = t - self._idr_base
+                desc, ry, ru, rv = self._analyze_inter(*fr, qp=qp)
+                yield self._emit(desc, ry, ru, rv, src=fr,
+                                 slice_type=SLICE_P, qp=qp, poc=poc,
+                                 refs_before=(poc - 2,)
+                                 if self._held is not None else (poc - 1,))
+            # after the anchor is reconstructed, encode the held B
+            if self._held is not None:
+                bt, fb = self._held
+                self._held = None
+                bpoc = bt - self._idr_base
+                qb = self.rc.pic_qp(False)
+                d2, r2y, r2u, r2v = self._analyze_inter(
+                    *fb, qp=qb, ref=prev_anchor_recon, is_b=True)
+                yield self._emit(d2, r2y, r2u, r2v, src=fb,
+                                 slice_type=SLICE_B, qp=qb, poc=bpoc,
+                                 refs_before=(bpoc - 1,),
+                                 refs_after=(bpoc + 1,), is_ref=False)
+
+        if frame is not None:
+            t = self._disp
+            self._disp += 1
+            if t % 2 == 1 and not (
+                    self.cfg.intra_period > 0
+                    and (t - self._idr_base) % self.cfg.intra_period == 0):
+                self._held = (t, frame)
+                return
+            prev_anchor_recon = self._last_recon
+            yield from emit_anchor(t, frame)
+        elif final and self._held is not None:
+            bt, fb = self._held
+            self._held = None
+            qb = self.rc.pic_qp(False)
+            d2, r2y, r2u, r2v = self._analyze_inter(*fb, qp=qb)
+            yield self._emit(d2, r2y, r2u, r2v, src=fb, slice_type=SLICE_P,
+                             qp=qb, poc=bt - self._idr_base,
+                             refs_before=(bt - 1 - self._idr_base,))
 
     def _tpu_ok(self) -> bool:
         return (self.backend in ("auto", "tpu")

@@ -69,7 +69,8 @@ def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
 
 
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
-                       cu_size: int = 16, search: int = 8):
+                       cu_size: int = 16, search: int = 8,
+                       is_b: bool = False):
     """Encode one P frame (pure inter, 2Nx2N CUs). Returns
     (FrameDesc, recon_y, recon_u, recon_v)."""
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
@@ -134,13 +135,16 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 coefs[cy0:cy0 + nc, cx0:cx0 + nc] = clvl.astype(np.int16)
 
     # ---- phase 2: syntax selection over the final motion field -------------
-    select_inter_syntax(ps, desc, cu_size)
+    select_inter_syntax(ps, desc, cu_size, is_b=is_b)
     return desc, recon_y, recon_u, recon_v
 
 
-def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int) -> None:
+def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
+                        is_b: bool = False) -> None:
     """Choose skip/merge/AMVP syntax per CU from final MVs + residuals.
-    Shared by the golden and device paths (pure host logic)."""
+    Shared by the golden and device paths (pure host logic). In B slices the
+    zero-fill merge candidates are bi-predictive, so matching is restricted
+    to the spatial candidates (L0-uni B path)."""
     w, h = desc.width, desc.height
     n = cu_size
     mf = MotionField(*desc.pred_mode.shape)
@@ -158,8 +162,10 @@ def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int) -> None:
                                       x0 // 2:(x0 + n) // 2].any()
                        or desc.coef_v[y0 // 2:(y0 + n) // 2,
                                       x0 // 2:(x0 + n) // 2].any())
-            cands = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
-            merge_k = next((k for k, c in enumerate(cands)
+            cands, n_spatial = merge_candidates(mf, x0, y0, n,
+                                                ps.ctu_size, w, h)
+            limit = n_spatial if is_b else len(cands)
+            merge_k = next((k for k, c in enumerate(cands[:limit])
                             if (c[0], c[1]) == mv and c[2] == 0), None)
             sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
             if merge_k is not None and not has_res:

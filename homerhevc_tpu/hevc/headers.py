@@ -37,6 +37,7 @@ class ParamSets:
     wpp: bool = False
     strong_intra_smoothing: bool = False
     num_ref: int = 1
+    reorder_pics: int = 0
     init_qp: int = 32
     cb_qp_offset: int = 2
     cr_qp_offset: int = 2
@@ -59,6 +60,7 @@ class ParamSets:
             cu_qp_delta_enabled=False,
             wpp=cfg.wpp,
             num_ref=max(1, cfg.num_ref_frames),
+            reorder_pics=1 if cfg.gop_size >= 2 else 0,
             init_qp=cfg.qp,
             cb_qp_offset=cfg.chroma_qp_offset,
             cr_qp_offset=cfg.chroma_qp_offset,
@@ -119,8 +121,8 @@ def write_vps(ps: ParamSets) -> bytes:
     bw.write(0xFFFF, 16)  # vps_reserved_0xffff_16bits
     _profile_tier_level(bw, ps.level_idc)
     bw.write(1, 1)      # vps_sub_layer_ordering_info_present_flag
-    bw.write_ue(ps.num_ref + 1)  # vps_max_dec_pic_buffering_minus1
-    bw.write_ue(0)      # vps_max_num_reorder_pics
+    bw.write_ue(ps.num_ref + 2)  # vps_max_dec_pic_buffering_minus1
+    bw.write_ue(ps.reorder_pics)  # vps_max_num_reorder_pics
     bw.write_ue(0)      # vps_max_latency_increase_plus1
     bw.write(0, 6)      # vps_max_layer_id
     bw.write_ue(0)      # vps_num_layer_sets_minus1
@@ -150,8 +152,8 @@ def write_sps(ps: ParamSets) -> bytes:
     bw.write_ue(0)      # bit_depth_chroma_minus8
     bw.write_ue(ps.log2_max_poc_lsb - 4)
     bw.write(1, 1)      # sps_sub_layer_ordering_info_present_flag
-    bw.write_ue(ps.num_ref + 1)  # sps_max_dec_pic_buffering_minus1
-    bw.write_ue(0)      # sps_max_num_reorder_pics
+    bw.write_ue(ps.num_ref + 2)  # sps_max_dec_pic_buffering_minus1
+    bw.write_ue(ps.reorder_pics)  # sps_max_num_reorder_pics
     bw.write_ue(0)      # sps_max_latency_increase_plus1
     bw.write_ue(ps.log2_min_cb - 3)
     bw.write_ue(ps.log2_ctu - ps.log2_min_cb)

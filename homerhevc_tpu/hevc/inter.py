@@ -82,10 +82,14 @@ def merge_candidates(mf: MotionField, x0: int, y0: int, n: int,
         cands.append(a0)
     if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cands.append(b2)
-    # no TMVP (sps flag off); zero-MV fill (single ref -> all (0,0,0))
+    n_spatial = len(cands)
+    # no TMVP (sps flag off); zero-MV fill (single ref -> all (0,0,0)).
+    # NOTE: in B slices the fill candidates are bi-predictive per spec; the
+    # encoder must not select them unless it implements bi MC — callers use
+    # n_spatial to restrict matching (L0-uni B path).
     while len(cands) < max_cand:
         cands.append((0, 0, 0))
-    return cands[:max_cand]
+    return cands[:max_cand], n_spatial
 
 
 def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,

@@ -241,8 +241,8 @@ class SliceDataParser:
     def _apply_merge(self, x0, y0, size, idx, sl8):
         from homerhevc_tpu.hevc.inter import merge_candidates
         mf = self._motion_field()
-        cands = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
-                                 self.d.width, self.d.height)
+        cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
+                                    self.d.width, self.d.height)
         mv = cands[idx]
         self.d.merge_idx[sl8] = idx
         self.d.mv[sl8[0], sl8[1], 0] = mv[0]

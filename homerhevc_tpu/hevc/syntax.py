@@ -324,7 +324,8 @@ class SliceDataEncoder:
             e.encode_bypass((value >> k) & 1)
 
     def _inter_cu(self, x0: int, y0: int, log2_size: int) -> None:
-        """Inter CU, 2Nx2N PU, P slice, single reference."""
+        """Inter CU, 2Nx2N PU, single reference per list (B: L0-uni)."""
+        from homerhevc_tpu.hevc.headers import SLICE_B
         ps, e, d = self.ps, self.e, self.d
         ux, uy = x0 // 8, y0 // 8
         e.encode_bin(OFF["part_size"], 1)  # PART_2Nx2N
@@ -333,7 +334,11 @@ class SliceDataEncoder:
         if mode == 1:
             self._encode_merge_idx(int(d.merge_idx[uy, ux]))
         else:
-            # P slice, 1 ref: no inter_pred_idc, no ref_idx
+            if self.slice_type == SLICE_B:
+                # inter_pred_idc: uni (bin0=0, ctx by CU depth), list 0
+                depth = int(d.cu_depth[uy, ux])
+                e.encode_bin(OFF["inter_dir"] + depth, 0)
+                e.encode_bin(OFF["inter_dir"] + 4, 0)  # PRED_L0
             from homerhevc_tpu.hevc.inter import amvp_candidates
             mvp = amvp_candidates(self.motion_field, x0, y0, 1 << log2_size,
                                   ps.ctu_size, d.width, d.height)

@@ -604,6 +604,11 @@ struct Enc {
     if (mode == 1) {
       encode_merge_idx(d.merge_idx[u]);
     } else {
+      if (p.slice_type == 0) {  // B: inter_pred_idc = uni L0
+        int depth = d.cu_depth[u];
+        c.bin(INTER_DIR + depth, 0);
+        c.bin(INTER_DIR + 4, 0);
+      }
       MV mvp[2];
       amvp_list(x0, y0, 1 << log2, mvp);
       int f = d.mvp_flag[u];
