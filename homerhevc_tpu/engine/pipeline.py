@@ -286,6 +286,10 @@ class EncoderPipeline:
                 y, u, v = fr
                 intra = self._is_intra_poc(self.poc)
                 qp = self.rc.pic_qp(intra)
+                if not intra and self._scene_change(y):
+                    # reference behaviour: scene change -> RC pivot + GOP
+                    # reinit (hmr_motion_inter.c:3791, reinit_gop flag)
+                    intra = self.cfg.reinit_gop_on_scene_change
                 if intra:
                     desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v), qp=qp)
@@ -378,6 +382,17 @@ class EncoderPipeline:
             yield self._emit(d2, r2y, r2u, r2v, src=fb, slice_type=SLICE_P,
                              qp=qb, poc=bt - self._idr_base,
                              refs_before=(bt - 1 - self._idr_base,))
+
+    def _scene_change(self, y: np.ndarray) -> bool:
+        """Cheap scene-change detector: mean absolute difference against the
+        previous reference luma. The reference instead counts intra-chosen
+        partitions (>70%%, hmr_motion_inter.c:3791); this build's P frames are
+        pure inter, so the pre-ME pixel metric plays that role."""
+        if self._last_recon is None:
+            return True
+        ref_y = self._last_recon[0]
+        mad = float(np.mean(np.abs(np.asarray(y, np.int32) - ref_y)))
+        return mad > 30.0
 
     def _tpu_ok(self) -> bool:
         return (self.backend in ("auto", "tpu")
