@@ -147,8 +147,107 @@ def _best_offset(diff, count, max_abs=MAX_OFFSET, positive=None):
     return o, dd
 
 
+def _block_sum(x: np.ndarray, by: int, bx: int) -> np.ndarray:
+    h, w = x.shape
+    return x.reshape(h // by, by, w // bx, bx).sum(axis=(1, 3))
+
+
+def _eo_stats_vec(src, rec, ctu):
+    """Per-class EO stats for one component: returns (dd[4,gh,gw],
+    offs[4,gh,gw,4]) — distortion delta and abs offsets per EO class."""
+    h, w = src.shape
+    gh, gw = h // ctu, w // ctu
+    diff = src.astype(np.int64) - rec.astype(np.int64)
+    dd_all = np.zeros((4, gh, gw), np.float64)
+    off_all = np.zeros((4, gh, gw, 4), np.int64)
+    for ec in range(4):
+        cat = _eo_categories(rec, ec)
+        for k, positive in ((1, True), (2, True), (3, False), (4, False)):
+            m = cat == k
+            cnt = _block_sum(m.astype(np.int64), ctu, ctu)
+            dsum = _block_sum(np.where(m, diff, 0), ctu, ctu)
+            o = np.where(cnt > 0, np.round(dsum / np.maximum(cnt, 1)), 0)
+            o = np.clip(o, -MAX_OFFSET, MAX_OFFSET).astype(np.int64)
+            o = np.maximum(o, 0) if positive else np.minimum(o, 0)
+            dd = cnt * o * o - 2 * o * dsum
+            bad = dd > 0
+            o = np.where(bad, 0, o)
+            dd = np.where(bad, 0, dd)
+            off_all[ec, :, :, k - 1] = np.abs(o)
+            dd_all[ec] += dd
+    return dd_all, off_all
+
+
+def _decide_component_vec(src, rec, ctu, lam, extra_bits):
+    """Vectorized per-CTU EO decision for one component."""
+    dd_all, off_all = _eo_stats_vec(src, rec, ctu)
+    cost = dd_all + lam * (extra_bits + off_all.sum(axis=3))
+    best_class = cost.argmin(axis=0)
+    gh, gw = best_class.shape
+    iy, ix = np.mgrid[0:gh, 0:gw]
+    best_cost = cost[best_class, iy, ix]
+    chosen = best_cost < lam * 1.0
+    best_off = off_all[best_class, iy, ix]
+    types = np.where(chosen, SAO_EDGE, SAO_OFF).astype(np.int32)
+    best_off = np.where(chosen[:, :, None], best_off, 0)
+    best_class = np.where(chosen, best_class, 0)
+    return types, best_class.astype(np.int32), best_off.astype(np.int32)
+
+
 def sao_decide(src_planes, rec_planes, ctu_size_luma: int,
                qp: int) -> SaoFrameParams:
+    """Vectorized SAO decision (uniform CTU grid fast path; falls back to the
+    reference-style per-CTU loop otherwise)."""
+    sy, su, sv = src_planes
+    h, w = sy.shape[:2]
+    cs = ctu_size_luma
+    if h % cs == 0 and w % cs == 0:
+        ry, ru, rv = rec_planes
+        lam = T.rd_lambda(qp, "I")
+        tl, el, ol = _decide_component_vec(np.asarray(sy), np.asarray(ry),
+                                           cs, lam, 6)
+        # chroma: shared type/class, joint cost over Cb+Cr
+        dd_u, off_u = _eo_stats_vec(np.asarray(su), np.asarray(ru), cs // 2)
+        dd_v, off_v = _eo_stats_vec(np.asarray(sv), np.asarray(rv), cs // 2)
+        costc = (dd_u + dd_v
+                 + lam * (8 + off_u.sum(axis=3) + off_v.sum(axis=3)))
+        ec_best = costc.argmin(axis=0)
+        gh, gw = ec_best.shape
+        iy, ix = np.mgrid[0:gh, 0:gw]
+        chosen_c = costc[ec_best, iy, ix] < lam * 1.0
+        params = SaoFrameParams.alloc(gh, gw)
+        params.type_luma[:] = tl
+        params.eo_class_luma[:] = el
+        params.offsets[:, :, 0] = ol
+        params.type_chroma[:] = np.where(chosen_c, SAO_EDGE, SAO_OFF)
+        params.eo_class_chroma[:] = np.where(chosen_c, ec_best, 0)
+        params.offsets[:, :, 1] = np.where(chosen_c[:, :, None],
+                                           off_u[ec_best, iy, ix], 0)
+        params.offsets[:, :, 2] = np.where(chosen_c[:, :, None],
+                                           off_v[ec_best, iy, ix], 0)
+        # merge flags where params identical to neighbours
+        def same_shift(ax, ay):
+            ok = np.ones((gh, gw), bool)
+            for arr in (params.type_luma, params.type_chroma,
+                        params.eo_class_luma, params.eo_class_chroma):
+                sh = np.roll(arr, (ay, ax), axis=(0, 1))
+                ok &= arr == sh
+            for arr in (params.band_pos, params.offsets):
+                sh = np.roll(arr, (ay, ax), axis=(0, 1))
+                ok &= (arr == sh).reshape(gh, gw, -1).all(axis=2)
+            return ok
+        left_same = same_shift(1, 0)
+        left_same[:, 0] = False
+        up_same = same_shift(0, 1)
+        up_same[0, :] = False
+        params.merge_left[:] = left_same
+        params.merge_up[:] = (~left_same) & up_same
+        return params
+    return _sao_decide_loop(src_planes, rec_planes, ctu_size_luma, qp)
+
+
+def _sao_decide_loop(src_planes, rec_planes, ctu_size_luma: int,
+                     qp: int) -> SaoFrameParams:
     """Choose SAO parameters per CTU from (source, deblocked recon).
     Simple mode: evaluate 4 EO classes + BO per component; lambda-weighted
     rate estimate; merge flags when identical to neighbor params."""
