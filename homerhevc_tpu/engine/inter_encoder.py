@@ -33,6 +33,7 @@ class TpuInterEncoder:
         self.gw, self.gh = self.w // cu, self.h // cu
         self.qp = cfg.qp
         self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
+        self.lam = float(T.rd_lambda(cfg.qp, "P"))
         self._jit = jax.jit(self._impl)
 
     # ---- device program -----------------------------------------------------
@@ -112,6 +113,7 @@ class TpuInterEncoder:
                                   self.ps.scaling_list_enabled)
         deq = dequantize(lvl, cu, self.qp, False, self.ps.scaling_list_enabled)
         rres = inverse_transform(deq, False)
+        lvl, rres = self._zero_force(resid, lvl, rres)
         nz = jnp.any(lvl != 0, axis=(-1, -2))
         rec = jnp.where(nz[:, None, None],
                         jnp.clip(pred + rres, 0, 255), pred)
@@ -135,6 +137,7 @@ class TpuInterEncoder:
             deqc = dequantize(lvlc, cuc, self.qp_c, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
+            lvlc, rrc = self._zero_force(resc, lvlc, rrc)
             nzc = jnp.any(lvlc != 0, axis=(-1, -2))
             recc = jnp.where(nzc[:, None, None],
                              jnp.clip(predc + rrc, 0, 255), predc)
@@ -155,6 +158,22 @@ class TpuInterEncoder:
         return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
                 recon_v.astype(jnp.uint8),
                 mvs.reshape(gh, gw, 2).astype(jnp.int16), ly, lu, lv)
+
+    def _zero_force(self, resid, lvl, rres):
+        """Reference-style residual zero-forcing (hmr_motion_inter.c:103):
+        per TU, drop the coded block when zero-distortion beats coded
+        distortion + lambda' * level-sum. Identical arithmetic to
+        golden.inter_frame.zero_force."""
+        r64 = resid.astype(jnp.float32)
+        ssd_zero = jnp.sum(r64 * r64, axis=(-1, -2))
+        dcoded = (resid - rres).astype(jnp.float32)
+        ssd_coded = jnp.sum(dcoded * dcoded, axis=(-1, -2))
+        rate = 4.0 * jnp.sum(jnp.abs(lvl), axis=(-1, -2)).astype(jnp.float32) \
+            + 16.0
+        drop = ssd_zero <= ssd_coded + self.lam * rate
+        lvl = jnp.where(drop[:, None, None], 0, lvl)
+        rres = jnp.where(drop[:, None, None], 0, rres)
+        return lvl, rres
 
     # ---- host driver ----------------------------------------------------------
 

@@ -113,82 +113,54 @@ def deblock_plane_luma(recon: np.ndarray, tu_size8: np.ndarray,
     h, w = out.shape
     h8, w8 = h // 8, w // 8
 
-    def run(vertical: bool):
-        edges = []  # (y, x) of 8x8 units whose left/top edge filters
+    def run_plain(vertical: bool):
         bs = bs_v if vertical else bs_h
-        for uy in range(h8):
-            for ux in range(w8):
-                if vertical and ux == 0:
-                    continue
-                if not vertical and uy == 0:
-                    continue
-                if bs[uy, ux] == 0:
-                    continue
-                edges.append((uy, ux))
-        if not edges:
+        mask = bs > 0
+        if vertical:
+            mask[:, 0] = False
+        else:
+            mask[0, :] = False
+        uys, uxs = np.nonzero(mask)
+        if uys.size == 0:
             return
-        N = len(edges)
-        p = np.zeros((N, 4, 4), np.int32)
-        q = np.zeros((N, 4, 4), np.int32)
-        qp = np.zeros(N, np.int32)
-        bsv = np.zeros(N, np.int32)
-        for i, (uy, ux) in enumerate(edges):
-            y0, x0 = uy * 8, ux * 8
-            if vertical:
-                for line in range(4):
-                    for k in range(4):
-                        p[i, line, k] = out[y0 + line, x0 - 1 - k]
-                        q[i, line, k] = out[y0 + line, x0 + k]
-                qp[i] = (qp_map8[uy, ux] + qp_map8[uy, ux - 1] + 1) >> 1
-            else:
-                for line in range(4):
-                    for k in range(4):
-                        p[i, line, k] = out[y0 - 1 - k, x0 + line]
-                        q[i, line, k] = out[y0 + k, x0 + line]
-                qp[i] = (qp_map8[uy, ux] + qp_map8[uy - 1, ux] + 1) >> 1
-            bsv[i] = bs[uy, ux]
-        # NOTE: each 8-row edge is two 4-line groups; here units are 8x8 so
-        # the edge segment is 8 lines -> split into two groups of 4
-        # (we process 4 lines at a time: edges list entries cover lines 0..3;
-        #  add the 4..7 group)
-        p2 = np.zeros_like(p); q2 = np.zeros_like(q)
-        for i, (uy, ux) in enumerate(edges):
-            y0, x0 = uy * 8, ux * 8
-            if vertical:
-                for line in range(4):
-                    for k in range(4):
-                        p2[i, line, k] = out[y0 + 4 + line, x0 - 1 - k]
-                        q2[i, line, k] = out[y0 + 4 + line, x0 + k]
-            else:
-                for line in range(4):
-                    for k in range(4):
-                        p2[i, line, k] = out[y0 - 1 - k, x0 + 4 + line]
-                        q2[i, line, k] = out[y0 + k, x0 + 4 + line]
-        pa = np.concatenate([p, p2]); qa = np.concatenate([q, q2])
-        qpa = np.concatenate([qp, qp]); bsa = np.concatenate([bsv, bsv])
-        bidx = _clip3(0, 51, qpa + beta_offset * 2)
-        beta = BETA_TABLE[bidx]
-        tidx = _clip3(0, 53, qpa + 2 * (bsa - 1) + tc_offset * 2)
-        tc = TC_TABLE[tidx]
-        np_, nq_ = _filter_luma_lines(pa, qa, beta, tc)
-        for i, (uy, ux) in enumerate(edges):
-            y0, x0 = uy * 8, ux * 8
-            for g, (pp, qq) in ((0, (np_[i], nq_[i])),
-                                (1, (np_[i + N], nq_[i + N]))):
-                off = g * 4
-                if vertical:
-                    for line in range(4):
-                        for k in range(3):
-                            out[y0 + off + line, x0 - 1 - k] = pp[line, k]
-                            out[y0 + off + line, x0 + k] = qq[line, k]
-                else:
-                    for line in range(4):
-                        for k in range(3):
-                            out[y0 - 1 - k, x0 + off + line] = pp[line, k]
-                            out[y0 + k, x0 + off + line] = qq[line, k]
+        uys2 = np.repeat(uys, 2)
+        uxs2 = np.repeat(uxs, 2)
+        goff = np.tile(np.array([0, 4]), uys.size)
+        lines = goff[:, None] + np.arange(4)[None, :]
+        taps = np.arange(4)
+        if vertical:
+            rows = (uys2 * 8)[:, None, None] + lines[:, :, None]       # (N,4,1)
+            pc = (uxs2 * 8)[:, None, None] - 1 - taps[None, None, :]   # (N,1,4)
+            qc = (uxs2 * 8)[:, None, None] + taps[None, None, :]
+            p = out[rows, pc]
+            q = out[rows, qc]
+            qp = (qp_map8[uys2, uxs2] + qp_map8[uys2, uxs2 - 1] + 1) >> 1
+        else:
+            cols = (uxs2 * 8)[:, None, None] + lines[:, :, None]
+            pr = (uys2 * 8)[:, None, None] - 1 - taps[None, None, :]
+            qr = (uys2 * 8)[:, None, None] + taps[None, None, :]
+            p = out[pr, cols]
+            q = out[qr, cols]
+            qp = (qp_map8[uys2, uxs2] + qp_map8[uys2 - 1, uxs2] + 1) >> 1
+        bsa = bs[uys2, uxs2]
+        beta = BETA_TABLE[_clip3(0, 51, qp + beta_offset * 2)]
+        tc = TC_TABLE[_clip3(0, 53, qp + 2 * (bsa - 1) + tc_offset * 2)]
+        np_, nq_ = _filter_luma_lines(p, q, beta, tc)
+        if vertical:
+            rows_b = np.broadcast_to(rows, (rows.shape[0], 4, 4))
+            pc_b = np.broadcast_to(pc, (pc.shape[0], 4, 4))
+            qc_b = np.broadcast_to(qc, (qc.shape[0], 4, 4))
+            out[rows_b[..., :3], pc_b[..., :3]] = np_[..., :3]
+            out[rows_b[..., :3], qc_b[..., :3]] = nq_[..., :3]
+        else:
+            cols_b = np.broadcast_to(cols, (cols.shape[0], 4, 4))
+            pr_b = np.broadcast_to(pr, (pr.shape[0], 4, 4))
+            qr_b = np.broadcast_to(qr, (qr.shape[0], 4, 4))
+            out[pr_b[..., :3], cols_b[..., :3]] = np_[..., :3]
+            out[qr_b[..., :3], cols_b[..., :3]] = nq_[..., :3]
 
-    run(True)
-    run(False)
+    run_plain(True)
+    run_plain(False)
     return out
 
 

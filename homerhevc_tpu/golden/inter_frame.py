@@ -26,6 +26,16 @@ from homerhevc_tpu.golden.transform import forward_transform, inverse_transform
 from homerhevc_tpu.golden.quantize import dequantize, quantize, sign_bit_hiding
 
 
+def zero_force(resid, lvl, rres, lam):
+    """Reference-style non-normative residual zero-forcing
+    (hmr_motion_inter.c:103): drop the quantized block when the all-zero
+    distortion beats coded distortion + lambda' * level-sum."""
+    ssd_zero = float(np.sum(resid.astype(np.int64) ** 2))
+    ssd_coded = float(np.sum((resid.astype(np.int64) - rres) ** 2))
+    rate = 4.0 * float(np.sum(np.abs(lvl))) + 16.0
+    return ssd_zero <= ssd_coded + lam * rate
+
+
 def full_pel_search(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
                     rng: int) -> tuple[int, int]:
     """Exhaustive full-pel search in [-rng, rng]^2 around (0,0).
@@ -87,6 +97,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
     recon_v = np.zeros_like(sv)
     sl = ps.scaling_list_enabled
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    lam = T.rd_lambda(qp, "P")
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
@@ -109,7 +120,11 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 lvl = sign_bit_hiding(lvl, coef, qp, False, T.SCAN_DIAG, sl)
             if np.any(lvl):
                 r = inverse_transform(dequantize(lvl, qp, False, sl), False)
-                recon_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + r, 0, 255)
+                if zero_force(resid, lvl, r, lam):
+                    lvl = np.zeros_like(lvl)
+                    recon_y[y0:y0 + n, x0:x0 + n] = pred
+                else:
+                    recon_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + r, 0, 255)
             else:
                 recon_y[y0:y0 + n, x0:x0 + n] = pred
             desc.coef_y[y0:y0 + n, x0:x0 + n] = lvl.astype(np.int16)
@@ -128,8 +143,12 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 if np.any(clvl):
                     cr = inverse_transform(dequantize(clvl, qp_c, False, sl),
                                            False)
-                    recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = \
-                        np.clip(cpred + cr, 0, 255)
+                    if zero_force(cres, clvl, cr, lam):
+                        clvl = np.zeros_like(clvl)
+                        recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
+                    else:
+                        recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = \
+                            np.clip(cpred + cr, 0, 255)
                 else:
                     recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
                 coefs[cy0:cy0 + nc, cx0:cx0 + nc] = clvl.astype(np.int16)
