@@ -23,7 +23,7 @@ from homerhevc_tpu.ops.transform import forward_transform, inverse_transform
 
 class TpuInterEncoder:
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16,
-                 search: int = 8):
+                 search: int = 16):
         self.ps = ps
         self.cfg = cfg
         self.cu = cu
@@ -47,27 +47,33 @@ class TpuInterEncoder:
         sv = src_v.astype(jnp.int32)
         ry = ref_y.astype(jnp.int32)
 
-        # ---- ME: SAD maps via shifted-plane block sums ----
+        # ---- ME: SAD maps via shifted-plane block sums, lambda-rate cost ----
+        # Mirrors golden.inter_frame.full_pel_field: pass 1 = global-motion
+        # prior (argmin whole-frame SAD), pass 2 = per-block
+        # argmin SAD + (lam16 * mvd_bits(mv - prior)) >> 4.
         pad = jnp.pad(ry, R, mode="edge")
         side = 2 * R + 1
+        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
+        mvd_bits = jnp.asarray(T.MVD_BITS)
 
-        def me_body(k, carry):
-            best_cost, best_idx = carry
+        def sad_k(k):
             dy = k // side - R
             dx = k % side - R
             shifted = jax.lax.dynamic_slice(pad, (R + dy, R + dx),
                                             (self.h, self.w))
             d = jnp.abs(sy - shifted)
-            sad = d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
-            cost = sad + (jnp.abs(dx) + jnp.abs(dy))
-            better = cost < best_cost  # strict: keeps first min like golden
-            return (jnp.where(better, cost, best_cost),
-                    jnp.where(better, k, best_idx))
+            return d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
 
-        best_cost = jnp.full((gh, gw), 1 << 30, jnp.int32)
-        best_idx = jnp.zeros((gh, gw), jnp.int32)
-        best_cost, best_idx = jax.lax.fori_loop(
-            0, side * side, me_body, (best_cost, best_idx))
+        sads = jax.lax.map(sad_k, jnp.arange(side * side, dtype=jnp.int32))
+        g = jnp.argmin(sads.sum(axis=(1, 2)))
+        prior = jnp.stack([4 * (g % side - R), 4 * (g // side - R)]) \
+            .astype(jnp.int32)
+        ks = jnp.arange(side * side, dtype=jnp.int32)
+        rate = (mvd_bits[jnp.abs(4 * (ks % side - R) - prior[0])]
+                + mvd_bits[jnp.abs(4 * (ks // side - R) - prior[1])])
+        cost = sads + ((lam16 * rate) >> 4)[:, None, None]
+        best_idx = jnp.argmin(cost.reshape(side * side, -1), axis=0) \
+            .reshape(gh, gw).astype(jnp.int32)
         dyx = jnp.stack([best_idx // side - R, best_idx % side - R], axis=-1)
         mvs = (jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1) * 4) \
             .reshape(gh * gw, 2)                            # qpel (x, y)
@@ -91,8 +97,9 @@ class TpuInterEncoder:
                     cand = mv_cur + jnp.asarray([dx, dy], jnp.int32)
                     p = mc_luma_batch(ref_padL, padL, x0s, y0s, cu, cand)
                     sad = jnp.sum(jnp.abs(src_blk - p), axis=(-1, -2))
-                    cost = sad + ((jnp.abs(cand[:, 0])
-                                   + jnp.abs(cand[:, 1])) >> 2)
+                    rt = (mvd_bits[jnp.abs(cand[:, 0] - prior[0])]
+                          + mvd_bits[jnp.abs(cand[:, 1] - prior[1])])
+                    cost = sad + ((lam16 * rt) >> 4)
                     better = cost < bc
                     bc = jnp.where(better, cost, bc)
                     bmv = jnp.where(better[:, None], cand, bmv)

@@ -36,34 +36,60 @@ def zero_force(resid, lvl, rres, lam):
     return ssd_zero <= ssd_coded + lam * rate
 
 
-def full_pel_search(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
-                    rng: int) -> tuple[int, int]:
-    """Exhaustive full-pel search in [-rng, rng]^2 around (0,0).
-    Tie-break: first minimum in (dy, dx) raster order of the window —
-    the device implementation uses the identical ordering."""
-    n = src_blk.shape[0]
-    H, W = ref.shape
-    best = (1 << 60, 0, 0)
-    src = src_blk.astype(np.int32)
-    for dy in range(-rng, rng + 1):
-        for dx in range(-rng, rng + 1):
-            ys = np.clip(np.arange(y0 + dy, y0 + dy + n), 0, H - 1)
-            xs = np.clip(np.arange(x0 + dx, x0 + dx + n), 0, W - 1)
-            cand = ref[np.ix_(ys, xs)].astype(np.int32)
-            sad = int(np.abs(src - cand).sum())
-            # small zero-bias like the reference's mv-cost
-            cost = sad + (abs(dx) + abs(dy))
-            if cost < best[0]:
-                best = (cost, dx, dy)
-    return best[1], best[2]
+def mv_rate(mvx_q, mvy_q, prior_q) -> np.ndarray:
+    """mvd bin count of (mvx, mvy) against the prior, quarter-pel units.
+    Works elementwise on arrays; identical table lookup on device."""
+    bx = T.MVD_BITS[np.minimum(np.abs(mvx_q - prior_q[0]),
+                               len(T.MVD_BITS) - 1)]
+    by = T.MVD_BITS[np.minimum(np.abs(mvy_q - prior_q[1]),
+                               len(T.MVD_BITS) - 1)]
+    return bx + by
+
+
+def full_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng: int,
+                   lam16: int) -> np.ndarray:
+    """Full-pel ME for ALL n x n blocks of the frame at once.
+
+    Two passes over the (2*rng+1)^2 window of edge-clamped plane shifts:
+    pass 1 picks the global prior (offset minimising the whole-frame SAD —
+    a global-motion estimate), pass 2 picks per-block
+    argmin SAD + (lam16 * mvd_bits(mv - prior)) >> 4.  The lambda-weighted
+    rate term is what keeps the motion field coherent (reference parity:
+    hmr_motion_inter.c mv cost via est_mvd_bits); a pure min-SAD field
+    scatters on content with several motion layers and explodes the
+    residual + mvd rate.  Tie-break: first minimum in (dy, dx) raster
+    order (device uses jnp.argmin over the identically-ordered axis).
+    Returns (gh, gw, 2) full-pel (dx, dy).
+    """
+    H, W = sy.shape
+    gh, gw = H // n, W // n
+    side = 2 * rng + 1
+    pad = np.pad(ref, rng, mode="edge")
+    src = sy.astype(np.int32)
+    sads = np.empty((side * side, gh, gw), np.int32)
+    for k in range(side * side):
+        dy, dx = k // side - rng, k % side - rng
+        sh = pad[rng + dy:rng + dy + H, rng + dx:rng + dx + W].astype(np.int32)
+        d = np.abs(src - sh)
+        sads[k] = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
+    g = int(sads.sum(axis=(1, 2)).argmin())
+    prior = np.asarray([4 * (g % side - rng), 4 * (g // side - rng)],
+                       np.int32)
+    ks = np.arange(side * side, dtype=np.int32)
+    rate = mv_rate(4 * (ks % side - rng), 4 * (ks // side - rng), prior)
+    cost = sads + ((lam16 * rate.astype(np.int32)) >> 4)[:, None, None]
+    best = cost.reshape(side * side, -1).argmin(axis=0).reshape(gh, gw)
+    mv = np.stack([(best % side - rng), (best // side - rng)], axis=-1)
+    return mv.astype(np.int32), prior
 
 
 def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
-                  mv_q: tuple[int, int], step: int) -> tuple[int, int]:
+                  mv_q: tuple[int, int], step: int, prior_q, lam16: int
+                  ) -> tuple[int, int]:
     """One refinement stage around mv_q (quarter-pel units) with the given
     step (2 = half-pel, 1 = quarter-pel). Evaluates the 3x3 neighbourhood in
     (dy, dx) raster order, strict '<' (identical ordering on device).
-    Cost = SAD + (|mvx|+|mvy|) >> 2 (same bias unit as the full-pel stage)."""
+    Cost = SAD + (lam16 * mvd_bits(mv - prior)) >> 4."""
     n = src_blk.shape[0]
     src = src_blk.astype(np.int32)
     best = (1 << 60, mv_q[0], mv_q[1])
@@ -72,14 +98,14 @@ def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
             mvx, mvy = mv_q[0] + dx, mv_q[1] + dy
             pred = mc_luma(ref, x0, y0, n, mvx, mvy)
             sad = int(np.abs(src - pred).sum())
-            cost = sad + ((abs(mvx) + abs(mvy)) >> 2)
+            cost = sad + ((lam16 * int(mv_rate(mvx, mvy, prior_q))) >> 4)
             if cost < best[0]:
                 best = (cost, mvx, mvy)
     return best[1], best[2]
 
 
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
-                       cu_size: int = 16, search: int = 8,
+                       cu_size: int = 16, search: int = 16,
                        is_b: bool = False):
     """Encode one P frame (pure inter, 2Nx2N CUs). Returns
     (FrameDesc, recon_y, recon_u, recon_v)."""
@@ -101,16 +127,19 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
+    lam16 = T.lambda_me_x16(qp)
+    fp_mv, prior_q = full_pel_field(sy, ry_ref, n, search, lam16)
     for gy in range(gh):
         for gx in range(gw):
             x0, y0 = gx * n, gy * n
             src_blk = sy[y0:y0 + n, x0:x0 + n]
-            dx, dy = full_pel_search(src_blk, ry_ref, x0, y0, search)
-            mv = (4 * dx, 4 * dy)
+            mv = (4 * int(fp_mv[gy, gx, 0]), 4 * int(fp_mv[gy, gx, 1]))
             if me_prec >= 1:  # half-pel
-                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2)
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2,
+                                   prior_q, lam16)
             if me_prec >= 2:  # quarter-pel
-                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1)
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
+                                   prior_q, lam16)
             desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
             pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
             resid = src_blk - pred

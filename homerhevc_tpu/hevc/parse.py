@@ -15,7 +15,7 @@ import numpy as np
 from homerhevc_tpu.hevc import tables as T
 from homerhevc_tpu.hevc.cabac_dec import CabacDecoder
 from homerhevc_tpu.hevc.ctx_tables import OFF
-from homerhevc_tpu.hevc.headers import ParamSets, SLICE_I
+from homerhevc_tpu.hevc.headers import ParamSets, SLICE_B, SLICE_I
 from homerhevc_tpu.hevc.syntax import (
     CTX_IND_MAP_4x4, FrameDesc, INTRA_DC, mpm_candidates, SliceDataEncoder,
 )
@@ -25,7 +25,7 @@ class SliceDataParser:
     def __init__(self, ps: ParamSets, width: int, height: int,
                  dec: CabacDecoder, slice_type: int = SLICE_I,
                  slice_qp: int = 32, trace: bool = False,
-                 sao_enabled: bool = False):
+                 sao_enabled: bool = False, mvd_l1_zero: bool = False):
         self.ps = ps
         self.d = FrameDesc.alloc(width, height)
         self.e = dec
@@ -40,6 +40,10 @@ class SliceDataParser:
             self.sao = SaoFrameParams.alloc(
                 -(-height // ps.ctu_size), -(-width // ps.ctu_size))
         self._coded_mask = np.zeros((height // 8, width // 8), bool)
+        self.mvd_l1_zero = mvd_l1_zero
+        self.max_merge = 5
+        self.part_stats: dict = {}
+        self.pu_stats = {"l0": 0, "l1": 0, "bi": 0}
 
     def _t(self, *args):
         if self.trace:
@@ -217,8 +221,10 @@ class SliceDataParser:
         self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
                              intra_split, max_depth, True, True)
 
-    def _parse_merge_idx(self, max_cand: int = 5) -> int:
+    def _parse_merge_idx(self, max_cand: int | None = None) -> int:
         e = self.e
+        if max_cand is None:
+            max_cand = self.max_merge
         if max_cand <= 1:
             return 0
         if not e.decode_bin(OFF["merge_idx"]):
@@ -282,33 +288,94 @@ class SliceDataParser:
             suffix = (suffix << 1) | e.decode_bypass()
         return v + suffix
 
-    def _inter_cu(self, x0, y0, log2_size, sl8):
+    def _parse_inter_part(self, log2_size) -> str:
+        """Inverse of part_mode binarization for inter CUs, AMP off
+        (spec 9.3.3.7; reference writer hmr_arithmetic_encoding.c:436)."""
+        e = self.e
+        if e.decode_bin(OFF["part_size"]):
+            return "2Nx2N"
+        if e.decode_bin(OFF["part_size"] + 1):
+            return "2NxN"
+        if log2_size == self.ps.log2_min_cb and log2_size > 3:
+            if e.decode_bin(OFF["part_size"] + 2):
+                return "Nx2N"
+            return "NxN"
+        return "Nx2N"
+
+    def _parse_pu_motion(self, x0, y0, pw, ph, depth, sl8, pu_idx, n_pu):
+        """Motion info for one PU (merge or AMVP; B adds inter_pred_idc —
+        reference hmr_arithmetic_encoding.c:643,785)."""
         ps, e, d = self.ps, self.e, self.d
-        size = 1 << log2_size
-        part = e.decode_bin(OFF["part_size"])
-        assert part == 1, "only 2Nx2N inter supported"
         merge = e.decode_bin(OFF["merge_flag"])
         if merge:
             idx = self._parse_merge_idx()
-            self._apply_merge(x0, y0, size, idx, sl8)
+            self._apply_merge(x0, y0, max(pw, ph), idx, sl8)
             d.inter_mode[sl8] = 1
-            rcbf = 1  # inferred for merge 2Nx2N
-        else:
-            mvd_x, mvd_y = self._parse_mvd()
+            return True
+        bi = False
+        lst = 0
+        if self.slice_type == SLICE_B:
+            if n_pu == 1 or max(pw, ph) != 8:
+                bi = bool(e.decode_bin(OFF["inter_dir"] + depth))
+            if not bi:
+                lst = e.decode_bin(OFF["inter_dir"] + 4)
+        self.pu_stats["bi" if bi else ("l1" if lst else "l0")] += 1
+        mv = None
+        for ref_list in ((0, 1) if bi else (lst,)):
+            if bi and ref_list == 1 and self.mvd_l1_zero:
+                mvd_x = mvd_y = 0
+            else:
+                mvd_x, mvd_y = self._parse_mvd()
             f = e.decode_bin(OFF["mvp_idx"])
             from homerhevc_tpu.hevc.inter import amvp_candidates
-            mvp = amvp_candidates(self._motion_field(), x0, y0, size,
+            mvp = amvp_candidates(self._motion_field(), x0, y0, max(pw, ph),
                                   ps.ctu_size, d.width, d.height)
-            d.mv[sl8[0], sl8[1], 0] = mvp[f][0] + mvd_x
-            d.mv[sl8[0], sl8[1], 1] = mvp[f][1] + mvd_y
-            d.mvp_flag[sl8] = f
-            d.inter_mode[sl8] = 2
-            self._mark_coded(sl8)
+            if mv is None:  # keep L0 (or the single list) in the map
+                mv = (mvp[f][0] + mvd_x, mvp[f][1] + mvd_y)
+                d.mvp_flag[sl8] = f
+        d.mv[sl8[0], sl8[1], 0] = mv[0]
+        d.mv[sl8[0], sl8[1], 1] = mv[1]
+        d.inter_mode[sl8] = 2
+        self._mark_coded(sl8)
+        return False
+
+    def _inter_cu(self, x0, y0, log2_size, sl8):
+        ps, e, d = self.ps, self.e, self.d
+        size = 1 << log2_size
+        depth = ps.log2_ctu - log2_size
+        part = self._parse_inter_part(log2_size)
+        self.part_stats[part] = self.part_stats.get(part, 0) + 1
+        if part == "2Nx2N":
+            pus = [(x0, y0, size, size)]
+        elif part == "2NxN":
+            pus = [(x0, y0, size, size // 2),
+                   (x0, y0 + size // 2, size, size // 2)]
+        elif part == "Nx2N":
+            pus = [(x0, y0, size // 2, size),
+                   (x0 + size // 2, y0, size // 2, size)]
+        else:
+            h = size // 2
+            pus = [(x0, y0, h, h), (x0 + h, y0, h, h),
+                   (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)]
+        all_merge = True
+        for i, (px, py, pw, ph) in enumerate(pus):
+            psl8 = (slice(py // 8, (py + ph) // 8 or py // 8 + 1),
+                    slice(px // 8, (px + pw) // 8 or px // 8 + 1))
+            m = self._parse_pu_motion(px, py, pw, ph, depth, psl8,
+                                      i, len(pus))
+            all_merge = all_merge and m
+        if part == "2Nx2N" and all_merge:
+            rcbf = 1  # inferred for merge 2Nx2N
+        else:
             rcbf = e.decode_bin(OFF["qt_root_cbf"])
         d.root_cbf[sl8] = rcbf
         if rcbf:
+            # interSplitFlag: max_tr_depth_inter==0 with a non-square
+            # partition forces one split (spec 7.4.9.8)
+            forced = (ps.max_tr_depth_inter == 0 and part != "2Nx2N")
             self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
-                                 False, ps.max_tr_depth_inter, True, True)
+                                 forced, ps.max_tr_depth_inter
+                                 + (1 if forced else 0), True, True)
 
     def _transform_tree(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
                         intra_split, max_depth, parent_cbf_cb, parent_cbf_cr):

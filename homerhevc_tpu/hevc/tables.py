@@ -88,6 +88,34 @@ def rd_lambda(qp: int, slice_type: str = "I") -> float:
     return qp_factor * (2.0 ** ((qp - 12) / 3.0))
 
 
+def lambda_me_x16(qp: int) -> int:
+    """Motion-search lambda in the SAD domain (sqrt of the SSD-domain
+    lambda, HM-style), as a x16 fixed-point integer so golden (numpy) and
+    device (jax int32) cost arithmetic are bit-identical."""
+    import math
+    return int(math.sqrt(rd_lambda(qp, "P")) * 16.0 + 0.5)
+
+
+def _mvd_bits_one(v: int) -> int:
+    """Exact CABAC bin count of one mvd component (syntax.py mvd writer:
+    greater0 + greater1 + EG1(v-2) + sign)."""
+    v = abs(v)
+    if v == 0:
+        return 1
+    if v == 1:
+        return 3  # g0=1, g1=0, sign
+    u, k, bits = v - 2, 1, 2  # g0, g1
+    while u >= (1 << k):
+        u -= 1 << k
+        k += 1
+        bits += 1
+    return bits + 1 + k + 1  # prefix stop + suffix + sign
+
+
+# mvd rate table (quarter-pel units). Indexed by |mvd| clamped to the end.
+MVD_BITS = np.asarray([_mvd_bits_one(v) for v in range(2048)], np.int32)
+
+
 # --- Scan orders (spec 6.5.3 up-right diagonal, 6.5.4 hor/ver) --------------
 
 SCAN_DIAG, SCAN_HOR, SCAN_VER = 0, 1, 2
