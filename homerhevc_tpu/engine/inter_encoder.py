@@ -38,7 +38,7 @@ class TpuInterEncoder:
 
     # ---- device program -----------------------------------------------------
 
-    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v):
+    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult):
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
         R = self.search
@@ -64,7 +64,16 @@ class TpuInterEncoder:
             d = jnp.abs(sy - shifted)
             return d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
 
-        sads = jax.lax.map(sad_k, jnp.arange(side * side, dtype=jnp.int32))
+        # chunked map: vmap CH shifts per scan step (single sequential map
+        # over 1089 offsets leaves the VPU idle; CH-wide batches keep it fed
+        # without materialising 1089 full planes at once)
+        CH = 33
+        n_off = side * side
+        n_pad = -(-n_off // CH) * CH
+        ks_all = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, CH)
+        ks_all = jnp.minimum(ks_all, n_off - 1)
+        sads = jax.lax.map(jax.vmap(sad_k), ks_all).reshape(-1, gh, gw)
+        sads = sads[:n_off]
         g = jnp.argmin(sads.sum(axis=(1, 2)))
         prior = jnp.stack([4 * (g % side - R), 4 * (g // side - R)]) \
             .astype(jnp.int32)
@@ -120,7 +129,7 @@ class TpuInterEncoder:
                                   self.ps.scaling_list_enabled)
         deq = dequantize(lvl, cu, self.qp, False, self.ps.scaling_list_enabled)
         rres = inverse_transform(deq, False)
-        lvl, rres = self._zero_force(resid, lvl, rres)
+        lvl, rres = self._zero_force(resid, lvl, rres, zf_mult)
         nz = jnp.any(lvl != 0, axis=(-1, -2))
         rec = jnp.where(nz[:, None, None],
                         jnp.clip(pred + rres, 0, 255), pred)
@@ -144,7 +153,7 @@ class TpuInterEncoder:
             deqc = dequantize(lvlc, cuc, self.qp_c, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
-            lvlc, rrc = self._zero_force(resc, lvlc, rrc)
+            lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
             nzc = jnp.any(lvlc != 0, axis=(-1, -2))
             recc = jnp.where(nzc[:, None, None],
                              jnp.clip(predc + rrc, 0, 255), predc)
@@ -166,33 +175,39 @@ class TpuInterEncoder:
                 recon_v.astype(jnp.uint8),
                 mvs.reshape(gh, gw, 2).astype(jnp.int16), ly, lu, lv)
 
-    def _zero_force(self, resid, lvl, rres):
-        """Reference-style residual zero-forcing (hmr_motion_inter.c:103):
-        per TU, drop the coded block when zero-distortion beats coded
-        distortion + lambda' * level-sum. Identical arithmetic to
-        golden.inter_frame.zero_force."""
+    def _zero_force(self, resid, lvl, rres, zf_mult):
+        """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
+        per TU, drop the coded block when
+        ssd_zero <= ssd_coded + clip(avg_dist/2.5 - 5, 1, 20000) * sum|lvl|.
+        zf_mult is the clipped multiplier, tracked per frame by the pipeline
+        from the previous frame's average 4x4 distortion (adaptive: as
+        distortion rises the encoder stops chasing reference-frame quant
+        noise). Identical arithmetic to golden.inter_frame.zero_force."""
         r64 = resid.astype(jnp.float32)
         ssd_zero = jnp.sum(r64 * r64, axis=(-1, -2))
         dcoded = (resid - rres).astype(jnp.float32)
         ssd_coded = jnp.sum(dcoded * dcoded, axis=(-1, -2))
-        rate = 4.0 * jnp.sum(jnp.abs(lvl), axis=(-1, -2)).astype(jnp.float32) \
-            + 16.0
-        drop = ssd_zero <= ssd_coded + self.lam * rate
+        lsum = jnp.sum(jnp.abs(lvl), axis=(-1, -2)).astype(jnp.float32)
+        drop = ssd_zero <= ssd_coded + zf_mult * lsum
         lvl = jnp.where(drop[:, None, None], 0, lvl)
         rres = jnp.where(drop[:, None, None], 0, rres)
         return lvl, rres
 
     # ---- host driver ----------------------------------------------------------
 
-    def encode_frame(self, src, ref, is_b: bool = False):
+    def encode_frame(self, src, ref, is_b: bool = False,
+                     avg_dist: float = 1000.0):
+        from homerhevc_tpu.golden.inter_frame import zf_multiplier
         y, u, v = src
         ry, ru, rv = ref
+        zf_mult = zf_multiplier(avg_dist, self.qp)
         out = self._jit(jnp.asarray(np.asarray(y, np.uint8)),
                         jnp.asarray(np.asarray(u, np.uint8)),
                         jnp.asarray(np.asarray(v, np.uint8)),
                         jnp.asarray(np.asarray(ry, np.uint8)),
                         jnp.asarray(np.asarray(ru, np.uint8)),
-                        jnp.asarray(np.asarray(rv, np.uint8)))
+                        jnp.asarray(np.asarray(rv, np.uint8)),
+                        jnp.float32(zf_mult))
         recon_y, recon_u, recon_v, mvs, ly, lu, lv = map(np.asarray, out)
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)

@@ -42,6 +42,7 @@ class EncoderPipeline:
         self._queue: list = []
         self._pending = None  # (device arrays, frames) awaiting fetch
         self._last_recon = None  # filtered recon planes of previous frame
+        self.avg_dist = 1000.0   # reference init, hmr_encoder_lib.c:913
         self.gop_poc = 0
         from homerhevc_tpu.engine.rate_control import RateControl
         self.rc = RateControl(cfg)
@@ -90,11 +91,12 @@ class EncoderPipeline:
                 cfgq = dataclasses.replace(self.cfg, qp=qp)
                 self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
             desc, ry, ru, rv = self._tpu_inter_by_qp[qp].encode_frame(
-                (y, u, v), ref, is_b=is_b)
+                (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
         else:
             from homerhevc_tpu.golden.inter_frame import encode_inter_frame
             desc, ry, ru, rv = encode_inter_frame(
-                self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b)
+                self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
+                avg_dist=self.avg_dist)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             import numpy as np
@@ -253,6 +255,13 @@ class EncoderPipeline:
             self._last_recon = (np.asarray(ry, np.int32),
                                 np.asarray(ru, np.int32),
                                 np.asarray(rv, np.int32))
+        if src is not None:
+            # average luma distortion per 4x4 partition, feeding the adaptive
+            # inter zero-forcing threshold (reference avg_dist,
+            # hmr_encoder_lib.c:3215-3233: x1.5 after I frames)
+            d = np.asarray(ry, np.int64) - np.asarray(src[0], np.int64)
+            avg = float((d * d).sum()) / (d.size / 16.0)
+            self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ef = EncodedFrame(self.poc, ftype, nals,
                           recon={"y": ry.astype(np.uint8),

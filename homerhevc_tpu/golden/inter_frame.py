@@ -19,21 +19,43 @@ import numpy as np
 
 from homerhevc_tpu.hevc import tables as T
 from homerhevc_tpu.hevc.headers import ParamSets
-from homerhevc_tpu.hevc.inter import MotionField, amvp_candidates, merge_candidates
+from homerhevc_tpu.hevc.inter import (
+    MERGE_MAX, MotionField, amvp_candidates, merge_candidates,
+)
 from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER
 from homerhevc_tpu.golden.interp import mc_chroma, mc_luma
 from homerhevc_tpu.golden.transform import forward_transform, inverse_transform
 from homerhevc_tpu.golden.quantize import dequantize, quantize, sign_bit_hiding
 
 
-def zero_force(resid, lvl, rres, lam):
-    """Reference-style non-normative residual zero-forcing
-    (hmr_motion_inter.c:103): drop the quantized block when the all-zero
-    distortion beats coded distortion + lambda' * level-sum."""
-    ssd_zero = float(np.sum(resid.astype(np.int64) ** 2))
-    ssd_coded = float(np.sum((resid.astype(np.int64) - rres) ** 2))
-    rate = 4.0 * float(np.sum(np.abs(lvl))) + 16.0
-    return ssd_zero <= ssd_coded + lam * rate
+def zero_force(resid, lvl, rres, zf_mult):
+    """Reference-parity non-normative residual zero-forcing
+    (hmr_motion_inter.c:106): drop the quantized block when
+    ssd_zero <= ssd_coded + clip(avg_dist/2.5 - 5, 1, 20000) * sum|lvl|.
+    zf_mult is the clipped multiplier derived from the previous frame's
+    average 4x4 distortion (adaptive feedback: stops the encoder from
+    spending bits correcting the reference picture's own quant noise).
+    float32 arithmetic so the device path is bit-identical."""
+    r32 = resid.astype(np.float32)
+    ssd_zero = np.float32(np.sum(r32 * r32))
+    d32 = (resid - rres).astype(np.float32)
+    ssd_coded = np.float32(np.sum(d32 * d32))
+    lsum = np.float32(np.sum(np.abs(lvl)))
+    return ssd_zero <= ssd_coded + np.float32(zf_mult) * lsum
+
+
+def zf_multiplier(avg_dist: float, qp: int) -> float:
+    """clip(avg_dist/2.5 - 5, 1, cap) — reference hmr_motion_inter.c:59.
+
+    The reference clips at 20000 but is stabilized by its CU-tree RDO and
+    intra fallback (a CU whose zeroed-inter cost explodes is re-coded
+    another way). This build has neither yet, so the adaptive threshold
+    alone is a positive-feedback loop (more zeroing -> higher distortion ->
+    higher threshold). Cap at 6*lambda(qp): the RD-consistent value for
+    ~4-6 bins/level, which is also where the reference's own threshold
+    sits at its equilibrium (avg_dist ~ 1000 at QP32)."""
+    cap = 6.0 * T.rd_lambda(qp, "P")
+    return float(np.clip(avg_dist / 2.5 - 5.0, 1.0, cap))
 
 
 def mv_rate(mvx_q, mvy_q, prior_q) -> np.ndarray:
@@ -106,7 +128,7 @@ def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
 
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
-                       is_b: bool = False):
+                       is_b: bool = False, avg_dist: float = 1000.0):
     """Encode one P frame (pure inter, 2Nx2N CUs). Returns
     (FrameDesc, recon_y, recon_u, recon_v)."""
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
@@ -123,7 +145,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
     recon_v = np.zeros_like(sv)
     sl = ps.scaling_list_enabled
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
-    lam = T.rd_lambda(qp, "P")
+    zf_mult = zf_multiplier(avg_dist, qp)
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
@@ -149,7 +171,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 lvl = sign_bit_hiding(lvl, coef, qp, False, T.SCAN_DIAG, sl)
             if np.any(lvl):
                 r = inverse_transform(dequantize(lvl, qp, False, sl), False)
-                if zero_force(resid, lvl, r, lam):
+                if zero_force(resid, lvl, r, zf_mult):
                     lvl = np.zeros_like(lvl)
                     recon_y[y0:y0 + n, x0:x0 + n] = pred
                 else:
@@ -172,7 +194,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 if np.any(clvl):
                     cr = inverse_transform(dequantize(clvl, qp_c, False, sl),
                                            False)
-                    if zero_force(cres, clvl, cr, lam):
+                    if zero_force(cres, clvl, cr, zf_mult):
                         clvl = np.zeros_like(clvl)
                         recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
                     else:
@@ -193,6 +215,114 @@ def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
     Shared by the golden and device paths (pure host logic). In B slices the
     zero-fill merge candidates are bi-predictive, so matching is restricted
     to the spatial candidates (L0-uni B path)."""
+    if cu_size == ps.ctu_size and desc.width % cu_size == 0 \
+            and desc.height % cu_size == 0:
+        _select_inter_syntax_vec(ps, desc, cu_size, is_b)
+        return
+    _select_inter_syntax_loop(ps, desc, cu_size, is_b)
+
+
+def _select_inter_syntax_vec(ps: ParamSets, desc: FrameDesc, n: int,
+                             is_b: bool) -> None:
+    """Vectorized specialization of the per-CU loop for cu_size == ctu_size
+    (the device path). With one CU per CTU, z-scan precedence collapses to
+    raster CTU order: A1/B1/B0/B2 availability is pure grid geometry and A0
+    (below-left) is never coded yet. Output is identical to the loop
+    version (tests/test_inter.py::test_select_syntax_vec_matches_loop)."""
+    w, h = desc.width, desc.height
+    gh, gw = h // n, w // n
+    r8 = n // 8
+    mv = desc.mv[::r8, ::r8].astype(np.int64)            # (gh, gw, 2)
+    inter = (desc.pred_mode[::r8, ::r8] == MODE_INTER)
+
+    # residual presence per CU
+    def blk_any(plane, m):
+        return plane.reshape(gh, m, gw, m).any(axis=(1, 3))
+    has_res = (blk_any(desc.coef_y, n) | blk_any(desc.coef_u, n // 2)
+               | blk_any(desc.coef_v, n // 2))
+
+    OFFP = np.int64(1) << 16                 # bias so components stay >= 0
+    pack = (mv[..., 0] + OFFP) * (1 << 33) + (mv[..., 1] + OFFP)
+    ZEROP = OFFP * (1 << 33) + OFFP          # pack of mv == (0, 0)
+    SENT = np.int64(1) << 62
+    v_a1 = np.zeros((gh, gw), bool); p_a1 = np.full((gh, gw), SENT)
+    v_a1[:, 1:] = inter[:, :-1]; p_a1[:, 1:] = pack[:, :-1]
+    v_b1 = np.zeros((gh, gw), bool); p_b1 = np.full((gh, gw), SENT)
+    v_b1[1:, :] = inter[:-1, :]; p_b1[1:, :] = pack[:-1, :]
+    v_b0 = np.zeros((gh, gw), bool); p_b0 = np.full((gh, gw), SENT)
+    v_b0[1:, :-1] = inter[:-1, 1:]; p_b0[1:, :-1] = pack[:-1, 1:]
+    v_b2 = np.zeros((gh, gw), bool); p_b2 = np.full((gh, gw), SENT)
+    v_b2[1:, 1:] = inter[:-1, :-1]; p_b2[1:, 1:] = pack[:-1, :-1]
+    p_a1 = np.where(v_a1, p_a1, SENT)
+    p_b1 = np.where(v_b1, p_b1, SENT)
+    p_b0 = np.where(v_b0, p_b0, SENT)
+    p_b2 = np.where(v_b2, p_b2, SENT)
+
+    kept_a1 = v_a1
+    kept_b1 = v_b1 & ~(v_a1 & (p_b1 == p_a1))
+    kept_b0 = v_b0 & ~(v_b1 & (p_b0 == p_b1))
+    kept_b2 = v_b2 & ~(v_a1 & (p_b2 == p_a1)) & ~(v_b1 & (p_b2 == p_b1))
+
+    pos_a1 = np.zeros((gh, gw), np.int32)
+    pos_b1 = kept_a1.astype(np.int32)
+    pos_b0 = pos_b1 + kept_b1
+    pos_b2 = pos_b0 + kept_b0
+    n_spatial = pos_b2 + kept_b2
+
+    cur = pack
+    BIG = np.int32(99)
+    k = np.full((gh, gw), BIG, np.int32)
+    for kept, p, pos in ((kept_b2, p_b2, pos_b2), (kept_b0, p_b0, pos_b0),
+                         (kept_b1, p_b1, pos_b1), (kept_a1, p_a1, pos_a1)):
+        m = kept & (p == cur)
+        k = np.where(m, pos, k)
+    if not is_b:
+        zfill = (cur == ZEROP) & (n_spatial < MERGE_MAX) & (k == BIG)
+        k = np.where(zfill, n_spatial, k)
+    merged = k != BIG
+
+    # AMVP (mv_a = A1 since A0 is never coded; mv_b = first of B0, B1, B2)
+    mva_p = np.where(v_a1, p_a1, SENT)
+    mvb_p = np.where(v_b0, p_b0, np.where(v_b1, p_b1,
+                                          np.where(v_b2, p_b2, SENT)))
+    have_a = mva_p != SENT
+    have_b = mvb_p != SENT
+    lst0 = np.where(have_a, mva_p, np.where(have_b, mvb_p, ZEROP))
+    dup = have_a & have_b & (mvb_p == mva_p)
+    lst1 = np.where(have_a & have_b & ~dup, mvb_p, ZEROP)
+
+    def unpack(p):
+        x = (p >> 33) - OFFP
+        y = (p & ((np.int64(1) << 33) - 1)) - OFFP
+        return x, y
+
+    l0x, l0y = unpack(lst0)
+    l1x, l1y = unpack(lst1)
+    c0 = np.abs(mv[..., 0] - l0x) + np.abs(mv[..., 1] - l0y)
+    c1 = np.abs(mv[..., 0] - l1x) + np.abs(mv[..., 1] - l1y)
+    mvp_f = (c0 > c1).astype(np.uint8)
+
+    skip = merged & ~has_res & inter
+    mrg = merged & has_res & inter
+    amvp = ~merged & inter
+    im = np.where(skip, 0, np.where(mrg, 1, 2)).astype(np.uint8)
+    ki = np.where(merged, k, 0).astype(np.uint8)
+    rcbf = np.where(skip, 0, np.where(mrg, 1,
+                    has_res.astype(np.uint8))).astype(np.uint8)
+    f8 = np.where(amvp, mvp_f, 0).astype(np.uint8)
+
+    def rep(a):
+        return np.repeat(np.repeat(a, r8, 0), r8, 1)
+    m8 = rep(inter)
+    desc.skip[m8] = rep(skip.astype(np.uint8))[m8]
+    desc.inter_mode[m8] = rep(im)[m8]
+    desc.merge_idx[m8] = rep(ki)[m8]
+    desc.root_cbf[m8] = rep(rcbf)[m8]
+    desc.mvp_flag[m8] = rep(f8)[m8]
+
+
+def _select_inter_syntax_loop(ps: ParamSets, desc: FrameDesc, cu_size: int,
+                              is_b: bool = False) -> None:
     w, h = desc.width, desc.height
     n = cu_size
     mf = MotionField(*desc.pred_mode.shape)

@@ -73,3 +73,41 @@ def test_inter_syntax_modes(tmp_path, rng):
         assert np.array_equal(dec[i], efs[i].recon["y"]), f"frame {i}"
     # P frames of a static scene should be tiny (mostly skip)
     assert efs[1].bits < efs[0].bits / 4
+
+
+def test_select_syntax_vec_matches_loop(rng):
+    """The vectorized cu==ctu syntax selection must equal the per-CU loop."""
+    from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.hevc.headers import ParamSets
+    from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER
+    from homerhevc_tpu.golden.inter_frame import (
+        _select_inter_syntax_loop, _select_inter_syntax_vec)
+
+    w, h = 160, 96
+    cfg = EncoderConfig(width=w, height=h, qp=30, cu_size=16, sao=False,
+                        deblocking=False, sign_hiding=False)
+    ps = ParamSets.from_config(cfg)
+    for trial in range(6):
+        is_b = trial % 2 == 1
+        d1 = FrameDesc.alloc(w, h)
+        d1.pred_mode[:] = MODE_INTER
+        # coherent-ish field with repeats so merges/skips happen
+        base = rng.randint(-3, 4, (h // 16, w // 16, 2)) * 4
+        keep = rng.rand(h // 16, w // 16) < 0.7
+        for gy in range(h // 16):
+            for gx in range(w // 16):
+                if keep[gy, gx] and gx > 0:
+                    base[gy, gx] = base[gy, gx - 1]
+        d1.mv[:] = np.repeat(np.repeat(base, 2, 0), 2, 1)
+        # sparse residuals
+        mask = rng.rand(h // 16, w // 16) < 0.5
+        for gy in range(h // 16):
+            for gx in range(w // 16):
+                if mask[gy, gx]:
+                    d1.coef_y[gy * 16 + 3, gx * 16 + 2] = 5
+        import copy
+        d2 = copy.deepcopy(d1)
+        _select_inter_syntax_loop(ps, d1, 16, is_b=is_b)
+        _select_inter_syntax_vec(ps, d2, 16, is_b)
+        for f in ("skip", "inter_mode", "merge_idx", "root_cbf", "mvp_flag"):
+            assert np.array_equal(getattr(d1, f), getattr(d2, f)), (f, trial)
