@@ -31,6 +31,9 @@ class TpuInterEncoder:
         self.w, self.h = cfg.width, cfg.height
         assert self.w % cu == 0 and self.h % cu == 0
         self.gw, self.gh = self.w // cu, self.h // cu
+        # two-level CU tree (CU32 over CU16) when the stream CTB is 32
+        self.tree = ps.ctu_size == 32
+        self.gw2, self.gh2 = self.w // 32, self.h // 32
         self.qp = cfg.qp
         self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
         self.lam = float(T.rd_lambda(cfg.qp, "P"))
@@ -88,39 +91,77 @@ class TpuInterEncoder:
             .reshape(gh * gw, 2)                            # qpel (x, y)
 
         # ---- sub-pel refinement (half then quarter) ----
-        from homerhevc_tpu.ops.interp import mc_chroma_batch, mc_luma_batch
+        # One (n+8)^2 patch gather per block per frame; all 16 quarter-pel
+        # phases are interpolated in-register over the patch, so the 17
+        # refinement/MC evaluations become phase+crop selects instead of
+        # gathers (refinement never leaves +-1 full pel of the ME result).
+        from homerhevc_tpu.ops.interp import LUMA_TAPS, mc_chroma_batch
+        from homerhevc_tpu.ops.interp import _windowed
         B = gh * gw
         padL = R + 8
         ref_padL = jnp.pad(ry, padL, mode="edge")
+        taps = jnp.asarray(LUMA_TAPS)
         x0s = (jnp.arange(B) % gw) * cu
         y0s = (jnp.arange(B) // gw) * cu
         src_blk = sy.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
             .reshape(B, cu, cu)
         me_prec = int(self.cfg.motion_estimation_precision)
 
-        def refine(mv_cur, step):
-            bc = jnp.full((B,), 1 << 30, jnp.int32)
+        def make_v16(x0v, y0v, mv0, n):
+            """(16, B, n+1, n+1) quarter-pel interpolations of the patch
+            anchored one pel up-left of the full-pel mv0."""
+            ix0, iy0 = mv0[:, 0] >> 2, mv0[:, 1] >> 2
+            by = y0v + iy0 - 1 + padL - 3
+            bx = x0v + ix0 - 1 + padL - 3
+            rows = by[:, None, None] + jnp.arange(n + 8)[None, :, None]
+            cols = bx[:, None, None] + jnp.arange(n + 8)[None, None, :]
+            patch = ref_padL[rows, cols].astype(jnp.int32)  # (B, n+8, n+8)
+            wx = _windowed(patch, 8, axis=2)                # (B, n+8, n+1, 8)
+            h4 = jnp.einsum("fk,byxk->fbyx", taps, wx)
+            wy = _windowed(h4, 8, axis=2)                   # (4,B,n+1,n+1,8)
+            v = jnp.einsum("gk,fbyxk->gfbyx", taps, wy) >> 6
+            v16 = jnp.clip((v + 32) >> 6, 0, 255)
+            return v16.reshape(16, -1, n + 1, n + 1), ix0, iy0
+
+        def mc_v16(v16, ix0, iy0, mv, n):
+            p = (mv[:, 1] & 3) * 4 + (mv[:, 0] & 3)
+            oy = (mv[:, 1] >> 2) - (iy0 - 1)
+            ox = (mv[:, 0] >> 2) - (ix0 - 1)
+            sel = jnp.take_along_axis(
+                v16, p[None, :, None, None], axis=0)[0]     # (B, n+1, n+1)
+            c00 = sel[:, 0:n, 0:n]
+            c01 = sel[:, 0:n, 1:n + 1]
+            c10 = sel[:, 1:n + 1, 0:n]
+            c11 = sel[:, 1:n + 1, 1:n + 1]
+            idx = (oy * 2 + ox)[:, None, None]
+            return jnp.where(idx == 0, c00,
+                             jnp.where(idx == 1, c01,
+                                       jnp.where(idx == 2, c10, c11)))
+
+        def refine_with(v16, ix0, iy0, src_b, nb, mv_cur, step, pr):
+            bc = jnp.full((mv_cur.shape[0],), 1 << 30, jnp.int32)
             bmv = mv_cur
             for dy in (-step, 0, step):
                 for dx in (-step, 0, step):
                     cand = mv_cur + jnp.asarray([dx, dy], jnp.int32)
-                    p = mc_luma_batch(ref_padL, padL, x0s, y0s, cu, cand)
-                    sad = jnp.sum(jnp.abs(src_blk - p), axis=(-1, -2))
-                    rt = (mvd_bits[jnp.abs(cand[:, 0] - prior[0])]
-                          + mvd_bits[jnp.abs(cand[:, 1] - prior[1])])
+                    p = mc_v16(v16, ix0, iy0, cand, nb)
+                    sad = jnp.sum(jnp.abs(src_b - p), axis=(-1, -2))
+                    rt = (mvd_bits[jnp.abs(cand[:, 0] - pr[0])]
+                          + mvd_bits[jnp.abs(cand[:, 1] - pr[1])])
                     cost = sad + ((lam16 * rt) >> 4)
                     better = cost < bc
                     bc = jnp.where(better, cost, bc)
                     bmv = jnp.where(better[:, None], cand, bmv)
             return bmv
 
+        v16, ix0, iy0 = make_v16(x0s, y0s, mvs, cu)
         if me_prec >= 1:
-            mvs = refine(mvs, 2)
+            mvs = refine_with(v16, ix0, iy0, src_blk, cu, mvs, 2, prior)
         if me_prec >= 2:
-            mvs = refine(mvs, 1)
+            mvs = refine_with(v16, ix0, iy0, src_blk, cu, mvs, 1, prior)
 
         # ---- luma MC + residual ----
-        pred = mc_luma_batch(ref_padL, padL, x0s, y0s, cu, mvs)
+        pred = mc_v16(v16, ix0, iy0, mvs, cu)
         resid = src_blk - pred
         coef = forward_transform(resid, False)
         lvl = quantize(coef, cu, self.qp, False, self.ps.scaling_list_enabled)
@@ -163,7 +204,8 @@ class TpuInterEncoder:
         lvl_v, rec_v = chroma(sv, ref_v)
 
         def unblock(blocks, n, hh, ww):
-            return blocks.reshape(gh, gw, n, n).transpose(0, 2, 1, 3) \
+            gy, gx = hh // n, ww // n
+            return blocks.reshape(gy, gx, n, n).transpose(0, 2, 1, 3) \
                 .reshape(hh, ww)
         recon_y = unblock(rec, cu, self.h, self.w)
         recon_u = unblock(rec_u, cuc, self.h // 2, self.w // 2)
@@ -171,9 +213,117 @@ class TpuInterEncoder:
         ly = unblock(lvl.astype(jnp.int16), cu, self.h, self.w)
         lu = unblock(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        mvs16 = mvs.reshape(gh, gw, 2).astype(jnp.int16)
+
+        if not self.tree:
+            return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
+                    recon_v.astype(jnp.uint8), mvs16, ly, lu, lv)
+
+        # ---- CU32 layer: code each full CTB32 as one CU32, keep whichever
+        # side wins SSD + lambda*rate (golden encode_inter_frame_tree twin) --
+        gh2, gw2 = self.gh2, self.gw2
+        B2 = gh2 * gw2
+        lam = jnp.float32(self.lam)
+        s4 = sads[:, :gh2 * 2, :].reshape(side * side, gh2, 2, gw2, 2) \
+            .sum(axis=(2, 4))
+        g2 = jnp.argmin(s4.sum(axis=(1, 2)))
+        prior2 = jnp.stack([4 * (g2 % side - R), 4 * (g2 // side - R)]) \
+            .astype(jnp.int32)
+        rate2 = (mvd_bits[jnp.abs(4 * (ks % side - R) - prior2[0])]
+                 + mvd_bits[jnp.abs(4 * (ks // side - R) - prior2[1])])
+        cost2 = s4 + ((lam16 * rate2) >> 4)[:, None, None]
+        bi2 = jnp.argmin(cost2.reshape(side * side, -1), axis=0) \
+            .reshape(gh2, gw2).astype(jnp.int32)
+        dyx2 = jnp.stack([bi2 // side - R, bi2 % side - R], axis=-1)
+        mv32 = (jnp.stack([dyx2[..., 1], dyx2[..., 0]], axis=-1) * 4) \
+            .reshape(B2, 2)
+        x0s2 = (jnp.arange(B2) % gw2) * 32
+        y0s2 = (jnp.arange(B2) // gw2) * 32
+        src32 = sy[:gh2 * 32].reshape(gh2, 32, gw2, 32) \
+            .transpose(0, 2, 1, 3).reshape(B2, 32, 32)
+
+        v16b, ix0b, iy0b = make_v16(x0s2, y0s2, mv32, 32)
+        if me_prec >= 1:
+            mv32 = refine_with(v16b, ix0b, iy0b, src32, 32, mv32, 2, prior2)
+        if me_prec >= 2:
+            mv32 = refine_with(v16b, ix0b, iy0b, src32, 32, mv32, 1, prior2)
+        pred32 = mc_v16(v16b, ix0b, iy0b, mv32, 32)
+        resid32 = src32 - pred32
+        coef32 = forward_transform(resid32, False)
+        lvl32 = quantize(coef32, 32, self.qp, False,
+                         self.ps.scaling_list_enabled)
+        if self.ps.sign_hiding:
+            lvl32 = sign_bit_hiding(lvl32, coef32, 32, self.qp, False, 0,
+                                    self.ps.scaling_list_enabled)
+        deq32 = dequantize(lvl32, 32, self.qp, False,
+                           self.ps.scaling_list_enabled)
+        rres32 = inverse_transform(deq32, False)
+        lvl32, rres32 = self._zero_force(resid32, lvl32, rres32, zf_mult)
+        nz32 = jnp.any(lvl32 != 0, axis=(-1, -2))
+        rec32 = jnp.where(nz32[:, None, None],
+                          jnp.clip(pred32 + rres32, 0, 255), pred32)
+
+        def cu_cost(src_b, rec_b, lvl_b, mv_b):
+            d = (src_b - rec_b).astype(jnp.float32)
+            ssd = jnp.sum(d * d, axis=(-1, -2))
+            nnzf = jnp.sum((lvl_b != 0), axis=(-1, -2)).astype(jnp.float32)
+            lsum = jnp.sum(jnp.abs(lvl_b), axis=(-1, -2)).astype(jnp.float32)
+            rt = (mvd_bits[jnp.abs(mv_b[:, 0] - prior2[0])]
+                  + mvd_bits[jnp.abs(mv_b[:, 1] - prior2[1])]) \
+                .astype(jnp.float32)
+            return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
+
+        c32 = cu_cost(src32, rec32, lvl32, mv32).reshape(gh2, gw2)
+        c16 = cu_cost(src_blk, rec, lvl, mvs).reshape(gh, gw)
+        c16p = c16[:gh2 * 2].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
+        choose = c32 <= c16p                                # (gh2, gw2)
+
+        # chroma for CU32 (TU16 chroma at the 32 grid)
+        def chroma32(src_c, ref_c):
+            ref_padC = jnp.pad(ref_c.astype(jnp.int32), padC, mode="edge")
+            predc = mc_chroma_batch(ref_padC, padC, x0s2 // 2, y0s2 // 2,
+                                    16, mv32)
+            src_cb = src_c.astype(jnp.int32)[:gh2 * 16] \
+                .reshape(gh2, 16, gw2, 16).transpose(0, 2, 1, 3) \
+                .reshape(B2, 16, 16)
+            resc = src_cb - predc
+            coefc = forward_transform(resc, False)
+            lvlc = quantize(coefc, 16, self.qp_c, False,
+                            self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                lvlc = sign_bit_hiding(lvlc, coefc, 16, self.qp_c, False, 0,
+                                       self.ps.scaling_list_enabled)
+            deqc = dequantize(lvlc, 16, self.qp_c, False,
+                              self.ps.scaling_list_enabled)
+            rrc = inverse_transform(deqc, False)
+            lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
+            nzc = jnp.any(lvlc != 0, axis=(-1, -2))
+            recc = jnp.where(nzc[:, None, None],
+                             jnp.clip(predc + rrc, 0, 255), predc)
+            return lvlc, recc
+
+        lvl_u32, rec_u32 = chroma32(su, ref_u)
+        lvl_v32, rec_v32 = chroma32(sv, ref_v)
+
+        def combine(plane16, blocks32, m, dt):
+            """Overwrite the top gh2*m rows of plane16 with blocks32 where
+            the CTB was chosen at depth 0."""
+            p32 = blocks32.astype(dt).reshape(gh2, gw2, m, m) \
+                .transpose(0, 2, 1, 3).reshape(gh2 * m, gw2 * m)
+            mask = jnp.repeat(jnp.repeat(choose, m, 0), m, 1)
+            top = jnp.where(mask, p32, plane16[:gh2 * m])
+            return jnp.concatenate([top, plane16[gh2 * m:]], axis=0)
+
+        recon_y = combine(recon_y, rec32, 32, recon_y.dtype)
+        ly = combine(ly, lvl32.astype(jnp.int16), 32, jnp.int16)
+        recon_u = combine(recon_u, rec_u32, 16, recon_u.dtype)
+        recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
+        lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
+        lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
         return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
-                recon_v.astype(jnp.uint8),
-                mvs.reshape(gh, gw, 2).astype(jnp.int16), ly, lu, lv)
+                recon_v.astype(jnp.uint8), mvs16, ly, lu, lv,
+                choose.astype(jnp.uint8),
+                mv32.reshape(gh2, gw2, 2).astype(jnp.int16))
 
     def _zero_force(self, resid, lvl, rres, zf_mult):
         """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
@@ -208,7 +358,11 @@ class TpuInterEncoder:
                         jnp.asarray(np.asarray(ru, np.uint8)),
                         jnp.asarray(np.asarray(rv, np.uint8)),
                         jnp.float32(zf_mult))
-        recon_y, recon_u, recon_v, mvs, ly, lu, lv = map(np.asarray, out)
+        if self.tree:
+            (recon_y, recon_u, recon_v, mvs, ly, lu, lv, choose, mv32) = \
+                map(np.asarray, out)
+        else:
+            recon_y, recon_u, recon_v, mvs, ly, lu, lv = map(np.asarray, out)
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         desc.pred_mode[:] = MODE_INTER
@@ -218,6 +372,17 @@ class TpuInterEncoder:
         desc.coef_y[:] = ly
         desc.coef_u[:] = lu
         desc.coef_v[:] = lv
-        select_inter_syntax(self.ps, desc, cu, is_b=is_b)
+        if self.tree:
+            ch = np.repeat(np.repeat(choose.astype(bool), 4, 0), 4, 1)
+            m32 = np.repeat(np.repeat(mv32.astype(np.int32), 4, 0), 4, 1)
+            full = np.zeros(desc.cu_depth.shape, bool)
+            full[:ch.shape[0], :ch.shape[1]] = ch
+            desc.cu_depth[full] = 0
+            desc.mv[:ch.shape[0], :ch.shape[1]][ch] = m32[ch]
+            from homerhevc_tpu.golden.inter_frame import \
+                select_inter_syntax_tree
+            select_inter_syntax_tree(self.ps, desc, is_b=is_b)
+        else:
+            select_inter_syntax(self.ps, desc, cu, is_b=is_b)
         return (desc, recon_y.astype(np.int32), recon_u.astype(np.int32),
                 recon_v.astype(np.int32))

@@ -84,7 +84,7 @@ class EncoderPipeline:
         qp = self.cfg.qp if qp is None else qp
         ref = self._last_recon if ref is None else ref
         assert ref is not None
-        if self._tpu_ok():
+        if self._tpu_inter_ok():
             if qp not in self._tpu_inter_by_qp:
                 from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
                 import dataclasses
@@ -93,15 +93,21 @@ class EncoderPipeline:
             desc, ry, ru, rv = self._tpu_inter_by_qp[qp].encode_frame(
                 (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
         else:
-            from homerhevc_tpu.golden.inter_frame import encode_inter_frame
-            desc, ry, ru, rv = encode_inter_frame(
-                self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
-                avg_dist=self.avg_dist)
+            from homerhevc_tpu.golden.inter_frame import (
+                encode_inter_frame, encode_inter_frame_tree)
+            if self.ps.ctu_size == 32:
+                desc, ry, ru, rv = encode_inter_frame_tree(
+                    self.ps, (y, u, v), ref, qp, is_b=is_b,
+                    avg_dist=self.avg_dist)
+            else:
+                desc, ry, ru, rv = encode_inter_frame(
+                    self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
+                    avg_dist=self.avg_dist)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             import numpy as np
-            tu8 = np.full((self.cfg.height // 8, self.cfg.width // 8), 16,
-                          np.int32)
+            cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
+            tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
             qp8 = np.full_like(tu8, qp)
             bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
             ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
@@ -407,6 +413,14 @@ class EncoderPipeline:
         return (self.backend in ("auto", "tpu")
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
+
+    def _tpu_inter_ok(self) -> bool:
+        # the inter engine also supports the CTB32 two-level CU tree
+        if self._tpu_ok():
+            return True
+        return (self.backend in ("auto", "tpu")
+                and self.cfg.cu_size == 32
+                and self.cfg.width % 32 == 0 and self.cfg.height % 16 == 0)
 
     def _get_tpu(self, qp=None):
         qp = self.cfg.qp if qp is None else qp

@@ -85,13 +85,15 @@ def full_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng: int,
     """
     H, W = sy.shape
     gh, gw = H // n, W // n
+    Hc, Wc = gh * n, gw * n          # crop partial boundary blocks
     side = 2 * rng + 1
     pad = np.pad(ref, rng, mode="edge")
-    src = sy.astype(np.int32)
+    src = sy[:Hc, :Wc].astype(np.int32)
     sads = np.empty((side * side, gh, gw), np.int32)
     for k in range(side * side):
         dy, dx = k // side - rng, k % side - rng
-        sh = pad[rng + dy:rng + dy + H, rng + dx:rng + dx + W].astype(np.int32)
+        sh = pad[rng + dy:rng + dy + Hc,
+                 rng + dx:rng + dx + Wc].astype(np.int32)
         d = np.abs(src - sh)
         sads[k] = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
     g = int(sads.sum(axis=(1, 2)).argmin())
@@ -131,6 +133,14 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        is_b: bool = False, avg_dist: float = 1000.0):
     """Encode one P frame (pure inter, 2Nx2N CUs). Returns
     (FrameDesc, recon_y, recon_u, recon_v)."""
+    desc, recon_y, recon_u, recon_v = _encode_level16(
+        ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
+    select_inter_syntax(ps, desc, cu_size, is_b=is_b)
+    return desc, recon_y, recon_u, recon_v
+
+
+def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
+                    search: int, avg_dist: float, cu_size: int = 16):
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
@@ -203,10 +213,161 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                 else:
                     recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
                 coefs[cy0:cy0 + nc, cx0:cx0 + nc] = clvl.astype(np.int16)
-
-    # ---- phase 2: syntax selection over the final motion field -------------
-    select_inter_syntax(ps, desc, cu_size, is_b=is_b)
     return desc, recon_y, recon_u, recon_v
+
+
+def _code_tu(resid, qp, sl, sign_hiding, zf_mult):
+    """Transform+quant one luma/chroma TU with SBH and zero-forcing.
+    Returns (levels, spatial residual after inverse path)."""
+    coef = forward_transform(resid, False)
+    lvl = quantize(coef, qp, False, sl)
+    if sign_hiding and np.any(lvl):
+        lvl = sign_bit_hiding(lvl, coef, qp, False, T.SCAN_DIAG, sl)
+    if not np.any(lvl):
+        return lvl, np.zeros_like(resid)
+    r = inverse_transform(dequantize(lvl, qp, False, sl), False)
+    if zero_force(resid, lvl, r, zf_mult):
+        return np.zeros_like(lvl), np.zeros_like(resid)
+    return lvl, r
+
+
+def _cu_cost(src_blk, rec_blk, lvl, mv, prior_q, lam):
+    """float32 cost of one coded luma CU: final SSD + lambda * rate estimate
+    (3 bins/nonzero + 1/|level| unit + ~6 CU syntax bins + mvd bins).
+    Same arithmetic on device (engine.inter_encoder)."""
+    d = (src_blk - rec_blk).astype(np.float32)
+    ssd = np.float32(np.sum(d * d))
+    nnz = np.float32(np.count_nonzero(lvl))
+    lsum = np.float32(np.sum(np.abs(lvl)))
+    bits = 3.0 * nnz + lsum + 6.0 + np.float32(mv_rate(mv[0], mv[1], prior_q))
+    return ssd + np.float32(lam) * bits
+
+
+def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
+                            search: int = 16, is_b: bool = False,
+                            avg_dist: float = 1000.0):
+    """CTB32 P/B frame with a two-level CU tree: each full 32x32 CTB is
+    coded either as one 2Nx2N CU32 (TU32 luma) or four CU16s, chosen by
+    SSD + lambda*rate (reference analog: motion_inter depth consolidation,
+    hmr_motion_inter.c:3116-3290). Partial boundary CTBs stay at CU16.
+    Returns (FrameDesc, recon_y, recon_u, recon_v)."""
+    assert ps.ctu_size == 32
+    # level-16 pass: reuse the flat encoder wholesale (fills desc at depth 1)
+    desc, recon_y, recon_u, recon_v = _encode_level16(
+        ps, src_planes, ref_planes, qp, search, avg_dist)
+    sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
+    ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
+    h, w = sy.shape
+    sl = ps.scaling_list_enabled
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    zf_mult = zf_multiplier(avg_dist, qp)
+    lam = T.rd_lambda(qp, "P")
+    lam16 = T.lambda_me_x16(qp)
+    me_prec = int(ps.cfg.motion_estimation_precision)
+    fp32, prior_q = full_pel_field(sy, ry_ref, 32, search, lam16)
+    for gy in range(h // 32):
+        for gx in range(w // 32):
+            x0, y0 = gx * 32, gy * 32
+            src_blk = sy[y0:y0 + 32, x0:x0 + 32]
+            mv = (4 * int(fp32[gy, gx, 0]), 4 * int(fp32[gy, gx, 1]))
+            if me_prec >= 1:
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2,
+                                   prior_q, lam16)
+            if me_prec >= 2:
+                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
+                                   prior_q, lam16)
+            pred = mc_luma(ry_ref, x0, y0, 32, mv[0], mv[1])
+            resid = src_blk - pred
+            lvl, r = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult)
+            rec32 = np.clip(pred + r, 0, 255)
+            c32 = _cu_cost(src_blk, rec32, lvl, mv, prior_q, lam)
+            c16 = np.float32(0.0)
+            for cy16 in (y0, y0 + 16):
+                for cx16 in (x0, x0 + 16):
+                    mv16 = (int(desc.mv[cy16 // 8, cx16 // 8, 0]),
+                            int(desc.mv[cy16 // 8, cx16 // 8, 1]))
+                    s16 = sy[cy16:cy16 + 16, cx16:cx16 + 16]
+                    l16 = desc.coef_y[cy16:cy16 + 16, cx16:cx16 + 16]
+                    rec16 = recon_y[cy16:cy16 + 16, cx16:cx16 + 16]
+                    c16 = c16 + _cu_cost(s16, rec16, l16, mv16, prior_q, lam)
+            if not (c32 <= c16):
+                continue
+            # adopt the CU32 coding for this CTB
+            sl8 = (slice(y0 // 8, y0 // 8 + 4), slice(x0 // 8, x0 // 8 + 4))
+            desc.cu_depth[sl8] = 0
+            desc.mv[sl8[0], sl8[1], 0] = mv[0]
+            desc.mv[sl8[0], sl8[1], 1] = mv[1]
+            desc.coef_y[y0:y0 + 32, x0:x0 + 32] = lvl.astype(np.int16)
+            recon_y[y0:y0 + 32, x0:x0 + 32] = rec32
+            cx0, cy0 = x0 // 2, y0 // 2
+            for splane, rplane, recon_c, coefs, off in (
+                    (su, ru_ref, recon_u, desc.coef_u, ps.cb_qp_offset),
+                    (sv, rv_ref, recon_v, desc.coef_v, ps.cr_qp_offset)):
+                cpred = mc_chroma(rplane, cx0, cy0, 16, mv[0], mv[1])
+                cres = splane[cy0:cy0 + 16, cx0:cx0 + 16] - cpred
+                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult)
+                coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
+                recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
+                    np.clip(cpred + cr, 0, 255)
+    select_inter_syntax_tree(ps, desc, is_b=is_b)
+    return desc, recon_y, recon_u, recon_v
+
+
+def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
+                             is_b: bool = False) -> None:
+    """Skip/merge/AMVP selection for a mixed CU32/CU16 tree. Candidate
+    derivation depends only on the final motion field + geometry (what a
+    decoder derives), so CUs can be visited in any order."""
+    ctu = ps.ctu_size
+    for cy in range(-(-desc.height // ctu)):
+        for cx in range(-(-desc.width // ctu)):
+            x0, y0 = cx * ctu, cy * ctu
+            if (desc.cu_depth[y0 // 8, x0 // 8] == 0
+                    and x0 + ctu <= desc.width and y0 + ctu <= desc.height):
+                _select_cu_syntax(ps, desc, x0, y0, ctu, is_b)
+                continue
+            half = ctu // 2
+            for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < desc.width and y1 < desc.height:
+                    _select_cu_syntax(ps, desc, x1, y1, half, is_b)
+
+
+def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
+    w, h = desc.width, desc.height
+    mf = MotionField(*desc.pred_mode.shape)
+    mf.mv = desc.mv
+    mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+    ux, uy = x0 // 8, y0 // 8
+    if desc.pred_mode[uy, ux] != MODE_INTER:
+        return
+    mv = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
+    has_res = (desc.coef_y[y0:y0 + n, x0:x0 + n].any()
+               or desc.coef_u[y0 // 2:(y0 + n) // 2,
+                              x0 // 2:(x0 + n) // 2].any()
+               or desc.coef_v[y0 // 2:(y0 + n) // 2,
+                              x0 // 2:(x0 + n) // 2].any())
+    cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+    limit = n_spatial if is_b else len(cands)
+    merge_k = next((k for k, c in enumerate(cands[:limit])
+                    if (c[0], c[1]) == mv and c[2] == 0), None)
+    sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
+    if merge_k is not None and not has_res:
+        desc.skip[sl8] = 1
+        desc.inter_mode[sl8] = 0
+        desc.merge_idx[sl8] = merge_k
+        desc.root_cbf[sl8] = 0
+    elif merge_k is not None:
+        desc.inter_mode[sl8] = 1
+        desc.merge_idx[sl8] = merge_k
+        desc.root_cbf[sl8] = 1
+    else:
+        mvp = amvp_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+        c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+        c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+        desc.inter_mode[sl8] = 2
+        desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
+        desc.root_cbf[sl8] = 1 if has_res else 0
 
 
 def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,

@@ -50,6 +50,42 @@ def mc_luma_batch(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
     return jnp.clip((v + 32) >> 6, 0, 255)
 
 
+def luma_phase_planes(ref_pad: jnp.ndarray) -> jnp.ndarray:
+    """All 16 quarter-pel interpolated planes of an edge-padded reference.
+
+    Separable full-plane filtering (two shifted-add passes) instead of
+    per-block halo gathers: XLA vectorizes plane shifts natively, so the
+    per-candidate MC in motion refinement reduces to a (B, n, n) uint8
+    gather from the right phase plane. Bit-exact to mc_luma_batch.
+    Returns (16, Hp-7, Wp-7) uint8, phase index = fy*4+fx."""
+    P = ref_pad.astype(jnp.int32)
+    Hp, Wp = P.shape
+    taps = jnp.asarray(LUMA_TAPS)                       # (4, 8)
+    # horizontal pass: h[fx][y, x] = sum_k taps[fx,k] * P[y, x+k]
+    wx = _windowed(P, 8, axis=1)                        # (Hp, Wp-7, 8)
+    h = jnp.einsum("fk,yxk->fyx", taps, wx)             # (4, Hp, Wp-7)
+    wy = _windowed(h, 8, axis=1)                        # (4, Hp-7, Wp-7, 8)
+    v = jnp.einsum("gk,fyxk->gfyx", taps, wy) >> 6      # (4, 4, ...)
+    out = jnp.clip((v + 32) >> 6, 0, 255).astype(jnp.uint8)
+    return out.reshape(16, Hp - 7, Wp - 7)
+
+
+def mc_luma_batch_planes(planes: jnp.ndarray, pad: int, x0s: jnp.ndarray,
+                         y0s: jnp.ndarray, n: int,
+                         mvs: jnp.ndarray) -> jnp.ndarray:
+    """Batched luma MC sampling from precomputed phase planes
+    (luma_phase_planes of the same padded reference). Identical output to
+    mc_luma_batch(ref_pad, pad, ...)."""
+    mvx, mvy = mvs[:, 0], mvs[:, 1]
+    ix, iy = mvx >> 2, mvy >> 2
+    p = (mvy & 3) * 4 + (mvx & 3)
+    by = y0s + iy + pad - 3
+    bx = x0s + ix + pad - 3
+    rows = by[:, None, None] + jnp.arange(n)[None, :, None]
+    cols = bx[:, None, None] + jnp.arange(n)[None, None, :]
+    return planes[p[:, None, None], rows, cols].astype(jnp.int32)
+
+
 def mc_chroma_batch(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
                     y0s: jnp.ndarray, n: int, mvs: jnp.ndarray) -> jnp.ndarray:
     """Batched chroma MC: mvs are the LUMA quarter-pel MVs (chroma

@@ -36,3 +36,67 @@ def test_device_inter_matches_golden(sbh, rng):
     assert np.array_equal(gd.inter_mode, dd.inter_mode)
     assert np.array_equal(gd.merge_idx, dd.merge_idx)
     assert np.array_equal(gd.mvp_flag, dd.mvp_flag)
+
+
+def test_device_tree_matches_golden(rng):
+    """CTB32 two-level CU tree: device == golden bit-exact."""
+    from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.hevc.headers import ParamSets
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame_tree
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+
+    w, h = 128, 80
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y0 = (128 + 60 * np.sin(xx / 19.0) + 40 * np.cos(yy / 13.0)
+          + rng.randint(-6, 7, (h, w))).astype(np.uint8)
+    u0 = (100 + 30 * np.sin(xx[:h // 2, :w // 2] / 11.0)).astype(np.uint8)
+    v0 = u0[::-1].copy()
+    y1 = np.clip(np.roll(y0, 5, 1).astype(int) + rng.randint(-2, 3, y0.shape),
+                 0, 255).astype(np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1, intra_period=0,
+                        sao=False, deblocking=False, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False)
+    ps = ParamSets.from_config(cfg)
+    gd, gy_, gu_, gv_ = encode_inter_frame_tree(
+        ps, (y1, u0, v0),
+        tuple(p.astype(np.int32) for p in (y0, u0, v0)), 30)
+    dd, dy_, du_, dv_ = TpuInterEncoder(ps, cfg).encode_frame(
+        (y1, u0, v0), (y0, u0, v0))
+    assert np.array_equal(gd.cu_depth, dd.cu_depth)
+    assert (gd.cu_depth == 0).any(), "no CU32 chosen - test content too hard"
+    assert np.array_equal(gd.mv, dd.mv)
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gy_, dy_) and np.array_equal(gu_, du_) \
+        and np.array_equal(gv_, dv_)
+    for f in ("skip", "inter_mode", "merge_idx", "root_cbf", "mvp_flag"):
+        assert np.array_equal(getattr(gd, f), getattr(dd, f)), f
+
+
+def test_ctb32_tree_e2e_conformance(tmp_path, rng):
+    """IPPP at CTB32 with the CU-tree device path decodes bit-exact."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tests.conftest import decode_annexb, make_yuv
+
+    w, h = 128, 80
+    y, u, v = make_yuv(rng, w, h)
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    path = tmp_path / "tree.265"
+    efs = []
+    with open(path, "wb") as f:
+        for i in range(4):
+            y2 = np.clip(np.roll(y, i * 4, 1).astype(int)
+                         + rng.randint(-2, 3, y.shape), 0, 255) \
+                .astype(np.uint8)
+            for ef in enc.encode(y2, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            efs.append(ef)
+    dec = decode_annexb(path)
+    assert len(dec) == 4
+    for i in range(4):
+        assert np.array_equal(dec[i], efs[i].recon["y"]), i
