@@ -261,12 +261,14 @@ class EncoderPipeline:
             self._last_recon = (np.asarray(ry, np.int32),
                                 np.asarray(ru, np.int32),
                                 np.asarray(rv, np.int32))
-        if src is not None:
+        if src is not None and self.cfg.gop_size != 0:
             # average luma distortion per 4x4 partition, feeding the adaptive
             # inter zero-forcing threshold (reference avg_dist,
-            # hmr_encoder_lib.c:3215-3233: x1.5 after I frames)
-            d = np.asarray(ry, np.int64) - np.asarray(src[0], np.int64)
-            avg = float((d * d).sum()) / (d.size / 16.0)
+            # hmr_encoder_lib.c:3215-3233: x1.5 after I frames). float32 dot:
+            # this runs per frame, int64 square-sums cost ~10% of all-intra fps
+            d = (np.asarray(ry, np.int32)
+                 - np.asarray(src[0], np.int32)).ravel().astype(np.float32)
+            avg = float(np.dot(d, d)) / (d.size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ef = EncodedFrame(self.poc, ftype, nals,

@@ -156,6 +156,7 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     sl = ps.scaling_list_enabled
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
     zf_mult = zf_multiplier(avg_dist, qp)
+    lam = float(T.rd_lambda(qp, "P"))
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
@@ -216,9 +217,9 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     return desc, recon_y, recon_u, recon_v
 
 
-def _code_tu(resid, qp, sl, sign_hiding, zf_mult):
-    """Transform+quant one luma/chroma TU with SBH and zero-forcing.
-    Returns (levels, spatial residual after inverse path)."""
+def _code_tu(resid, qp, sl, sign_hiding, zf_mult, lam):
+    """Transform+quant one luma/chroma TU with CG suppression, SBH and
+    zero-forcing. Returns (levels, spatial residual after inverse path)."""
     coef = forward_transform(resid, False)
     lvl = quantize(coef, qp, False, sl)
     if sign_hiding and np.any(lvl):
@@ -278,7 +279,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                                    prior_q, lam16)
             pred = mc_luma(ry_ref, x0, y0, 32, mv[0], mv[1])
             resid = src_blk - pred
-            lvl, r = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult)
+            lvl, r = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult, lam)
             rec32 = np.clip(pred + r, 0, 255)
             c32 = _cu_cost(src_blk, rec32, lvl, mv, prior_q, lam)
             c16 = np.float32(0.0)
@@ -305,7 +306,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                     (sv, rv_ref, recon_v, desc.coef_v, ps.cr_qp_offset)):
                 cpred = mc_chroma(rplane, cx0, cy0, 16, mv[0], mv[1])
                 cres = splane[cy0:cy0 + 16, cx0:cx0 + 16] - cpred
-                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult)
+                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult, lam)
                 coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
