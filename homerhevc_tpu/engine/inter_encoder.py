@@ -215,7 +215,35 @@ class TpuInterEncoder:
         lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         mvs16 = mvs.reshape(gh, gw, 2).astype(jnp.int16)
 
+        def rep2(a):
+            return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+        def deblock_inter(plane_y, nz8, mv8, ts8):
+            """BS maps (spec 8.7.2.4, pure-inter frames: no BS=2) + device
+            luma deblock. Chroma is untouched at BS<2 (8.7.2.5.5)."""
+            from homerhevc_tpu.ops.deblock import deblock_luma_bs
+            h8, w8 = nz8.shape
+            ux = jnp.arange(w8)[None, :]
+            uy = jnp.arange(h8)[:, None]
+            vv = (ux > 0) & (((ux * 8) % ts8) == 0)
+            vh = (uy > 0) & (((uy * 8) % ts8) == 0)
+            nzl = jnp.pad(nz8, ((0, 0), (1, 0)))[:, :-1]
+            nzt = jnp.pad(nz8, ((1, 0), (0, 0)))[:-1, :]
+            mvl = jnp.pad(mv8, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+            mvt = jnp.pad(mv8, ((1, 0), (0, 0), (0, 0)))[:-1, :]
+            dl = jnp.any(jnp.abs(mv8 - mvl) >= 4, axis=-1)
+            dt = jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1)
+            bs_v = (vv & (nz8 | nzl | dl)).astype(jnp.int32)
+            bs_h = (vh & (nz8 | nzt | dt)).astype(jnp.int32)
+            return deblock_luma_bs(plane_y, bs_v, bs_h, self.qp)
+
         if not self.tree:
+            if self.ps.deblocking_enabled:
+                nz8 = rep2(nz.reshape(gh, gw))
+                mv8 = jnp.repeat(jnp.repeat(mvs.reshape(gh, gw, 2), 2, 0),
+                                 2, 1)
+                ts8 = jnp.full(nz8.shape, 16, jnp.int32)
+                recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
             return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
                     recon_v.astype(jnp.uint8), mvs16, ly, lu, lv)
 
@@ -316,6 +344,22 @@ class TpuInterEncoder:
 
         recon_y = combine(recon_y, rec32, 32, recon_y.dtype)
         ly = combine(ly, lvl32.astype(jnp.int16), 32, jnp.int16)
+        if self.ps.deblocking_enabled:
+            ch4 = jnp.repeat(jnp.repeat(choose, 4, 0), 4, 1)
+            pad_rows = self.h // 8 - ch4.shape[0]
+            chf = jnp.pad(ch4, ((0, pad_rows), (0, 0)))
+            nz8 = rep2(nz.reshape(gh, gw))
+            nz32_8 = jnp.pad(jnp.repeat(jnp.repeat(
+                nz32.reshape(gh2, gw2), 4, 0), 4, 1),
+                ((0, pad_rows), (0, 0)))
+            nz8 = jnp.where(chf, nz32_8, nz8)
+            mv8 = jnp.repeat(jnp.repeat(mvs.reshape(gh, gw, 2), 2, 0), 2, 1)
+            mv32_8 = jnp.pad(jnp.repeat(jnp.repeat(
+                mv32.reshape(gh2, gw2, 2), 4, 0), 4, 1),
+                ((0, pad_rows), (0, 0), (0, 0)))
+            mv8 = jnp.where(chf[..., None], mv32_8, mv8)
+            ts8 = jnp.where(chf, 32, 16).astype(jnp.int32)
+            recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
         recon_u = combine(recon_u, rec_u32, 16, recon_u.dtype)
         recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
         lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
@@ -351,13 +395,19 @@ class TpuInterEncoder:
         y, u, v = src
         ry, ru, rv = ref
         zf_mult = zf_multiplier(avg_dist, self.qp)
-        out = self._jit(jnp.asarray(np.asarray(y, np.uint8)),
-                        jnp.asarray(np.asarray(u, np.uint8)),
-                        jnp.asarray(np.asarray(v, np.uint8)),
-                        jnp.asarray(np.asarray(ry, np.uint8)),
-                        jnp.asarray(np.asarray(ru, np.uint8)),
-                        jnp.asarray(np.asarray(rv, np.uint8)),
+
+        def as_dev(a):
+            # device arrays (the chained reference recon) pass through
+            # without a host round-trip
+            if isinstance(a, jax.Array):
+                return a
+            return jnp.asarray(np.asarray(a, np.uint8))
+
+        out = self._jit(as_dev(y), as_dev(u), as_dev(v),
+                        as_dev(ry), as_dev(ru), as_dev(rv),
                         jnp.float32(zf_mult))
+        # post-deblock recon stays resident for the next frame in the chain
+        self.last_dev = (out[0], out[1], out[2])
         if self.tree:
             (recon_y, recon_u, recon_v, mvs, ly, lu, lv, choose, mv32) = \
                 map(np.asarray, out)

@@ -42,6 +42,7 @@ class EncoderPipeline:
         self._queue: list = []
         self._pending = None  # (device arrays, frames) awaiting fetch
         self._last_recon = None  # filtered recon planes of previous frame
+        self._last_recon_dev = None  # device twin (uint8), IPPP chain only
         self.avg_dist = 1000.0   # reference init, hmr_encoder_lib.c:913
         self.gop_poc = 0
         from homerhevc_tpu.engine.rate_control import RateControl
@@ -61,6 +62,7 @@ class EncoderPipeline:
             ok = (self.cfg.cu_size == 16
                   and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
             backend = "tpu" if ok else "golden"
+        self._last_recon_dev = None   # intra breaks the device ref chain
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
             desc, ry, ru, rv = encode_intra_frame(
@@ -82,7 +84,10 @@ class EncoderPipeline:
     def _analyze_inter(self, y, u, v, qp=None, ref=None, is_b=False):
         """Inter frame analysis against a filtered reference picture."""
         qp = self.cfg.qp if qp is None else qp
-        ref = self._last_recon if ref is None else ref
+        chained = (ref is None and self._last_recon_dev is not None
+                   and not self.ps.sao_enabled)
+        ref = (self._last_recon_dev if chained
+               else (self._last_recon if ref is None else ref))
         assert ref is not None
         if self._tpu_inter_ok():
             if qp not in self._tpu_inter_by_qp:
@@ -90,9 +95,15 @@ class EncoderPipeline:
                 import dataclasses
                 cfgq = dataclasses.replace(self.cfg, qp=qp)
                 self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
-            desc, ry, ru, rv = self._tpu_inter_by_qp[qp].encode_frame(
+            enc = self._tpu_inter_by_qp[qp]
+            desc, ry, ru, rv = enc.encode_frame(
                 (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
+            # the recon stays resident on device; chain it for the next P
+            # (only when this frame will be the reference and no host-side
+            # filter (SAO) modifies the recon afterwards — _emit gates that)
+            self._cand_recon_dev = enc.last_dev if not is_b else None
         else:
+            self._cand_recon_dev = None
             from homerhevc_tpu.golden.inter_frame import (
                 encode_inter_frame, encode_inter_frame_tree)
             if self.ps.ctu_size == 32:
@@ -103,18 +114,9 @@ class EncoderPipeline:
                 desc, ry, ru, rv = encode_inter_frame(
                     self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
                     avg_dist=self.avg_dist)
-        if self.ps.deblocking_enabled:
-            from homerhevc_tpu.golden import deblock as gdb
-            import numpy as np
-            cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
-            tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-            qp8 = np.full_like(tu8, qp)
-            bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
-            ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
-            ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
-                                          self.ps.cb_qp_offset)
-            rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
-                                          self.ps.cr_qp_offset)
+        # in-loop deblocking now runs inside both inter backends (device:
+        # engine/inter_encoder deblock_inter; golden: _deblock_inter_luma);
+        # chroma needs no pass in pure-inter frames (BS<2, spec 8.7.2.5.5)
         return desc, ry, ru, rv
 
     # ---- serialization ------------------------------------------------------
@@ -261,6 +263,9 @@ class EncoderPipeline:
             self._last_recon = (np.asarray(ry, np.int32),
                                 np.asarray(ru, np.int32),
                                 np.asarray(rv, np.int32))
+            cand = getattr(self, "_cand_recon_dev", None)
+            self._last_recon_dev = cand if sao_params is None else None
+            self._cand_recon_dev = None
         if src is not None and self.cfg.gop_size != 0:
             # average luma distortion per 4x4 partition, feeding the adaptive
             # inter zero-forcing threshold (reference avg_dist,

@@ -128,6 +128,18 @@ def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
     return best[1], best[2]
 
 
+def _deblock_inter_luma(ps, desc, recon_y, qp):
+    """In-loop luma deblock for a pure-inter frame (BS maps from final
+    coefficients + motion; chroma untouched at BS<2). Shared by the golden
+    path; the device engine computes the identical maps on device."""
+    from homerhevc_tpu.golden import deblock as gdb
+    cu_sz = (ps.ctu_size >> desc.cu_depth).astype(np.int32)
+    tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
+    qp8 = np.full_like(tu8, qp)
+    bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
+    return gdb.deblock_plane_luma(recon_y, tu8, qp8, bs_v, bs_h)
+
+
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
                        is_b: bool = False, avg_dist: float = 1000.0):
@@ -136,6 +148,8 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
     desc, recon_y, recon_u, recon_v = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
     select_inter_syntax(ps, desc, cu_size, is_b=is_b)
+    if ps.deblocking_enabled:
+        recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
     return desc, recon_y, recon_u, recon_v
 
 
@@ -311,6 +325,8 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
     select_inter_syntax_tree(ps, desc, is_b=is_b)
+    if ps.deblocking_enabled:
+        recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
     return desc, recon_y, recon_u, recon_v
 
 

@@ -20,7 +20,9 @@ def _clip3(lo, hi, v):
 
 
 def _luma_filter_groups(p, q, beta, tc):
-    """p, q: (..., 4lines, 4taps) int32 (tap 0 adjacent to edge)."""
+    """p, q: (..., 4lines, 4taps) int32 (tap 0 adjacent to edge).
+    beta/tc: scalars or per-group arrays broadcastable to the group dims."""
+    tc_l = jnp.asarray(tc)[..., None]   # per-line broadcast of the group tc
     dp = jnp.abs(p[..., :, 2] - 2 * p[..., :, 1] + p[..., :, 0])
     dq = jnp.abs(q[..., :, 2] - 2 * q[..., :, 1] + q[..., :, 0])
     dp0, dp3 = dp[..., 0], dp[..., 3]
@@ -37,7 +39,7 @@ def _luma_filter_groups(p, q, beta, tc):
 
     p0, p1, p2, p3 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    t2 = 2 * tc
+    t2 = 2 * tc_l
     sp0 = _clip3(p0 - t2, p0 + t2, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
     sp1 = _clip3(p1 - t2, p1 + t2, (p2 + p1 + p0 + q0 + 2) >> 2)
     sp2 = _clip3(p2 - t2, p2 + t2, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
@@ -46,14 +48,14 @@ def _luma_filter_groups(p, q, beta, tc):
     sq2 = _clip3(q2 - t2, q2 + t2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
 
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-    do_line = jnp.abs(delta) < 10 * tc
-    dlt = _clip3(-tc, tc, delta)
+    do_line = jnp.abs(delta) < 10 * tc_l
+    dlt = _clip3(-tc_l, tc_l, delta)
     np0 = jnp.clip(p0 + dlt, 0, 255)
     nq0 = jnp.clip(q0 - dlt, 0, 255)
     side = (beta + (beta >> 1)) >> 3
     dEp = (dp0 + dp3 < side)[..., None]
     dEq = (dq0 + dq3 < side)[..., None]
-    tc2 = tc >> 1
+    tc2 = tc_l >> 1
     np1 = jnp.clip(p1 + _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1), 0, 255)
     nq1 = jnp.clip(q1 + _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1), 0, 255)
 
@@ -129,4 +131,44 @@ def deblock_chroma_uniform(plane: jnp.ndarray, bsize_luma: int, qp: int,
         return plane
     out = _chroma_pass(plane, step, tc)
     out = _chroma_pass(out.T, step, tc).T
+    return out
+
+
+def _bs_pass(x, bs, qp, boff, toff):
+    """One direction of bs-gated luma deblocking on the dense 8-grid.
+    x: (H, W) int32. bs: (h8, w8) strength of each unit's LEFT edge."""
+    H, W = x.shape
+    w8 = W // 8
+    ne = w8 - 1
+    if ne <= 0:
+        return x
+    xs = (np.arange(ne) + 1) * 8
+    cols = jnp.asarray(xs[:, None] + np.arange(-4, 4)[None, :])
+    strips = x[:, cols].transpose(1, 0, 2)          # (E, H, 8)
+    g = strips.reshape(ne, H // 4, 4, 8)
+    p = g[..., 3::-1]
+    q = g[..., 4:]
+    bsa = bs[:, 1:].T                                # (ne, h8)
+    bsg = jnp.repeat(bsa, 2, axis=1)                 # (ne, h4)
+    beta = jnp.int32(BETA_TABLE[min(max(0, qp + boff * 2), 51)])
+    tcv = jnp.asarray(TC_TABLE)[jnp.clip(qp + 2 * (bsg - 1) + toff * 2,
+                                         0, 53)].astype(jnp.int32)
+    op, oq = _luma_filter_groups(p, q, beta, tcv)
+    off = (bsg == 0)[..., None, None]
+    op = jnp.where(off, p, op)
+    oq = jnp.where(off, q, oq)
+    ng = jnp.concatenate([op[..., ::-1], oq], axis=-1)
+    ns = ng.reshape(ne, H, 8).transpose(1, 0, 2)
+    return x.at[:, cols].set(ns)
+
+
+def deblock_luma_bs(plane: jnp.ndarray, bs_v: jnp.ndarray, bs_h: jnp.ndarray,
+                    qp: int, beta_offset: int = 0, tc_offset: int = 0):
+    """Luma deblocking with per-edge boundary strengths on the 8-grid
+    (inter path: mixed TU sizes, BS in {0,1,2} per unit edge). Bit-exact to
+    golden.deblock.deblock_plane_luma with constant QP maps. Chroma needs
+    no pass in pure-inter frames (filtered only at BS==2, spec 8.7.2.5.5).
+    """
+    out = _bs_pass(plane.astype(jnp.int32), bs_v, qp, beta_offset, tc_offset)
+    out = _bs_pass(out.T, bs_h.T, qp, beta_offset, tc_offset).T
     return out
