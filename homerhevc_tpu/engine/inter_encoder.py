@@ -389,8 +389,10 @@ class TpuInterEncoder:
 
     # ---- host driver ----------------------------------------------------------
 
-    def encode_frame(self, src, ref, is_b: bool = False,
-                     avg_dist: float = 1000.0):
+    def dispatch(self, src, ref, avg_dist: float = 1000.0):
+        """Launch the device program; returns the device output tuple
+        without forcing any transfer. self.last_dev immediately holds the
+        (device-resident) post-deblock recon for chaining the next frame."""
         from homerhevc_tpu.golden.inter_frame import zf_multiplier
         y, u, v = src
         ry, ru, rv = ref
@@ -408,6 +410,11 @@ class TpuInterEncoder:
                         jnp.float32(zf_mult))
         # post-deblock recon stays resident for the next frame in the chain
         self.last_dev = (out[0], out[1], out[2])
+        return out
+
+    def fetch(self, out, is_b: bool = False):
+        """Download one dispatched frame's outputs and build the FrameDesc
+        (host half of encode_frame)."""
         if self.tree:
             (recon_y, recon_u, recon_v, mvs, ly, lu, lv, choose, mv32) = \
                 map(np.asarray, out)
@@ -436,3 +443,7 @@ class TpuInterEncoder:
             select_inter_syntax(self.ps, desc, cu, is_b=is_b)
         return (desc, recon_y.astype(np.int32), recon_u.astype(np.int32),
                 recon_v.astype(np.int32))
+
+    def encode_frame(self, src, ref, is_b: bool = False,
+                     avg_dist: float = 1000.0):
+        return self.fetch(self.dispatch(src, ref, avg_dist), is_b=is_b)

@@ -90,12 +90,7 @@ class EncoderPipeline:
                else (self._last_recon if ref is None else ref))
         assert ref is not None
         if self._tpu_inter_ok():
-            if qp not in self._tpu_inter_by_qp:
-                from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
-                import dataclasses
-                cfgq = dataclasses.replace(self.cfg, qp=qp)
-                self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
-            enc = self._tpu_inter_by_qp[qp]
+            enc = self._get_tpu_inter(qp)
             desc, ry, ru, rv = enc.encode_frame(
                 (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
             # the recon stays resident on device; chain it for the next P
@@ -264,7 +259,11 @@ class EncoderPipeline:
                                 np.asarray(ru, np.int32),
                                 np.asarray(rv, np.int32))
             cand = getattr(self, "_cand_recon_dev", None)
-            self._last_recon_dev = cand if sao_params is None else None
+            if sao_params is not None:
+                self._last_recon_dev = None   # host filter modified the recon
+            elif cand is not None:
+                self._last_recon_dev = cand
+            # else: keep any chain set at dispatch time (pipelined P path)
             self._cand_recon_dev = None
         if src is not None and self.cfg.gop_size != 0:
             # average luma distortion per 4x4 partition, feeding the adaptive
@@ -313,12 +312,32 @@ class EncoderPipeline:
                     # reinit (hmr_motion_inter.c:3791, reinit_gop flag)
                     intra = self.cfg.reinit_gop_on_scene_change
                 if intra:
+                    yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v), qp=qp)
+                elif self._p_pipeline_ok():
+                    # P-chain software pipeline: dispatch frame i on device
+                    # (its ME reads the device-resident recon of frame i-1),
+                    # then do frame i-1's host half (downloads, syntax
+                    # selection, CABAC) while the device runs — the frame
+                    # engine overlap of the reference (encoder_engine_thread)
+                    # done as device/host overlap on one chip.
+                    enc = self._get_tpu_inter(qp)
+                    ref = (self._last_recon_dev
+                           if self._last_recon_dev is not None
+                           else self._last_recon)
+                    out = enc.dispatch((y, u, v), ref, self.avg_dist)
+                    self._last_recon_dev = enc.last_dev
+                    self._cand_recon_dev = None
+                    yield from self._drain_p_pending()
+                    self._p_pending = (enc, out, (y, u, v), qp)
                 else:
+                    yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_inter(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v),
                                      slice_type=SLICE_P, qp=qp)
+        if final:
+            yield from self._drain_p_pending()
         if final and self.cfg.gop_size >= 2:
             yield from self._encode_gop2(None, final=True)
 
@@ -420,6 +439,33 @@ class EncoderPipeline:
         return (self.backend in ("auto", "tpu")
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
+
+    def _get_tpu_inter(self, qp: int):
+        if qp not in self._tpu_inter_by_qp:
+            from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+            import dataclasses
+            cfgq = dataclasses.replace(self.cfg, qp=qp)
+            self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
+        return self._tpu_inter_by_qp[qp]
+
+    def _p_pipeline_ok(self) -> bool:
+        """The P-chain device/host overlap needs: device inter backend,
+        constant QP (RC feedback would need last frame's bits before the
+        next dispatch), no SAO (host filter would break the device-resident
+        reference), no scene-reinit (its MAD check would read a lagged
+        reference)."""
+        return (self._tpu_inter_ok()
+                and self.cfg.bitrate_mode == BitrateMode.FIXED_QP
+                and not self.ps.sao_enabled
+                and not self.cfg.reinit_gop_on_scene_change)
+
+    def _drain_p_pending(self):
+        if getattr(self, "_p_pending", None) is None:
+            return
+        enc, out, src, qp = self._p_pending
+        self._p_pending = None
+        desc, ry, ru, rv = enc.fetch(out)
+        yield self._emit(desc, ry, ru, rv, src=src, slice_type=SLICE_P, qp=qp)
 
     def _tpu_inter_ok(self) -> bool:
         # the inter engine also supports the CTB32 two-level CU tree

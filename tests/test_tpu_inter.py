@@ -95,6 +95,7 @@ def test_ctb32_tree_e2e_conformance(tmp_path, rng):
                 f.write(ef.annex_b())
                 efs.append(ef)
         for ef in enc.flush():
+            f.write(ef.annex_b())
             efs.append(ef)
     dec = decode_annexb(path)
     assert len(dec) == 4
