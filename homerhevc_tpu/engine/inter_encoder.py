@@ -54,7 +54,10 @@ class TpuInterEncoder:
         # Mirrors golden.inter_frame.full_pel_field: pass 1 = global-motion
         # prior (argmin whole-frame SAD), pass 2 = per-block
         # argmin SAD + (lam16 * mvd_bits(mv - prior)) >> 4.
-        pad = jnp.pad(ry, R, mode="edge")
+        # uint8 planes for the sweep: it re-reads the padded reference once
+        # per offset, so HBM traffic (not ALU) bounds it — narrow dtypes
+        pad8 = jnp.pad(ry.astype(jnp.uint8), R, mode="edge")
+        sy16 = sy.astype(jnp.int16)
         side = 2 * R + 1
         lam16 = jnp.int32(T.lambda_me_x16(self.qp))
         mvd_bits = jnp.asarray(T.MVD_BITS)
@@ -62,9 +65,9 @@ class TpuInterEncoder:
         def sad_k(k):
             dy = k // side - R
             dx = k % side - R
-            shifted = jax.lax.dynamic_slice(pad, (R + dy, R + dx),
+            shifted = jax.lax.dynamic_slice(pad8, (R + dy, R + dx),
                                             (self.h, self.w))
-            d = jnp.abs(sy - shifted)
+            d = jnp.abs(sy16 - shifted.astype(jnp.int16)).astype(jnp.int32)
             return d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
 
         # chunked map: vmap CH shifts per scan step (single sequential map
