@@ -111,3 +111,42 @@ def test_select_syntax_vec_matches_loop(rng):
         _select_inter_syntax_vec(ps, d2, 16, is_b)
         for f in ("skip", "inter_mode", "merge_idx", "root_cbf", "mvp_flag"):
             assert np.array_equal(getattr(d1, f), getattr(d2, f)), (f, trial)
+
+
+def test_ippp_rd_regression_guard(rng):
+    """Pin the IPPP operating point on a small multi-layer-motion clip.
+    Catches ME/RD regressions that bit-exactness tests cannot (e.g. a
+    coarse-search change that locks onto the wrong motion layer): the
+    encoder must stay near its known rate at known quality."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.utils.metrics import psnr
+
+    w, h = 128, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    tex = (rng.rand(h, w) * 40).astype(np.float32)
+    frames = []
+    for t in range(6):
+        y = np.clip(80 + 30 * np.sin(xx / 23.0 + t * 0.3)
+                    + np.roll(tex, t * 3, axis=1), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 90, np.uint8)
+        frames.append((y, u, u.copy()))
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    bits = 0
+    ys = []
+    for f in frames:
+        for ef in enc.encode(*f):
+            bits += ef.bits
+            ys.append(psnr(frames[ef.poc][0], ef.recon["y"]))
+    for ef in enc.flush():
+        bits += ef.bits
+        ys.append(psnr(frames[ef.poc][0], ef.recon["y"]))
+    p_bits = bits  # I + 5 P
+    avg_p_psnr = float(np.mean(ys[1:]))
+    # measured at the round-1 operating point: ~27.5k bits total, ~31 dB.
+    # 2x the rate or -2 dB means a real regression.
+    assert p_bits < 60_000, p_bits
+    assert avg_p_psnr > 29.0, avg_p_psnr
