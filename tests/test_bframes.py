@@ -42,3 +42,32 @@ def test_e2e_ibp(tmp_path, rng):
     for i in range(6):
         d = np.abs(dec[i].astype(int) - recon_by_display[i].astype(int))
         assert d.max() == 0, f"display frame {i}: maxdiff {d.max()}"
+
+
+def test_e2e_ibp_ctb32(tmp_path, rng):
+    """IBP at CTB32 with the CU-tree device inter path."""
+    from homerhevc_tpu.api import Encoder
+    w, h = 128, 96
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=2, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    efs = []
+    path = tmp_path / "ibp32.265"
+    with open(path, "wb") as f:
+        for t in range(6):
+            y2 = np.clip(np.roll(y, 3 * t, 1).astype(int)
+                         + rng.randint(-2, 3, y.shape), 0, 255) \
+                .astype(np.uint8)
+            for ef in enc.encode(y2, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    assert [e.frame_type for e in efs] == ["I", "P", "B", "P", "B", "P"]
+    dec = decode_annexb(path)
+    assert len(dec) == 6
+    for ef, dp in zip(efs, [0, 2, 1, 4, 3, 5]):
+        assert np.array_equal(dec[dp], ef.recon["y"]), dp
