@@ -104,10 +104,12 @@ class EncoderPipeline:
             if self.ps.ctu_size == 32:
                 desc, ry, ru, rv = encode_inter_frame_tree(
                     self.ps, (y, u, v), ref, qp, is_b=is_b,
+                    search=self._inter_search_range(),
                     avg_dist=self.avg_dist)
             else:
                 desc, ry, ru, rv = encode_inter_frame(
                     self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
+                    search=self._inter_search_range(),
                     avg_dist=self.avg_dist)
         # in-loop deblocking now runs inside both inter backends (device:
         # engine/inter_encoder deblock_inter; golden: _deblock_inter_luma);
@@ -228,7 +230,8 @@ class EncoderPipeline:
         return ip > 0 and poc % ip == 0
 
     def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I, qp=None,
-              poc=None, refs_before=None, refs_after=(), is_ref=True):
+              poc=None, refs_before=None, refs_after=(), is_ref=True,
+              display_poc=None):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -275,7 +278,8 @@ class EncoderPipeline:
             avg = float(np.dot(d, d)) / (d.size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
-        ef = EncodedFrame(self.poc, ftype, nals,
+        ef = EncodedFrame(self.poc if display_poc is None else display_poc,
+                          ftype, nals,
                           recon={"y": ry.astype(np.uint8),
                                  "u": ru.astype(np.uint8),
                                  "v": rv.astype(np.uint8)},
@@ -378,18 +382,20 @@ class EncoderPipeline:
                 d2, r2y, r2u, r2v = self._analyze_inter(*fb, qp=qb)
                 yield self._emit(d2, r2y, r2u, r2v, src=fb,
                                  slice_type=SLICE_P, qp=qb,
-                                 poc=bt - self._idr_base,
+                                 poc=bt - self._idr_base, display_poc=bt,
                                  refs_before=(bt - 1 - self._idr_base,))
             if intra:
                 self._idr_base = t
                 desc, ry, ru, rv = self._analyze_intra(*fr, qp=qp)
                 self._prev_anchor = None
-                yield self._emit(desc, ry, ru, rv, src=fr, qp=qp)
+                yield self._emit(desc, ry, ru, rv, src=fr, qp=qp,
+                                 display_poc=t)
             else:
                 poc = t - self._idr_base
                 desc, ry, ru, rv = self._analyze_inter(*fr, qp=qp)
                 yield self._emit(desc, ry, ru, rv, src=fr,
                                  slice_type=SLICE_P, qp=qp, poc=poc,
+                                 display_poc=t,
                                  refs_before=(poc - 2,)
                                  if self._held is not None else (poc - 1,))
             # after the anchor is reconstructed, encode the held B
@@ -402,6 +408,7 @@ class EncoderPipeline:
                     *fb, qp=qb, ref=prev_anchor_recon, is_b=True)
                 yield self._emit(d2, r2y, r2u, r2v, src=fb,
                                  slice_type=SLICE_B, qp=qb, poc=bpoc,
+                                 display_poc=bt,
                                  refs_before=(bpoc - 1,),
                                  refs_after=(bpoc + 1,), is_ref=False)
 
@@ -421,7 +428,7 @@ class EncoderPipeline:
             qb = self.rc.pic_qp(False)
             d2, r2y, r2u, r2v = self._analyze_inter(*fb, qp=qb)
             yield self._emit(d2, r2y, r2u, r2v, src=fb, slice_type=SLICE_P,
-                             qp=qb, poc=bt - self._idr_base,
+                             qp=qb, poc=bt - self._idr_base, display_poc=bt,
                              refs_before=(bt - 1 - self._idr_base,))
 
     def _scene_change(self, y: np.ndarray) -> bool:
@@ -440,12 +447,19 @@ class EncoderPipeline:
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
 
+    def _inter_search_range(self) -> int:
+        # IBP anchors are two display frames apart: double the exhaustive
+        # window so anchor ME covers the same velocity as the IPPP chain
+        # (the reference's diamond search roams +-128/64 instead)
+        return 24 if self.cfg.gop_size >= 2 else 16
+
     def _get_tpu_inter(self, qp: int):
         if qp not in self._tpu_inter_by_qp:
             from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
             import dataclasses
             cfgq = dataclasses.replace(self.cfg, qp=qp)
-            self._tpu_inter_by_qp[qp] = TpuInterEncoder(self.ps, cfgq)
+            self._tpu_inter_by_qp[qp] = TpuInterEncoder(
+                self.ps, cfgq, search=self._inter_search_range())
         return self._tpu_inter_by_qp[qp]
 
     def _p_pipeline_ok(self) -> bool:
