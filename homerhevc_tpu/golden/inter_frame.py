@@ -228,6 +228,19 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
                 else:
                     recon_c[cy0:cy0 + nc, cx0:cx0 + nc] = cpred
                 coefs[cy0:cy0 + nc, cx0:cx0 + nc] = clvl.astype(np.int16)
+    # boundary bands (w/h not a multiple of the CU grid, e.g. 1080p's
+    # bottom 8 rows): coded as zero-MV CU8s with no residual — recon is a
+    # straight copy of the reference; syntax selection assigns merge/AMVP
+    # so a decoder derives the same zero motion
+    h16, w16 = gh * n, gw * n
+    if h16 < h:
+        recon_y[h16:, :] = ry_ref[h16:, :]
+        recon_u[h16 // 2:, :] = ru_ref[h16 // 2:, :]
+        recon_v[h16 // 2:, :] = rv_ref[h16 // 2:, :]
+    if w16 < w:
+        recon_y[:h16, w16:] = ry_ref[:h16, w16:]
+        recon_u[:h16 // 2, w16 // 2:] = ru_ref[:h16 // 2, w16 // 2:]
+        recon_v[:h16 // 2, w16 // 2:] = rv_ref[:h16 // 2, w16 // 2:]
     return desc, recon_y, recon_u, recon_v
 
 
@@ -503,6 +516,14 @@ def _select_inter_syntax_loop(ps: ParamSets, desc: FrameDesc, cu_size: int,
                               is_b: bool = False) -> None:
     w, h = desc.width, desc.height
     n = cu_size
+    # boundary bands not covered by the n-grid: CU8 zero-MV units
+    h16, w16 = (h // n) * n, (w // n) * n
+    for y0 in range(h16, h, 8):
+        for x0 in range(0, w, 8):
+            _select_cu_syntax(ps, desc, x0, y0, 8, is_b)
+    for y0 in range(0, h16, 8):
+        for x0 in range(w16, w, 8):
+            _select_cu_syntax(ps, desc, x0, y0, 8, is_b)
     mf = MotionField(*desc.pred_mode.shape)
     mf.mv = desc.mv
     mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)

@@ -150,3 +150,35 @@ def test_ippp_rd_regression_guard(rng):
     # 2x the rate or -2 dB means a real regression.
     assert p_bits < 60_000, p_bits
     assert avg_p_psnr > 29.0, avg_p_psnr
+
+
+def test_ippp_partial_ctb_bands(tmp_path, rng):
+    """Dims not multiples of 16 (the 1080p bottom-band case): the boundary
+    band is coded as zero-MV CU8s and every frame must decode bit-exact."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tests.conftest import decode_annexb, make_yuv
+
+    w, h = 88, 72
+    y, u, v = make_yuv(rng, w, h)
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1, intra_period=0,
+                        sao=False, deblocking=False, sign_hiding=True,
+                        cu_size=16, reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    path = tmp_path / "band.265"
+    efs = []
+    with open(path, "wb") as f:
+        for i in range(3):
+            y2 = np.clip(np.roll(y, i * 3, 1).astype(int)
+                         + rng.randint(-2, 3, y.shape), 0, 255) \
+                .astype(np.uint8)
+            for ef in enc.encode(y2, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    dec = decode_annexb(path)
+    assert len(dec) == 3
+    for i in range(3):
+        assert np.array_equal(dec[i], efs[i].recon["y"]), i
