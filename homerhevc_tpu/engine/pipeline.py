@@ -125,7 +125,7 @@ class EncoderPipeline:
         state after the second CTB of the row above (spec entropy sync;
         reference ee_copy_entropy_model hmr_encoder_lib.c:2371). Rows are
         independent byte streams -> host-parallel entropy coding."""
-        from homerhevc_tpu.hevc.bitstream import BitWriter
+        from homerhevc_tpu.hevc.bitstream import BitWriter, ebsp_row_escapes
         ps = self.ps
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         # native fast path
@@ -135,14 +135,17 @@ class EncoderPipeline:
             slice_type=slice_type, sao_params=sao_params, wpp=True)
         if res is not None:
             payload, row_sizes = res
+            # entry points count escaped bytes (spec 7.4.7.1; reference
+            # count_needed_start_codes, hmr_headers.c:626)
+            esc = ebsp_row_escapes(payload, row_sizes)
+            offsets = [s + e for s, e in zip(row_sizes[:-1], esc[:-1])]
             sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
                              poc=self.gop_poc if poc is None else poc, qp=qp,
                              sao_luma=sao_params is not None,
                              sao_chroma=sao_params is not None,
                              ref_pocs_before=refs_before,
                              ref_pocs_after=refs_after)
-            bw = write_slice_header(ps, sp,
-                                    entry_point_offsets=row_sizes[:-1])
+            bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
             return make_nal(nal_type, bw.get_bytes() + payload)
         rows = []
         saved_ctx = None      # ctx snapshot after CTB 1 of the previous row
@@ -169,15 +172,17 @@ class EncoderPipeline:
             bw_row.write_byte_alignment()
             rows.append(bw_row.get_bytes())
             prev_saved = saved if saved is not None else prev_saved
-        offsets = [len(r) for r in rows[:-1]]
-        refs = (self.gop_poc - 1,) if slice_type != SLICE_I else ()
+        payload = b"".join(rows)
+        esc = ebsp_row_escapes(payload, [len(r) for r in rows])
+        offsets = [len(r) + e for r, e in zip(rows[:-1], esc[:-1])]
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                         poc=self.gop_poc, qp=qp,
+                         poc=self.gop_poc if poc is None else poc, qp=qp,
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
-                         ref_pocs_before=refs)
+                         ref_pocs_before=refs_before,
+                         ref_pocs_after=refs_after)
         bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
-        return make_nal(nal_type, bw.get_bytes() + b"".join(rows))
+        return make_nal(nal_type, bw.get_bytes() + payload)
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
                          qp: int, use_native: bool = True,

@@ -85,6 +85,36 @@ def ebsp_escape(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
+def ebsp_row_escapes(payload: bytes, row_sizes: list) -> list:
+    """Per-row emulation-prevention byte counts for WPP entry points.
+
+    entry_point_offset_minus1 counts bytes of the *escaped* slice data
+    (spec 7.4.7.1), so each raw substream size must be corrected by the
+    number of 0x03 escapes inserted inside its span (reference:
+    count_needed_start_codes, hmr_headers.c:626). The scan runs over the
+    whole concatenated payload so zero-runs crossing a row boundary are
+    attributed to the row containing the triggering byte. The slice header
+    always ends with a nonzero byte (alignment stop bit), so the initial
+    zero-run is 0.
+    """
+    counts = [0] * len(row_sizes)
+    bounds = []
+    acc = 0
+    for s in row_sizes:
+        acc += s
+        bounds.append(acc)
+    row = 0
+    zeros = 0
+    for i, b in enumerate(payload):
+        while row < len(bounds) - 1 and i >= bounds[row]:
+            row += 1
+        if zeros >= 2 and b <= 3:
+            counts[row] += 1
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return counts
+
+
 # H.265 NAL unit types (Table 7-1)
 NAL_TRAIL_N = 0
 NAL_TRAIL_R = 1

@@ -278,7 +278,9 @@ def write_slice_header(ps: ParamSets, sp: SliceParams,
             bw.write(0, 1)  # mvd_l1_zero_flag
         bw.write_ue(5 - sp.max_merge_cand)  # five_minus_max_num_merge_cand
     bw.write_se(sp.qp - ps.init_qp)  # slice_qp_delta
-    if ps.sao_enabled or ps.deblocking_enabled:
+    # spec 7.3.6.1: gated on (slice_sao_luma || slice_sao_chroma ||
+    # !slice_deblocking_filter_disabled_flag), not the SPS/PPS enables
+    if sp.sao_luma or sp.sao_chroma or ps.deblocking_enabled:
         bw.write(1, 1)  # slice_loop_filter_across_slices_enabled_flag
     if ps.wpp:
         offsets = entry_point_offsets or []

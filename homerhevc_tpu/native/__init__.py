@@ -20,9 +20,9 @@ _lib = None
 _I32P = ctypes.c_void_p
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
-        if (os.path.exists(_SO)
+        if (not force and os.path.exists(_SO)
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return True
         subprocess.run(
@@ -33,13 +33,31 @@ def _build() -> bool:
         return False
 
 
+_load_failed = False
+
+
 def get_lib():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not _build():
+    if _load_failed:
         return None
-    lib = ctypes.CDLL(_SO)
+    if not _build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # stale/incompatible binary (git does not preserve mtimes): rebuild
+        # once from source, then fall back to the Python serializer
+        if not _build(force=True):
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _load_failed = True
+            return None
     lib.hevcenc_encode_slice2.restype = ctypes.c_long
     lib.hevcenc_encode_slice2.argtypes = (
         [ctypes.c_char_p]
