@@ -75,10 +75,10 @@ class EncoderConfig:
     def __post_init__(self) -> None:
         assert self.cu_size in (16, 32, 64)
         assert 0 <= self.qp <= 51
-        if self.width % 8 or self.height % 8:
+        if self.width % 2 or self.height % 2:
             raise ValueError(
-                f"frame dimensions must be multiples of 8 (min CB), got "
-                f"{self.width}x{self.height}; pad the input first")
+                f"frame dimensions must be even (4:2:0 chroma), got "
+                f"{self.width}x{self.height}")
         assert self.bit_depth == 8, "only 8-bit supported (as the reference)"
 
     @property

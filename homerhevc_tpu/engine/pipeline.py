@@ -28,8 +28,19 @@ from homerhevc_tpu.hevc.syntax import SliceDataEncoder
 
 class EncoderPipeline:
     def __init__(self, cfg: EncoderConfig, backend: str = "auto"):
+        # pad the coded picture to CTU multiples and crop on output via the
+        # SPS conformance window (how production encoders handle 1080p with
+        # CTB16/32/64): every analysis path then sees uniform full CTBs
+        self.out_w, self.out_h = cfg.width, cfg.height
+        ctu = cfg.ctu_size
+        cw, ch = -(-cfg.width // ctu) * ctu, -(-cfg.height // ctu) * ctu
+        if (cw, ch) != (cfg.width, cfg.height):
+            import dataclasses
+            cfg = dataclasses.replace(cfg, width=cw, height=ch)
         self.cfg = cfg
         self.ps = ParamSets.from_config(cfg)
+        self.ps.conf_win_right = cw - self.out_w
+        self.ps.conf_win_bottom = ch - self.out_h
         self.poc = 0
         self.backend = backend
         self._tpu_encoder = None
@@ -283,11 +294,12 @@ class EncoderPipeline:
             avg = float(np.dot(d, d)) / (d.size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
+        oh, ow = self.out_h, self.out_w
         ef = EncodedFrame(self.poc if display_poc is None else display_poc,
                           ftype, nals,
-                          recon={"y": ry.astype(np.uint8),
-                                 "u": ru.astype(np.uint8),
-                                 "v": rv.astype(np.uint8)},
+                          recon={"y": np.asarray(ry, np.uint8)[:oh, :ow],
+                                 "u": np.asarray(ru, np.uint8)[:oh // 2, :ow // 2],
+                                 "v": np.asarray(rv, np.uint8)[:oh // 2, :ow // 2]},
                           avg_qp=qp)
         self.rc.end_pic(ef.bits, slice_type == SLICE_I)
         self.poc += 1
@@ -503,8 +515,19 @@ class EncoderPipeline:
             self._tpu_by_qp[qp] = TpuIntraEncoder(self.ps, cfgq)
         return self._tpu_by_qp[qp]
 
+    def _pad_frame(self, y, u, v):
+        dh = self.cfg.height - np.asarray(y).shape[0]
+        dw = self.cfg.width - np.asarray(y).shape[1]
+        if dh == 0 and dw == 0:
+            return y, u, v
+        assert dh >= 0 and dw >= 0, "input larger than configured size"
+        y = np.pad(np.asarray(y), ((0, dh), (0, dw)), mode="edge")
+        u = np.pad(np.asarray(u), ((0, dh // 2), (0, dw // 2)), mode="edge")
+        v = np.pad(np.asarray(v), ((0, dh // 2), (0, dw // 2)), mode="edge")
+        return y, u, v
+
     def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
-        self._queue.append((y, u, v))
+        self._queue.append(self._pad_frame(y, u, v))
         if len(self._queue) >= self.batch:
             yield from self._drain_queue()
 

@@ -41,6 +41,10 @@ class ParamSets:
     init_qp: int = 32
     cb_qp_offset: int = 2
     cr_qp_offset: int = 2
+    # conformance window (luma samples cropped from the coded picture on
+    # output; the pipeline pads input to CTU multiples and crops here)
+    conf_win_right: int = 0
+    conf_win_bottom: int = 0
 
     @classmethod
     def from_config(cls, cfg: EncoderConfig) -> "ParamSets":
@@ -142,12 +146,18 @@ def write_sps(ps: ParamSets) -> bytes:
     bw.write_ue(1)      # chroma_format_idc = 4:2:0
     bw.write_ue(ps.pic_width)
     bw.write_ue(ps.pic_height)
-    # conformance window when dims aren't a multiple of min CB
     min_cb = 1 << ps.log2_min_cb
-    crop_r = (-ps.pic_width) % min_cb
-    crop_b = (-ps.pic_height) % min_cb
-    assert crop_r == 0 and crop_b == 0, "pad input to multiple of 8 first"
-    bw.write(0, 1)      # conformance_window_flag
+    assert ps.pic_width % min_cb == 0 and ps.pic_height % min_cb == 0, \
+        "coded dims must be CTU-padded (EncoderPipeline does this)"
+    if ps.conf_win_right or ps.conf_win_bottom:
+        # offsets in chroma units (SubWidthC/SubHeightC = 2 for 4:2:0)
+        bw.write(1, 1)  # conformance_window_flag
+        bw.write_ue(0)                       # conf_win_left_offset
+        bw.write_ue(ps.conf_win_right // 2)  # conf_win_right_offset
+        bw.write_ue(0)                       # conf_win_top_offset
+        bw.write_ue(ps.conf_win_bottom // 2)
+    else:
+        bw.write(0, 1)  # conformance_window_flag
     bw.write_ue(0)      # bit_depth_luma_minus8
     bw.write_ue(0)      # bit_depth_chroma_minus8
     bw.write_ue(ps.log2_max_poc_lsb - 4)

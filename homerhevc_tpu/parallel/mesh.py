@@ -45,7 +45,6 @@ def encode_frames_sharded(cfg, frames, mesh=None):
 
     from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
     from homerhevc_tpu.engine.pipeline import EncoderPipeline
-    from homerhevc_tpu.hevc.headers import ParamSets
 
     if mesh is None:
         mesh = make_mesh(cfg.num_devices)
@@ -53,8 +52,9 @@ def encode_frames_sharded(cfg, frames, mesh=None):
     assert len(frames) % n_dev == 0, (
         f"frame batch ({len(frames)}) must fill the mesh ({n_dev})")
 
-    ps = ParamSets.from_config(cfg)
-    enc = TpuIntraEncoder(ps, cfg, cu=min(cfg.cu_size, 16))
+    proto = EncoderPipeline(cfg)   # handles CTU padding / conf window
+    frames = [proto._pad_frame(*f) for f in frames]
+    enc = TpuIntraEncoder(proto.ps, proto.cfg, cu=min(cfg.cu_size, 16))
     shard = NamedSharding(mesh, P("frame"))
 
     ys = jax.device_put(
