@@ -56,6 +56,9 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
+    if "--stages" in sys.argv:
+        from homerhevc_tpu.utils.profiler import PROFILER
+        print(PROFILER.report(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -17,15 +17,26 @@ from homerhevc_tpu.hevc.bitstream import annex_b
 
 
 class EncodedFrame:
-    """Output unit: NAL payloads + reconstruction (analog of output_set_t)."""
+    """Output unit: NAL payloads + reconstruction (analog of output_set_t).
+
+    `recon` may be passed as a zero-arg callable; it is then materialized
+    on first access. The device pipeline uses this to keep reconstruction
+    planes device-resident unless a consumer (recon dump, PSNR, tests)
+    actually reads them — the host link is the throughput bottleneck."""
 
     def __init__(self, poc: int, frame_type: str, nals: list[bytes],
-                 recon: Optional[dict] = None, avg_qp: float = 0.0):
+                 recon=None, avg_qp: float = 0.0):
         self.poc = poc
         self.frame_type = frame_type
         self.nals = nals
-        self.recon = recon  # {'y','u','v'} uint8 planes
+        self._recon = recon  # {'y','u','v'} uint8 planes, or thunk
         self.avg_qp = avg_qp
+
+    @property
+    def recon(self) -> Optional[dict]:
+        if callable(self._recon):
+            self._recon = self._recon()
+        return self._recon
 
     @property
     def bits(self) -> int:

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-skipped_frames", type=int, default=0)
     p.add_argument("-n_frames_in_flight", type=int, default=8,
                    help="device frame batch (all-intra only)")
+    p.add_argument("-profile", action="store_true",
+                   help="print a host pipeline stage breakdown at exit "
+                        "(reference PROFILER_PRINT analog, hmr_profiler.h:29)")
     return p
 
 
@@ -106,6 +109,9 @@ def main(argv=None) -> int:
     kbps = total_bits * cfg.frame_rate / max(n_done, 1) / 1000.0
     print(f"{n_done} frames in {dt*1000:.0f} ms: {n_done/dt:.2f} fps, "
           f"{kbps:.0f} kbps")
+    if args.profile:
+        from homerhevc_tpu.utils.profiler import PROFILER
+        print(PROFILER.report())
     return 0
 
 

@@ -75,9 +75,9 @@ class TpuIntraEncoder:
         lam_sqrt = float(np.sqrt(T.rd_lambda(cfg.qp, "I")))
         self.bits_mpm = int(lam_sqrt * 2)
         self.bits_rem = int(lam_sqrt * 6)
+        from homerhevc_tpu.ops.pack import pack_capacity
+        self.pack_C = pack_capacity(w * h * 3 // 2, cfg.qp)
         self._build_static()
-        self._step = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 4))
-        self._encode_jit = jax.jit(self._encode_frame_impl)
         # frame-batched variant: the wavefront is latency-bound (one small
         # step per diagonal); vmapping F independent frames through the same
         # scan amortizes the per-step overhead — the single-chip analog of
@@ -145,26 +145,34 @@ class TpuIntraEncoder:
                 above_ok[gy, gx] = y0 > 0 and (y0 % ctu) != 0
         self.above_ok = above_ok
 
-    # -- gathering helpers (inside jit) ---------------------------------------
+        # ---- diagonal-slot layout (slot = gy) ----------------------------
+        # Block (gx, gy) on diagonal d = gx + 2*gy; with slot index s = gy
+        # its wavefront neighbors live at FIXED slots of the previous
+        # diagonals: left (gx-1,gy) = (d-1, s), above-right (gx+1,gy-1) =
+        # (d-1, s-1), above (gx,gy-1) = (d-2, s-1), above-left (gx-1,gy-1)
+        # = (d-3, s-1). The scan carry therefore only holds the boundary
+        # rows/cols of the last three diagonals and every neighbor access
+        # is a shifted slice -- no gather/scatter in the hot loop (TPU
+        # scatters serialize; they dominated the v1 step cost).
+        sl = np.arange(gh)[None, :]
+        dd = np.arange(ndiag)[:, None]
+        d_gx = dd - 2 * sl                                  # (ndiag, gh)
+        d_valid = (d_gx >= 0) & (d_gx < gw)
+        gx_c = np.clip(d_gx, 0, gw - 1)
+        gy_b = np.broadcast_to(sl, d_gx.shape)
+        self.d_valid = d_valid
+        self.d_has_left = d_valid & (d_gx > 0)
+        self.d_above_ok = np.where(d_valid, above_ok[gy_b, gx_c], False)
+        self.d_mask_y = np.where(d_valid[..., None],
+                                 self.mask_y[gy_b, gx_c], False)
+        self.d_mask_c = np.where(d_valid[..., None],
+                                 self.mask_c[gy_b, gx_c], False)
+        # flat block index for source gather / output scatter (invalid ->
+        # one-past-the-end padding row)
+        self.d_flat = np.where(d_valid, gy_b * gw + gx_c, gh * gw) \
+            .astype(np.int32)
 
-    @staticmethod
-    def _gather_seq(plane, x0s, y0s, n, valid):
-        """Build substitution sequences (B, 4n+1) from component plane.
-        Order: [left bottom..top, corner, top row]."""
-        n2 = 2 * n
-        b = x0s.shape[0]
-        h, w = plane.shape
-        # left column samples: (x0-1, y0 + n2-1-j) j=0..n2-1
-        j = jnp.arange(n2)
-        ly = y0s[:, None] + (n2 - 1 - j)[None, :]
-        lx = (x0s - 1)[:, None] * jnp.ones((1, n2), jnp.int32)
-        left = plane[jnp.clip(ly, 0, h - 1), jnp.clip(lx, 0, w - 1)]
-        corner = plane[jnp.clip(y0s - 1, 0, h - 1), jnp.clip(x0s - 1, 0, w - 1)]
-        i = jnp.arange(n2)
-        tx = x0s[:, None] + i[None, :]
-        ty = (y0s - 1)[:, None] * jnp.ones((1, n2), jnp.int32)
-        top = plane[jnp.clip(ty, 0, h - 1), jnp.clip(tx, 0, w - 1)]
-        return jnp.concatenate([left, corner[:, None], top], axis=1)
+    # -- ref-vector helpers (inside jit) --------------------------------------
 
     @staticmethod
     def _seq_to_refs(seq, n):
@@ -176,95 +184,6 @@ class TpuIntraEncoder:
         return (jnp.concatenate([corner, top], axis=1),
                 jnp.concatenate([corner, left], axis=1))
 
-    # -- the jitted wavefront step ---------------------------------------------
-
-    def _step_impl(self, inputs, recon_y, recon_u, recon_v, mode_grid,
-                   srcs_y, srcs_u, srcs_v):
-        """One diagonal. inputs: dict of static per-diagonal index arrays."""
-        cu = self.cu
-        cuc = cu // 2
-        gxs, gys = inputs["gxs"], inputs["gys"]
-        valid = inputs["valid"]
-        mask_y, mask_c = inputs["mask_y"], inputs["mask_c"]
-        above_ok = inputs["above_ok"]
-        x0s, y0s = gxs * cu, gys * cu
-
-        # ---- luma refs -----------------------------------------------------
-        seq = self._gather_seq(recon_y, x0s, y0s, cu, valid)
-        seq = dip.substitute_refs(seq, mask_y)
-        top, left = self._seq_to_refs(seq, cu)
-        preds = dip.predict_all_modes(top, left, cu, True)
-        preds = dip.edge_fixes(preds, top, left, cu, True)
-
-        # ---- mode decision ---------------------------------------------------
-        sad = jnp.sum(jnp.abs(srcs_y[:, None] - preds), axis=(-1, -2))
-        gx_l = jnp.clip(gxs - 1, 0, self.gw - 1)
-        left_mode = jnp.where(gxs > 0, mode_grid[gys, gx_l], 1)
-        gy_a = jnp.clip(gys - 1, 0, self.gh - 1)
-        above_mode = jnp.where(above_ok, mode_grid[gy_a, gxs], 1)
-        mpm = _mpm_jax(left_mode, above_mode)
-        modes_r = jnp.arange(35)[None, :]
-        in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
-        bits = jnp.where(in_mpm, self.bits_mpm, self.bits_rem)
-        cost = sad + bits
-        best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
-        pred = jnp.take_along_axis(
-            preds, best[:, None, None, None], axis=1)[:, 0]
-
-        # ---- luma TU ---------------------------------------------------------
-        resid = srcs_y - pred
-        is_dst = cu == 4
-        coef = forward_transform(resid, is_dst)
-        lvl = quantize(coef, cu, self.qp, True, self.ps.scaling_list_enabled)
-        if self.ps.sign_hiding:
-            # scan depends on mode for 4x4/8x8 luma; apply SBH per scan class
-            scan_sel = self._scan_class(best, cu, True)
-            lvl = self._sbh_by_scan(lvl, coef, cu, self.qp, scan_sel)
-        deq = dequantize(lvl, cu, self.qp, True, self.ps.scaling_list_enabled)
-        rres = inverse_transform(deq, is_dst)
-        any_nz = jnp.any(lvl != 0, axis=(-1, -2))
-        rec = jnp.where(any_nz[:, None, None],
-                        jnp.clip(pred + rres, 0, 255), pred)
-        # scatter into recon (invalid slots -> out of bounds, dropped)
-        rows = jnp.where(valid, y0s, self.h)[:, None, None] + \
-            jnp.arange(cu)[None, :, None]
-        cols = x0s[:, None, None] + jnp.arange(cu)[None, None, :]
-        recon_y = recon_y.at[rows, cols].set(rec, mode="drop")
-        mode_grid = mode_grid.at[
-            jnp.where(valid, gys, self.gh), gxs].set(best, mode="drop")
-
-        # ---- chroma (DM) -----------------------------------------------------
-        cx0, cy0 = x0s // 2, y0s // 2
-        out_c = []
-        for recon_c, src_c in ((recon_u, srcs_u), (recon_v, srcs_v)):
-            seq_c = self._gather_seq(recon_c, cx0, cy0, cuc, valid)
-            seq_c = dip.substitute_refs(seq_c, mask_c)
-            top_c, left_c = self._seq_to_refs(seq_c, cuc)
-            preds_c = dip.predict_all_modes(top_c, left_c, cuc, False)
-            pred_c = jnp.take_along_axis(
-                preds_c, best[:, None, None, None], axis=1)[:, 0]
-            res_c = src_c - pred_c
-            coef_c = forward_transform(res_c, False)
-            lvl_c = quantize(coef_c, cuc, self.qp_c, True,
-                             self.ps.scaling_list_enabled)
-            if self.ps.sign_hiding:
-                scan_sel_c = self._scan_class(best, cuc, False)
-                lvl_c = self._sbh_by_scan(lvl_c, coef_c, cuc, self.qp_c,
-                                          scan_sel_c)
-            deq_c = dequantize(lvl_c, cuc, self.qp_c, True,
-                               self.ps.scaling_list_enabled)
-            rres_c = inverse_transform(deq_c, False)
-            nz_c = jnp.any(lvl_c != 0, axis=(-1, -2))
-            rec_c = jnp.where(nz_c[:, None, None],
-                              jnp.clip(pred_c + rres_c, 0, 255), pred_c)
-            rows_c = jnp.where(valid, cy0, self.h // 2)[:, None, None] + \
-                jnp.arange(cuc)[None, :, None]
-            cols_c = cx0[:, None, None] + jnp.arange(cuc)[None, None, :]
-            recon_c = recon_c.at[rows_c, cols_c].set(rec_c, mode="drop")
-            out_c.append((recon_c, lvl_c))
-        (recon_u, lvl_u), (recon_v, lvl_v) = out_c
-        return recon_y, recon_u, recon_v, mode_grid, lvl, lvl_u, lvl_v, best
-
     def _scan_class(self, modes: jnp.ndarray, n: int, is_luma: bool):
         """Scan index (0 diag, 1 hor, 2 ver) per block, matching
         tables.intra_scan_idx."""
@@ -275,81 +194,63 @@ class TpuIntraEncoder:
         hor = (modes >= 22) & (modes <= 30)
         return jnp.where(ver, 2, jnp.where(hor, 1, 0)).astype(jnp.int32)
 
-    def _sbh_by_scan(self, lvl, coef, n, qp, scan_sel):
-        out = lvl
-        for s in (0, 1, 2):
-            adj = sign_bit_hiding(lvl, coef, n, qp, True, s,
-                                  self.ps.scaling_list_enabled)
-            out = jnp.where((scan_sel == s)[:, None, None], adj, out)
-        return out
-
     # -- whole-frame jit (one device dispatch per frame) -------------------------
     #
-    # Performance-critical design: no full-plane gathers/scatters inside the
-    # scan. Intra prediction only ever reads block BOUNDARIES, so the carry
-    # holds small per-block caches:
-    #   brow (gh, gw, n): bottom row of each reconstructed block
-    #   rcol (gh, gw, n): right column of each reconstructed block
-    # (per component). Reconstructed blocks and levels stream out as stacked
-    # scan outputs and are assembled into planes with one scatter at the end.
+    # Performance-critical design: the scan runs over diagonals in the
+    # diagonal-slot layout (slot = gy, see _build_static). The carry holds
+    # only the boundary rows/cols of the last three diagonals, and every
+    # neighbor access is a shifted slice of those vectors — zero gathers
+    # and zero scatters inside the hot loop. Reconstructed blocks and
+    # levels stream out as stacked scan outputs and are assembled into
+    # planes with one scatter per tensor at the end.
 
-    def _refs_from_caches(self, brow, rcol, gxs, gys, n, mask):
-        """Build substituted (top[2n+1], left[2n+1]) from boundary caches."""
-        gw_m1 = brow.shape[1] - 1
-        gh_m1 = brow.shape[0] - 1
-        gxc = jnp.clip(gxs, 0, gw_m1)
-        gyc = jnp.clip(gys, 0, gh_m1)
-        gxl = jnp.clip(gxs - 1, 0, gw_m1)
-        gya = jnp.clip(gys - 1, 0, gh_m1)
-        gxr = jnp.clip(gxs + 1, 0, gw_m1)
-        # top row 2n: blocks (gya, gx) and (gya, gx+1)
-        top1 = brow[gya, gxc]              # (B, n)
-        top2 = brow[gya, gxr]              # (B, n)
-        corner = brow[gya, gxl][:, -1]     # (B,)
-        # left col n (top..bottom): rcol of (gy, gx-1); below-left never
-        # available in raster order -> zeros (substitution fills them)
-        leftc = rcol[gyc, gxl]             # (B, n)
-        B = gxs.shape[0]
-        zeros = jnp.zeros((B, n), jnp.int32)
-        # substitution sequence: [left bottom..top (2n), corner, top (2n)]
+    @staticmethod
+    def _sh1(a):
+        """Shift along the slot axis: out[s] = a[s-1], out[0] = 0."""
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+    def _refs_from_prev(self, p1_brow, p1_rcol, p2_brow, p3_brow, n, mask):
+        """Substituted (top[2n+1], left[2n+1]) per slot from the boundary
+        vectors of the previous three diagonals."""
+        gh = p1_brow.shape[0]
+        top1 = self._sh1(p2_brow)             # above (d-2, s-1)
+        top2 = self._sh1(p1_brow)             # above-right (d-1, s-1)
+        corner = self._sh1(p3_brow)[:, -1:]   # above-left (d-3, s-1)
+        leftc = p1_rcol                       # left (d-1, s), top..bottom
+        zeros = jnp.zeros((gh, n), jnp.int32)
+        # substitution sequence: [below-left, left bottom..top, corner, top]
         seq = jnp.concatenate(
-            [zeros, leftc[:, ::-1], corner[:, None], top1, top2], axis=1)
+            [zeros, leftc[:, ::-1], corner, top1, top2], axis=1)
         seq = dip.substitute_refs(seq, mask)
         return self._seq_to_refs(seq, n)
 
     def _encode_frame_impl(self, src_y, src_u, src_v):
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
-        # sources arrive uint8 (cheap on the host link); widen on device
-        src_y = src_y.astype(jnp.int32)
-        src_u = src_u.astype(jnp.int32)
-        src_v = src_v.astype(jnp.int32)
+        ndiag = self.ndiag
 
-        # block the sources once: (gh, gw, n, n)
-        def block(plane, n):
-            return plane.reshape(plane.shape[0] // n, n,
-                                 plane.shape[1] // n, n).transpose(0, 2, 1, 3)
-        by = block(src_y, cu)
-        bu = block(src_u, cuc)
-        bv = block(src_v, cuc)
+        # block the sources and pre-gather into the diagonal-slot layout
+        # (one gather per component per frame; uint8 until inside the scan)
+        def diag_blocks(plane, n):
+            hh, ww = plane.shape
+            b = plane.reshape(hh // n, n, ww // n, n).transpose(0, 2, 1, 3) \
+                .reshape(-1, n, n)
+            b = jnp.concatenate([b, jnp.zeros((1, n, n), b.dtype)], axis=0)
+            return b[jnp.asarray(self.d_flat)]       # (ndiag, gh, n, n)
+        by = diag_blocks(src_y, cu)
+        bu = diag_blocks(src_u, cuc)
+        bv = diag_blocks(src_v, cuc)
 
-        gxs_all = jnp.asarray(self.gxs)
-        gys_all = jnp.asarray(self.gys)
-        valid_all = jnp.asarray(self.valid)
-        mask_y_all = jnp.asarray(
-            self.mask_y[self.gys, self.gxs] & self.valid[..., None])
-        mask_c_all = jnp.asarray(
-            self.mask_c[self.gys, self.gxs] & self.valid[..., None])
-        above_all = jnp.asarray(self.above_ok[self.gys, self.gxs])
+        mask_y_all = jnp.asarray(self.d_mask_y)
+        mask_c_all = jnp.asarray(self.d_mask_c)
+        above_all = jnp.asarray(self.d_above_ok)
+        has_left_all = jnp.asarray(self.d_has_left)
 
-        def component(best, src_blk, brow, rcol, gxs, gys, mask, n, qp,
-                      is_luma, preds_cache=None):
-            """TU pipeline for one component; returns lvl, rec, brow', rcol'."""
+        def component(best, src_blk, refs, n, qp, is_luma, preds_cache=None):
+            """TU pipeline for one component; returns lvl, rec."""
             if preds_cache is None:
-                top, left = self._refs_from_caches(brow, rcol, gxs, gys, n, mask)
+                top, left = refs
                 preds = dip.predict_all_modes(top, left, n, is_luma)
-                if is_luma:
-                    preds = dip.edge_fixes(preds, top, left, n, is_luma)
             else:
                 preds = preds_cache
             pred = jnp.take_along_axis(
@@ -369,60 +270,56 @@ class TpuIntraEncoder:
             return lvl, rec
 
         def body(carry, xs):
-            (brow, rcol, brow_u, rcol_u, brow_v, rcol_v, mode_grid) = carry
-            gxs, gys, valid, mask_y, mask_c, above_ok = xs
+            (p1b, p1r, p2b, p3b,
+             p1b_u, p1r_u, p2b_u, p3b_u,
+             p1b_v, p1r_v, p2b_v, p3b_v,
+             p1m, p2m) = carry
+            sb_y, sb_u, sb_v, mask_y, mask_c, above_ok, has_left = xs
+            src_blk = sb_y.astype(jnp.int32)
             # ---- luma mode decision ----
-            top, left = self._refs_from_caches(brow, rcol, gxs, gys, cu, mask_y)
+            top, left = self._refs_from_prev(p1b, p1r, p2b, p3b, cu, mask_y)
             preds = dip.predict_all_modes(top, left, cu, True)
             preds = dip.edge_fixes(preds, top, left, cu, True)
-            src_blk = by[gys, gxs]
             sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(-1, -2))
-            gx_l = jnp.clip(gxs - 1, 0, gw - 1)
-            left_mode = jnp.where(gxs > 0, mode_grid[gys, gx_l], 1)
-            gy_a = jnp.clip(gys - 1, 0, gh - 1)
-            above_mode = jnp.where(above_ok, mode_grid[gy_a, gxs], 1)
+            left_mode = jnp.where(has_left, p1m, 1)
+            above_mode = jnp.where(above_ok, self._sh1(p2m), 1)
             mpm = _mpm_jax(left_mode, above_mode)
             modes_r = jnp.arange(35)[None, :]
             in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
             cost = sad + jnp.where(in_mpm, self.bits_mpm, self.bits_rem)
             best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
 
-            lvl, rec = component(best, src_blk, brow, rcol, gxs, gys, mask_y,
-                                 cu, self.qp, True, preds_cache=preds)
-            lvl_u, rec_u = component(best, bu[gys, gxs], brow_u, rcol_u,
-                                     gxs, gys, mask_c, cuc, self.qp_c, False)
-            lvl_v, rec_v = component(best, bv[gys, gxs], brow_v, rcol_v,
-                                     gxs, gys, mask_c, cuc, self.qp_c, False)
+            lvl, rec = component(best, src_blk, None, cu, self.qp, True,
+                                 preds_cache=preds)
+            refs_u = self._refs_from_prev(p1b_u, p1r_u, p2b_u, p3b_u, cuc,
+                                          mask_c)
+            lvl_u, rec_u = component(best, sb_u.astype(jnp.int32), refs_u,
+                                     cuc, self.qp_c, False)
+            refs_v = self._refs_from_prev(p1b_v, p1r_v, p2b_v, p3b_v, cuc,
+                                          mask_c)
+            lvl_v, rec_v = component(best, sb_v.astype(jnp.int32), refs_v,
+                                     cuc, self.qp_c, False)
 
-            # update caches (drop invalid via out-of-range row index)
-            gy_s = jnp.where(valid, gys, gh)
-            brow = brow.at[gy_s, gxs].set(rec[:, -1, :], mode="drop")
-            rcol = rcol.at[gy_s, gxs].set(rec[:, :, -1], mode="drop")
-            brow_u = brow_u.at[gy_s, gxs].set(rec_u[:, -1, :], mode="drop")
-            rcol_u = rcol_u.at[gy_s, gxs].set(rec_u[:, :, -1], mode="drop")
-            brow_v = brow_v.at[gy_s, gxs].set(rec_v[:, -1, :], mode="drop")
-            rcol_v = rcol_v.at[gy_s, gxs].set(rec_v[:, :, -1], mode="drop")
-            mode_grid = mode_grid.at[gy_s, gxs].set(best, mode="drop")
-            carry = (brow, rcol, brow_u, rcol_u, brow_v, rcol_v, mode_grid)
+            carry = (rec[:, -1, :], rec[:, :, -1], p1b, p2b,
+                     rec_u[:, -1, :], rec_u[:, :, -1], p1b_u, p2b_u,
+                     rec_v[:, -1, :], rec_v[:, :, -1], p1b_v, p2b_v,
+                     best, p1m)
             return carry, (rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best)
 
-        carry0 = (
-            jnp.zeros((gh, gw, cu), jnp.int32),
-            jnp.zeros((gh, gw, cu), jnp.int32),
-            jnp.zeros((gh, gw, cuc), jnp.int32),
-            jnp.zeros((gh, gw, cuc), jnp.int32),
-            jnp.zeros((gh, gw, cuc), jnp.int32),
-            jnp.zeros((gh, gw, cuc), jnp.int32),
-            jnp.ones((gh, gw), jnp.int32),
-        )
-        xs = (gxs_all, gys_all, valid_all, mask_y_all, mask_c_all, above_all)
+        zs = lambda n: jnp.zeros((gh, n), jnp.int32)
+        carry0 = (zs(cu), zs(cu), zs(cu), zs(cu),
+                  zs(cuc), zs(cuc), zs(cuc), zs(cuc),
+                  zs(cuc), zs(cuc), zs(cuc), zs(cuc),
+                  jnp.ones((gh,), jnp.int32), jnp.ones((gh,), jnp.int32))
+        xs = (by, bu, bv, mask_y_all, mask_c_all, above_all, has_left_all)
         carry, outs = jax.lax.scan(body, carry0, xs)
-        mode_grid = carry[6]
         rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best = outs
 
         # assemble planes: one scatter per output tensor
-        flat_idx = jnp.asarray(
-            np.where(self.valid, self.gys * gw + self.gxs, gh * gw))
+        flat_idx = jnp.asarray(self.d_flat)
+        mode_grid = jnp.zeros((gh * gw + 1,), jnp.int32) \
+            .at[flat_idx.reshape(-1)].set(best.reshape(-1), mode="drop") \
+            [:gh * gw].reshape(gh, gw)
 
         def assemble(blocks, n, hh, ww):
             buf = jnp.zeros((gh * gw + 1, n, n), blocks.dtype)
@@ -444,20 +341,22 @@ class TpuIntraEncoder:
             recon_y, recon_u, recon_v = (ry.astype(jnp.uint8),
                                          ru.astype(jnp.uint8),
                                          rv.astype(jnp.uint8))
-            ly = assemble(lvl.astype(jnp.int16), cu, self.h, self.w)
-            lu = assemble(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
-            lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
-            return (recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8),
-                    ly, lu, lv)
-        # narrow dtypes before leaving the device: the host link is the
-        # bottleneck (~50 MB/s tunnel), recon fits u8 and levels fit i16
-        recon_y = assemble(rec.astype(jnp.uint8), cu, self.h, self.w)
-        recon_u = assemble(rec_u.astype(jnp.uint8), cuc, self.h // 2, self.w // 2)
-        recon_v = assemble(rec_v.astype(jnp.uint8), cuc, self.h // 2, self.w // 2)
+        else:
+            recon_y = assemble(rec.astype(jnp.uint8), cu, self.h, self.w)
+            recon_u = assemble(rec_u.astype(jnp.uint8), cuc,
+                               self.h // 2, self.w // 2)
+            recon_v = assemble(rec_v.astype(jnp.uint8), cuc,
+                               self.h // 2, self.w // 2)
         ly = assemble(lvl.astype(jnp.int16), cu, self.h, self.w)
         lu = assemble(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
-        return recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8), ly, lu, lv
+        # compact wire format for the host CABAC handoff; the full planes
+        # are still returned as a device-resident fallback (only fetched
+        # when the packed capacity overflows)
+        from homerhevc_tpu.ops.pack import pack_sparse
+        bitmap, vals, count = pack_sparse([ly, lu, lv], self.pack_C)
+        return (recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8),
+                ly, lu, lv, bitmap, vals, count)
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         log2n = n.bit_length() - 1
@@ -475,14 +374,13 @@ class TpuIntraEncoder:
 
     # -- frame driver ------------------------------------------------------------
 
-    def _to_desc(self, out):
-        recon_y, recon_u, recon_v, mode_grid, ly, lu, lv = map(np.asarray, out)
+    def _build_desc(self, mode_grid, ly, lu, lv):
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         depth = self.ps.log2_ctu - (cu.bit_length() - 1)
         desc.cu_depth[:] = depth
         desc.tr_depth[:] = 0
-        mode_all = mode_grid.astype(np.uint8)
+        mode_all = np.asarray(mode_grid, np.uint8)
         r = cu // 4
         desc.luma_mode[:] = np.repeat(np.repeat(mode_all, r, 0), r, 1)
         r8 = cu // 8
@@ -490,15 +388,12 @@ class TpuIntraEncoder:
         desc.coef_y[:] = ly.astype(np.int16)
         desc.coef_u[:] = lu.astype(np.int16)
         desc.coef_v[:] = lv.astype(np.int16)
-        return desc, recon_y, recon_u, recon_v
+        return desc
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int):
         assert qp == self.qp
-        out = self._encode_jit(jnp.asarray(np.asarray(y, np.uint8)),
-                               jnp.asarray(np.asarray(u, np.uint8)),
-                               jnp.asarray(np.asarray(v, np.uint8)))
-        return self._to_desc(out)
+        return self.encode_frames([y], [u], [v])[0]
 
     def dispatch_frames(self, ys, us, vs):
         """Async: launch the batched device program, return device arrays
@@ -510,8 +405,32 @@ class TpuIntraEncoder:
             jnp.asarray(np.asarray(vs, np.uint8)))
 
     def fetch_frames(self, out, n_frames: int):
-        out = [np.asarray(o) for o in out]
-        return [self._to_desc([o[i] for o in out]) for i in range(n_frames)]
+        """Download the compact wire data (counts, bitmaps, packed values,
+        mode grid) and rebuild FrameDescs; reconstruction planes are
+        returned DEVICE-RESIDENT (consumers materialize them lazily)."""
+        from homerhevc_tpu.ops.pack import unpack_sparse
+        ry, ru, rv, mode, ly, lu, lv, bm, vals, cnt = out
+        counts = np.asarray(cnt)
+        modes = np.asarray(mode)
+        bitmaps = np.asarray(bm)
+        shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
+                  (self.h // 2, self.w // 2)]
+        ok = counts <= self.pack_C
+        vals_np = None
+        if ok.any():
+            mc = max(int(counts[ok].max()), 1)
+            vals_np = np.asarray(vals[:, :mc])  # one link transfer
+        results = []
+        for i in range(n_frames):
+            if ok[i]:
+                py, pu, pv = unpack_sparse(bitmaps[i],
+                                           vals_np[i, :counts[i]], shapes)
+            else:  # capacity overflow: fall back to the full device planes
+                py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
+                              np.asarray(lv[i]))
+            desc = self._build_desc(modes[i], py, pu, pv)
+            results.append((desc, ry[i], ru[i], rv[i]))
+        return results
 
     def encode_frames(self, ys, us, vs):
         """Batched: lists/arrays of F frames -> list of (desc, ry, ru, rv)."""

@@ -24,6 +24,7 @@ from homerhevc_tpu.hevc.headers import (
     write_slice_header, write_sps, write_vps,
 )
 from homerhevc_tpu.hevc.syntax import SliceDataEncoder
+from homerhevc_tpu.utils.profiler import PROFILER
 
 
 class EncoderPipeline:
@@ -76,21 +77,27 @@ class EncoderPipeline:
         self._last_recon_dev = None   # intra breaks the device ref chain
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
-            desc, ry, ru, rv = encode_intra_frame(
-                self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
-            if self.ps.deblocking_enabled:
-                from homerhevc_tpu.golden import deblock as gdb
-                cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
-                tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-                qp8 = np.full_like(tu8, qp)
-                bs_v, bs_h = gdb.intra_bs_maps(tu8)
-                ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
-                ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
-                                              self.ps.cb_qp_offset)
-                rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
-                                              self.ps.cr_qp_offset)
-            return desc, ry, ru, rv
-        return self._get_tpu(qp).encode_frame(y, u, v, qp)
+            with PROFILER.scope("analyze_intra_golden"):
+                return self._analyze_intra_golden(y, u, v, qp)
+        with PROFILER.scope("analyze_intra_device"):
+            return self._get_tpu(qp).encode_frame(y, u, v, qp)
+
+    def _analyze_intra_golden(self, y, u, v, qp):
+        from homerhevc_tpu.golden.intra_frame import encode_intra_frame
+        desc, ry, ru, rv = encode_intra_frame(
+            self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
+        if self.ps.deblocking_enabled:
+            from homerhevc_tpu.golden import deblock as gdb
+            cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
+            tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
+            qp8 = np.full_like(tu8, qp)
+            bs_v, bs_h = gdb.intra_bs_maps(tu8)
+            ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
+            ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
+                                          self.ps.cb_qp_offset)
+            rv = gdb.deblock_plane_chroma(rv, qp8, bs_v, bs_h,
+                                          self.ps.cr_qp_offset)
+        return desc, ry, ru, rv
 
     def _analyze_inter(self, y, u, v, qp=None, ref=None, is_b=False):
         """Inter frame analysis against a filtered reference picture."""
@@ -102,8 +109,9 @@ class EncoderPipeline:
         assert ref is not None
         if self._tpu_inter_ok():
             enc = self._get_tpu_inter(qp)
-            desc, ry, ru, rv = enc.encode_frame(
-                (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
+            with PROFILER.scope("analyze_inter_device"):
+                desc, ry, ru, rv = enc.encode_frame(
+                    (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
             # the recon stays resident on device; chain it for the next P
             # (only when this frame will be the reference and no host-side
             # filter (SAO) modifies the recon afterwards — _emit gates that)
@@ -254,10 +262,15 @@ class EncoderPipeline:
         sao_params = None
         if self.ps.sao_enabled and src is not None:
             from homerhevc_tpu.hevc.sao import sao_apply_component, sao_decide
-            sao_params = sao_decide(src, (ry, ru, rv), self.ps.ctu_size, qp)
-            ry = sao_apply_component(ry, sao_params, 0, self.ps.ctu_size)
-            ru = sao_apply_component(ru, sao_params, 1, self.ps.ctu_size // 2)
-            rv = sao_apply_component(rv, sao_params, 2, self.ps.ctu_size // 2)
+            with PROFILER.scope("sao"):
+                ry, ru, rv = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+                sao_params = sao_decide(src, (ry, ru, rv), self.ps.ctu_size,
+                                        qp)
+                ry = sao_apply_component(ry, sao_params, 0, self.ps.ctu_size)
+                ru = sao_apply_component(ru, sao_params, 1,
+                                         self.ps.ctu_size // 2)
+                rv = sao_apply_component(rv, sao_params, 2,
+                                         self.ps.ctu_size // 2)
         nals = []
         if slice_type == SLICE_I:
             self.gop_poc = 0
@@ -269,11 +282,14 @@ class EncoderPipeline:
             nal_type = NAL_TRAIL_R
         else:
             nal_type = NAL_TRAIL_N
-        nals.append(self._serialize_slice(desc, slice_type, nal_type, qp,
-                                          sao_params=sao_params, poc=poc,
-                                          refs_before=refs_before,
-                                          refs_after=refs_after))
-        if is_ref:
+        with PROFILER.scope("serialize"):
+            nals.append(self._serialize_slice(desc, slice_type, nal_type, qp,
+                                              sao_params=sao_params, poc=poc,
+                                              refs_before=refs_before,
+                                              refs_after=refs_after))
+        if is_ref and self.cfg.gop_size != 0:
+            # all-intra never consumes the reference recon on host; keep the
+            # planes device-resident there (the host link is the bottleneck)
             self._last_recon = (np.asarray(ry, np.int32),
                                 np.asarray(ru, np.int32),
                                 np.asarray(rv, np.int32))
@@ -295,12 +311,13 @@ class EncoderPipeline:
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         oh, ow = self.out_h, self.out_w
+
+        def recon_thunk(ry=ry, ru=ru, rv=rv):
+            return {"y": np.asarray(ry, np.uint8)[:oh, :ow],
+                    "u": np.asarray(ru, np.uint8)[:oh // 2, :ow // 2],
+                    "v": np.asarray(rv, np.uint8)[:oh // 2, :ow // 2]}
         ef = EncodedFrame(self.poc if display_poc is None else display_poc,
-                          ftype, nals,
-                          recon={"y": np.asarray(ry, np.uint8)[:oh, :ow],
-                                 "u": np.asarray(ru, np.uint8)[:oh // 2, :ow // 2],
-                                 "v": np.asarray(rv, np.uint8)[:oh // 2, :ow // 2]},
-                          avg_qp=qp)
+                          ftype, nals, recon=recon_thunk, avg_qp=qp)
         self.rc.end_pic(ef.bits, slice_type == SLICE_I)
         self.poc += 1
         self.gop_poc += 1
@@ -315,10 +332,11 @@ class EncoderPipeline:
         if frames and len(frames) > 1 and self._tpu_ok():
             qp = self.rc.pic_qp(True)
             enc = self._get_tpu(qp)
-            new_pending = (enc.dispatch_frames([f[0] for f in frames],
-                                               [f[1] for f in frames],
-                                               [f[2] for f in frames]),
-                           frames, qp)
+            with PROFILER.scope("dispatch_intra"):
+                new_pending = (enc.dispatch_frames([f[0] for f in frames],
+                                                   [f[1] for f in frames],
+                                                   [f[2] for f in frames]),
+                               frames, qp)
         else:
             new_pending = None
             for fr in frames:
@@ -364,7 +382,8 @@ class EncoderPipeline:
 
         def fetch_pending(pending):
             out, pframes, qp = pending
-            results = self._get_tpu(qp).fetch_frames(out, len(pframes))
+            with PROFILER.scope("fetch_intra"):
+                results = self._get_tpu(qp).fetch_frames(out, len(pframes))
             for (desc, ry, ru, rv), src in zip(results, pframes):
                 yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
 
@@ -495,7 +514,8 @@ class EncoderPipeline:
             return
         enc, out, src, qp = self._p_pending
         self._p_pending = None
-        desc, ry, ru, rv = enc.fetch(out)
+        with PROFILER.scope("fetch_inter"):
+            desc, ry, ru, rv = enc.fetch(out)
         yield self._emit(desc, ry, ru, rv, src=src, slice_type=SLICE_P, qp=qp)
 
     def _tpu_inter_ok(self) -> bool:
