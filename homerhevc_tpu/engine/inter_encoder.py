@@ -37,6 +37,13 @@ class TpuInterEncoder:
         self.qp = cfg.qp
         self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
         self.lam = float(T.rd_lambda(cfg.qp, "P"))
+        from homerhevc_tpu.ops.pack import pack_capacity
+        n_tot = self.w * self.h * 3 // 2
+        self.pack_C = pack_capacity(n_tot, cfg.qp)
+        # P-frame levels are sparse (zero-forcing + motion compensation):
+        # a small fixed head covers typical frames and is async-copied at
+        # dispatch, avoiding a per-frame slice round trip on the link
+        self.pack_head = min(self.pack_C, -(-n_tot // 32))
         self._jit = jax.jit(self._impl)
 
     # ---- device program -----------------------------------------------------
@@ -247,8 +254,8 @@ class TpuInterEncoder:
                                  2, 1)
                 ts8 = jnp.full(nz8.shape, 16, jnp.int32)
                 recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
-            return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
-                    recon_v.astype(jnp.uint8), mvs16, ly, lu, lv)
+            return self._wire(recon_y, recon_u, recon_v, sy,
+                              [mvs16], ly, lu, lv)
 
         # ---- CU32 layer: code each full CTB32 as one CU32, keep whichever
         # side wins SSD + lambda*rate (golden encode_inter_frame_tree twin) --
@@ -367,10 +374,34 @@ class TpuInterEncoder:
         recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
         lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
         lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
-        return (recon_y.astype(jnp.uint8), recon_u.astype(jnp.uint8),
-                recon_v.astype(jnp.uint8), mvs16, ly, lu, lv,
-                choose.astype(jnp.uint8),
-                mv32.reshape(gh2, gw2, 2).astype(jnp.int16))
+        return self._wire(
+            recon_y, recon_u, recon_v, sy,
+            [mvs16, choose.astype(jnp.uint8),
+             mv32.reshape(gh2, gw2, 2).astype(jnp.int16)], ly, lu, lv)
+
+    def _wire(self, recon_y, recon_u, recon_v, sy, extra, ly, lu, lv):
+        """Assemble the device->host wire tuple: recon planes stay device
+        resident, levels go as bitmap + compacted values (ops/pack.py),
+        the motion metadata + per-row luma SSD (exact int32, feeds the
+        avg_dist zero-forcing feedback without pulling recon to host) ride
+        in one uint8 buffer fetched in a single link round trip."""
+        from homerhevc_tpu.ops.pack import pack_sparse
+        recon_y = recon_y.astype(jnp.uint8)
+        recon_u = recon_u.astype(jnp.uint8)
+        recon_v = recon_v.astype(jnp.uint8)
+        d = recon_y.astype(jnp.int32) - sy
+        row_ssd = jnp.sum(d * d, axis=1).astype(jnp.int32)   # exact per row
+        bitmap, vals, count = pack_sparse([ly, lu, lv], self.pack_C)
+
+        def u8(a):
+            if a.dtype == jnp.uint8:
+                return a.reshape(-1)
+            return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+        meta = jnp.concatenate(
+            [u8(x) for x in extra]
+            + [u8(row_ssd), bitmap, u8(count.reshape(1))])
+        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals,
+                vals[:self.pack_head])
 
     def _zero_force(self, resid, lvl, rres, zf_mult):
         """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
@@ -413,25 +444,61 @@ class TpuInterEncoder:
                         jnp.float32(zf_mult))
         # post-deblock recon stays resident for the next frame in the chain
         self.last_dev = (out[0], out[1], out[2])
+        # start the metadata + values-head downloads now; they complete
+        # while the host serializes the previous frame
+        try:
+            out[6].copy_to_host_async()
+            out[8].copy_to_host_async()
+        except Exception:
+            pass
         return out
 
     def fetch(self, out, is_b: bool = False):
-        """Download one dispatched frame's outputs and build the FrameDesc
-        (host half of encode_frame)."""
+        """Download one dispatched frame's compact wire data and build the
+        FrameDesc (host half of encode_frame). Reconstruction planes are
+        returned device-resident (lazily materialized by consumers)."""
+        from homerhevc_tpu.ops.pack import unpack_sparse
+        recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
+        meta_np = np.asarray(meta)
+        gh, gw = self.gh, self.gw
+        gh2, gw2 = self.gh2, self.gw2
+        off = 0
+
+        def take(nbytes, dt=None, shape=None):
+            nonlocal off
+            a = meta_np[off:off + nbytes]
+            off += nbytes
+            if dt is not None:
+                a = a.copy().view(dt)
+            return a.reshape(shape) if shape is not None else a
+        mvs = take(gh * gw * 4, np.int16, (gh, gw, 2))
         if self.tree:
-            (recon_y, recon_u, recon_v, mvs, ly, lu, lv, choose, mv32) = \
-                map(np.asarray, out)
-        else:
-            recon_y, recon_u, recon_v, mvs, ly, lu, lv = map(np.asarray, out)
+            choose = take(gh2 * gw2, None, (gh2, gw2))
+            mv32 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
+        row_ssd = take(self.h * 4, np.int32)
+        nb = (self.w * self.h * 3 // 2) // 8
+        bitmap = take(nb)
+        count = int(take(4, np.int32)[0])
+        shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
+                  (self.h // 2, self.w // 2)]
+        if count <= self.pack_head:
+            py, pu, pv = unpack_sparse(
+                bitmap, np.asarray(vals_head)[:count], shapes)
+        elif count <= self.pack_C:
+            py, pu, pv = unpack_sparse(
+                bitmap, np.asarray(vals[:count]), shapes)
+        else:  # capacity overflow: full device planes
+            py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         desc.pred_mode[:] = MODE_INTER
         desc.cu_depth[:] = self.ps.log2_ctu - (cu.bit_length() - 1)
         r8 = cu // 8
         desc.mv[:] = np.repeat(np.repeat(mvs.astype(np.int32), r8, 0), r8, 1)
-        desc.coef_y[:] = ly
-        desc.coef_u[:] = lu
-        desc.coef_v[:] = lv
+        desc.coef_y[:] = py
+        desc.coef_u[:] = pu
+        desc.coef_v[:] = pv
+        desc.row_ssd_y = row_ssd     # exact luma SSD per row vs source
         if self.tree:
             ch = np.repeat(np.repeat(choose.astype(bool), 4, 0), 4, 1)
             m32 = np.repeat(np.repeat(mv32.astype(np.int32), 4, 0), 4, 1)
@@ -444,8 +511,7 @@ class TpuInterEncoder:
             select_inter_syntax_tree(self.ps, desc, is_b=is_b)
         else:
             select_inter_syntax(self.ps, desc, cu, is_b=is_b)
-        return (desc, recon_y.astype(np.int32), recon_u.astype(np.int32),
-                recon_v.astype(np.int32))
+        return desc, recon_y, recon_u, recon_v
 
     def encode_frame(self, src, ref, is_b: bool = False,
                      avg_dist: float = 1000.0):

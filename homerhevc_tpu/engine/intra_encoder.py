@@ -49,6 +49,20 @@ def _mpm_jax(left_mode: jnp.ndarray, above_mode: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c0, c1, c2], axis=-1)
 
 
+class _DeviceSlice:
+    """Lazy view of frame i of a batched device array. Slicing a device
+    array dispatches a device op, and each op costs a full link round
+    trip (~30 ms on the tunnel) — so the slice happens only if a consumer
+    actually materializes the data (np.asarray)."""
+
+    def __init__(self, arr, i):
+        self.arr, self.i = arr, i
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self.arr[self.i])
+        return a.astype(dtype) if dtype is not None else a
+
+
 class TpuIntraEncoder:
     """Wavefront all-intra encoder. One instance per (frame size, cu size,
     qp, flags) — everything static is precomputed at init."""
@@ -352,11 +366,16 @@ class TpuIntraEncoder:
         lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         # compact wire format for the host CABAC handoff; the full planes
         # are still returned as a device-resident fallback (only fetched
-        # when the packed capacity overflows)
+        # when the packed capacity overflows). Mode grid + bitmap + count
+        # ride in ONE uint8 buffer: each link round trip costs real
+        # latency on the tunnel, so all per-batch metadata is one fetch.
         from homerhevc_tpu.ops.pack import pack_sparse
         bitmap, vals, count = pack_sparse([ly, lu, lv], self.pack_C)
-        return (recon_y, recon_u, recon_v, mode_grid.astype(jnp.uint8),
-                ly, lu, lv, bitmap, vals, count)
+        count_u8 = jax.lax.bitcast_convert_type(
+            count.reshape(1), jnp.uint8).reshape(4)
+        meta = jnp.concatenate(
+            [mode_grid.astype(jnp.uint8).reshape(-1), bitmap, count_u8])
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         log2n = n.bit_length() - 1
@@ -398,38 +417,59 @@ class TpuIntraEncoder:
     def dispatch_frames(self, ys, us, vs):
         """Async: launch the batched device program, return device arrays
         immediately (jax dispatch is non-blocking). Pair with fetch_frames
-        to overlap host serialization with device compute."""
-        return self._encode_batch_jit(
-            jnp.asarray(np.asarray(ys, np.uint8)),
-            jnp.asarray(np.asarray(us, np.uint8)),
-            jnp.asarray(np.asarray(vs, np.uint8)))
+        to overlap host serialization with device compute.
+
+        Frames may arrive as device arrays (uploaded at push() time so the
+        host->device copy overlaps the previous batch's host work)."""
+        def stack(fs):
+            if fs and isinstance(fs[0], jax.Array):
+                return jnp.stack(fs)
+            return jnp.asarray(np.asarray(fs, np.uint8))
+        out = self._encode_batch_jit(stack(ys), stack(us), stack(vs))
+        # kick the metadata download early: by the time fetch_frames runs
+        # (after the next batch's dispatch and the previous batch's
+        # serialization) it is already on host
+        try:
+            out[6].copy_to_host_async()
+        except Exception:
+            pass
+        return out
 
     def fetch_frames(self, out, n_frames: int):
-        """Download the compact wire data (counts, bitmaps, packed values,
-        mode grid) and rebuild FrameDescs; reconstruction planes are
-        returned DEVICE-RESIDENT (consumers materialize them lazily)."""
+        """Download the compact wire data (one metadata buffer + the used
+        prefix of the packed values) and rebuild FrameDescs;
+        reconstruction planes are returned DEVICE-RESIDENT (consumers
+        materialize them lazily)."""
         from homerhevc_tpu.ops.pack import unpack_sparse
-        ry, ru, rv, mode, ly, lu, lv, bm, vals, cnt = out
-        counts = np.asarray(cnt)
-        modes = np.asarray(mode)
-        bitmaps = np.asarray(bm)
+        from homerhevc_tpu.utils.profiler import PROFILER
+        ry, ru, rv, ly, lu, lv, meta, vals = out
+        with PROFILER.scope("fetch_meta"):
+            meta_np = np.asarray(meta)             # link transfer 1
+        ng = self.gh * self.gw
+        modes = meta_np[:, :ng].reshape(n_frames, self.gh, self.gw)
+        nb = (self.w * self.h * 3 // 2) // 8
+        bitmaps = meta_np[:, ng:ng + nb]
+        counts = meta_np[:, ng + nb:].copy().view(np.int32).reshape(-1)
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
         ok = counts <= self.pack_C
         vals_np = None
         if ok.any():
             mc = max(int(counts[ok].max()), 1)
-            vals_np = np.asarray(vals[:, :mc])  # one link transfer
+            with PROFILER.scope("fetch_vals"):
+                vals_np = np.asarray(vals[:, :mc])  # link transfer 2
         results = []
-        for i in range(n_frames):
-            if ok[i]:
-                py, pu, pv = unpack_sparse(bitmaps[i],
-                                           vals_np[i, :counts[i]], shapes)
-            else:  # capacity overflow: fall back to the full device planes
-                py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
-                              np.asarray(lv[i]))
-            desc = self._build_desc(modes[i], py, pu, pv)
-            results.append((desc, ry[i], ru[i], rv[i]))
+        with PROFILER.scope("fetch_unpack"):
+            for i in range(n_frames):
+                if ok[i]:
+                    py, pu, pv = unpack_sparse(bitmaps[i],
+                                               vals_np[i, :counts[i]], shapes)
+                else:  # capacity overflow: fall back to full device planes
+                    py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
+                                  np.asarray(lv[i]))
+                desc = self._build_desc(modes[i], py, pu, pv)
+                results.append((desc, _DeviceSlice(ry, i),
+                                _DeviceSlice(ru, i), _DeviceSlice(rv, i)))
         return results
 
     def encode_frames(self, ys, us, vs):

@@ -52,7 +52,8 @@ class EncoderPipeline:
         # dependency, hmr_encoder_lib.c:2386)
         self.batch = max(1, cfg.num_frames_in_flight) if cfg.gop_size == 0 else 1
         self._queue: list = []
-        self._pending = None  # (device arrays, frames) awaiting fetch
+        self._queue_dev: list = []  # device twins uploaded at push() time
+        self._pending_q: list = []  # in-flight device batches (depth 2)
         self._last_recon = None  # filtered recon planes of previous frame
         self._last_recon_dev = None  # device twin (uint8), IPPP chain only
         self.avg_dist = 1000.0   # reference init, hmr_encoder_lib.c:913
@@ -288,11 +289,9 @@ class EncoderPipeline:
                                               refs_before=refs_before,
                                               refs_after=refs_after))
         if is_ref and self.cfg.gop_size != 0:
-            # all-intra never consumes the reference recon on host; keep the
-            # planes device-resident there (the host link is the bottleneck)
-            self._last_recon = (np.asarray(ry, np.int32),
-                                np.asarray(ru, np.int32),
-                                np.asarray(rv, np.int32))
+            # stored as-is (device arrays stay device-resident); consumers
+            # (golden backends, scene change, gop2) coerce via np.asarray
+            self._last_recon = (ry, ru, rv)
             cand = getattr(self, "_cand_recon_dev", None)
             if sao_params is not None:
                 self._last_recon_dev = None   # host filter modified the recon
@@ -303,11 +302,18 @@ class EncoderPipeline:
         if src is not None and self.cfg.gop_size != 0:
             # average luma distortion per 4x4 partition, feeding the adaptive
             # inter zero-forcing threshold (reference avg_dist,
-            # hmr_encoder_lib.c:3215-3233: x1.5 after I frames). float32 dot:
-            # this runs per frame, int64 square-sums cost ~10% of all-intra fps
-            d = (np.asarray(ry, np.int32)
-                 - np.asarray(src[0], np.int32)).ravel().astype(np.float32)
-            avg = float(np.dot(d, d)) / (d.size / 16.0)
+            # hmr_encoder_lib.c:3215-3233: x1.5 after I frames). Exact int
+            # SSD: the device engines ship per-row sums (desc.row_ssd_y) so
+            # recon never crosses the link for this; the host fallback
+            # computes the identical integer.
+            rs = getattr(desc, "row_ssd_y", None)
+            if rs is not None and sao_params is None:
+                ssd = int(np.asarray(rs, np.int64).sum())
+            else:
+                d = (np.asarray(ry, np.int64)
+                     - np.asarray(src[0], np.int64)).ravel()
+                ssd = int(np.dot(d, d))
+            avg = float(ssd) / (np.asarray(src[0]).size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         oh, ow = self.out_h, self.out_w
@@ -329,16 +335,37 @@ class EncoderPipeline:
         analog of the reference's engine pipelining)."""
         frames = self._queue
         self._queue = []
+        frames_dev = self._queue_dev
+        self._queue_dev = []
         if frames and len(frames) > 1 and self._tpu_ok():
+            # depth-2 batch pipeline: two batches stay in flight so the
+            # link never idles between the upload / execute / download
+            # phases (the single-chip analog of the reference's multiple
+            # encoder engines, hmr_encoder_lib.c:1646)
+            prev_results = None
+            if len(self._pending_q) >= 2:
+                out, pframes, pqp = self._pending_q.pop(0)
+                with PROFILER.scope("fetch_intra"):
+                    prev_results = (self._get_tpu(pqp).fetch_frames(
+                        out, len(pframes)), pframes, pqp)
             qp = self.rc.pic_qp(True)
             enc = self._get_tpu(qp)
+            src = (frames_dev if len(frames_dev) == len(frames) else frames)
             with PROFILER.scope("dispatch_intra"):
-                new_pending = (enc.dispatch_frames([f[0] for f in frames],
-                                                   [f[1] for f in frames],
-                                                   [f[2] for f in frames]),
-                               frames, qp)
+                self._pending_q.append(
+                    (enc.dispatch_frames([f[0] for f in src],
+                                         [f[1] for f in src],
+                                         [f[2] for f in src]),
+                     frames, qp))
+            if prev_results is not None:
+                results, pframes, pqp = prev_results
+                for (desc, ry, ru, rv), src in zip(results, pframes):
+                    yield self._emit(desc, ry, ru, rv, src=src, qp=pqp)
         else:
-            new_pending = None
+            # in-order output: finish in-flight device batches before any
+            # inline-analyzed frame is emitted
+            while self._pending_q:
+                yield from self._fetch_emit(self._pending_q.pop(0))
             for fr in frames:
                 if self.cfg.gop_size >= 2:
                     yield from self._encode_gop2(fr, final=False)
@@ -346,10 +373,11 @@ class EncoderPipeline:
                 y, u, v = fr
                 intra = self._is_intra_poc(self.poc)
                 qp = self.rc.pic_qp(intra)
-                if not intra and self._scene_change(y):
+                if (not intra and self.cfg.reinit_gop_on_scene_change
+                        and self._scene_change(y)):
                     # reference behaviour: scene change -> RC pivot + GOP
                     # reinit (hmr_motion_inter.c:3791, reinit_gop flag)
-                    intra = self.cfg.reinit_gop_on_scene_change
+                    intra = True
                 if intra:
                     yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
@@ -379,21 +407,16 @@ class EncoderPipeline:
             yield from self._drain_p_pending()
         if final and self.cfg.gop_size >= 2:
             yield from self._encode_gop2(None, final=True)
+        if final:
+            while self._pending_q:
+                yield from self._fetch_emit(self._pending_q.pop(0))
 
-        def fetch_pending(pending):
-            out, pframes, qp = pending
-            with PROFILER.scope("fetch_intra"):
-                results = self._get_tpu(qp).fetch_frames(out, len(pframes))
-            for (desc, ry, ru, rv), src in zip(results, pframes):
-                yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
-
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
-            yield from fetch_pending(pending)
-        self._pending = new_pending
-        if final and self._pending is not None:
-            pending, self._pending = self._pending, None
-            yield from fetch_pending(pending)
+    def _fetch_emit(self, pending) -> Iterator:
+        out, pframes, qp = pending
+        with PROFILER.scope("fetch_intra"):
+            results = self._get_tpu(qp).fetch_frames(out, len(pframes))
+        for (desc, ry, ru, rv), src in zip(results, pframes):
+            yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
 
     def _encode_gop2(self, frame, final: bool) -> Iterator:
         """IBP GOP (gop_size 2, 1 B frame): anchors at even display
@@ -474,7 +497,7 @@ class EncoderPipeline:
         pure inter, so the pre-ME pixel metric plays that role."""
         if self._last_recon is None:
             return True
-        ref_y = self._last_recon[0]
+        ref_y = np.asarray(self._last_recon[0], np.int32)
         mad = float(np.mean(np.abs(np.asarray(y, np.int32) - ref_y)))
         return mad > 30.0
 
@@ -547,7 +570,14 @@ class EncoderPipeline:
         return y, u, v
 
     def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
-        self._queue.append(self._pad_frame(y, u, v))
+        fr = self._pad_frame(y, u, v)
+        self._queue.append(fr)
+        if self.batch > 1 and self._tpu_ok():
+            # start the host->device copy now: it overlaps the previous
+            # batch's fetch/serialize instead of serializing at drain time
+            import jax.numpy as jnp
+            self._queue_dev.append(tuple(
+                jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in fr))
         if len(self._queue) >= self.batch:
             yield from self._drain_queue()
 

@@ -73,6 +73,10 @@ class FrameDesc:
     mvp_flag: Optional[np.ndarray] = None
     mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel
     root_cbf: Optional[np.ndarray] = None
+    # analysis side-channel: exact per-row luma SSD vs source (int32),
+    # computed on device so the host never pulls recon just for the
+    # avg_dist zero-forcing feedback
+    row_ssd_y: Optional[np.ndarray] = None
 
     @classmethod
     def alloc(cls, width: int, height: int) -> "FrameDesc":
