@@ -381,17 +381,19 @@ class TpuInterEncoder:
 
     def _wire(self, recon_y, recon_u, recon_v, sy, extra, ly, lu, lv):
         """Assemble the device->host wire tuple: recon planes stay device
-        resident, levels go as bitmap + compacted values (ops/pack.py),
-        the motion metadata + per-row luma SSD (exact int32, feeds the
-        avg_dist zero-forcing feedback without pulling recon to host) ride
-        in one uint8 buffer fetched in a single link round trip."""
-        from homerhevc_tpu.ops.pack import pack_sparse
+        resident, levels go as bitmap + compacted int8 values + escape
+        list (ops/pack.py), the motion metadata + per-row luma SSD (exact
+        int32, feeds the avg_dist zero-forcing feedback without pulling
+        recon to host) ride in one uint8 buffer fetched in a single link
+        round trip."""
+        from homerhevc_tpu.ops.pack import pack_sparse8
         recon_y = recon_y.astype(jnp.uint8)
         recon_u = recon_u.astype(jnp.uint8)
         recon_v = recon_v.astype(jnp.uint8)
         d = recon_y.astype(jnp.int32) - sy
         row_ssd = jnp.sum(d * d, axis=1).astype(jnp.int32)   # exact per row
-        bitmap, vals, count = pack_sparse([ly, lu, lv], self.pack_C)
+        bitmap, vals8, esc_idx, esc_val, count, esc_count = \
+            pack_sparse8([ly, lu, lv], self.pack_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
@@ -399,9 +401,10 @@ class TpuInterEncoder:
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
             [u8(x) for x in extra]
-            + [u8(row_ssd), bitmap, u8(count.reshape(1))])
-        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals,
-                vals[:self.pack_head])
+            + [u8(row_ssd), bitmap, u8(esc_idx), u8(esc_val),
+               u8(count.reshape(1)), u8(esc_count.reshape(1))])
+        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals8,
+                vals8[:self.pack_head])
 
     def _zero_force(self, resid, lvl, rres, zf_mult):
         """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
@@ -457,7 +460,7 @@ class TpuInterEncoder:
         """Download one dispatched frame's compact wire data and build the
         FrameDesc (host half of encode_frame). Reconstruction planes are
         returned device-resident (lazily materialized by consumers)."""
-        from homerhevc_tpu.ops.pack import unpack_sparse
+        from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
         recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
         meta_np = np.asarray(meta)
         gh, gw = self.gh, self.gw
@@ -476,28 +479,44 @@ class TpuInterEncoder:
             choose = take(gh2 * gw2, None, (gh2, gw2))
             mv32 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
         row_ssd = take(self.h * 4, np.int32)
-        nb = (self.w * self.h * 3 // 2) // 8
-        bitmap = take(nb)
+        n_tot = self.w * self.h * 3 // 2
+        E = esc_capacity(n_tot, self.pack_C)
+        bitmap = take(n_tot // 8)
+        esc_idx = take(E * 4, np.int32)
+        esc_val = take(E * 2, np.int16)
         count = int(take(4, np.int32)[0])
+        esc_count = int(take(4, np.int32)[0])
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
         if count <= self.pack_head:
-            py, pu, pv = unpack_sparse(
-                bitmap, np.asarray(vals_head)[:count], shapes)
+            v8 = np.asarray(vals_head)[:count]
         elif count <= self.pack_C:
-            py, pu, pv = unpack_sparse(
-                bitmap, np.asarray(vals[:count]), shapes)
+            v8 = np.asarray(vals[:count])
         else:  # capacity overflow: full device planes
+            v8 = None
             py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
+        if v8 is not None and esc_count > E:
+            v8 = None
+            py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
+        if v8 is not None:
+            from homerhevc_tpu.engine.intra_encoder import _split_planes
+            from homerhevc_tpu.native import unpack_sparse8_native
+            buf = np.empty(n_tot, np.int16)
+            if unpack_sparse8_native(bitmap, v8, esc_idx[:esc_count],
+                                     esc_val[:esc_count], n_tot, buf):
+                py, pu, pv = _split_planes(buf, shapes)
+            else:
+                py, pu, pv = unpack_sparse8(bitmap, v8, esc_idx[:esc_count],
+                                            esc_val[:esc_count], shapes)
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         desc.pred_mode[:] = MODE_INTER
         desc.cu_depth[:] = self.ps.log2_ctu - (cu.bit_length() - 1)
         r8 = cu // 8
         desc.mv[:] = np.repeat(np.repeat(mvs.astype(np.int32), r8, 0), r8, 1)
-        desc.coef_y[:] = py
-        desc.coef_u[:] = pu
-        desc.coef_v[:] = pv
+        desc.coef_y = np.ascontiguousarray(py, np.int16)
+        desc.coef_u = np.ascontiguousarray(pu, np.int16)
+        desc.coef_v = np.ascontiguousarray(pv, np.int16)
         desc.row_ssd_y = row_ssd     # exact luma SSD per row vs source
         if self.tree:
             ch = np.repeat(np.repeat(choose.astype(bool), 4, 0), 4, 1)

@@ -49,6 +49,15 @@ def _mpm_jax(left_mode: jnp.ndarray, above_mode: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c0, c1, c2], axis=-1)
 
 
+def _split_planes(buf: np.ndarray, shapes):
+    """Contiguous plane views over one flat int16 buffer (no copies)."""
+    planes, off = [], 0
+    for h, w in shapes:
+        planes.append(buf[off:off + h * w].reshape(h, w))
+        off += h * w
+    return planes
+
+
 class _DeviceSlice:
     """Lazy view of frame i of a batched device array. Slicing a device
     array dispatches a device op, and each op costs a full link round
@@ -366,16 +375,23 @@ class TpuIntraEncoder:
         lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         # compact wire format for the host CABAC handoff; the full planes
         # are still returned as a device-resident fallback (only fetched
-        # when the packed capacity overflows). Mode grid + bitmap + count
-        # ride in ONE uint8 buffer: each link round trip costs real
-        # latency on the tunnel, so all per-batch metadata is one fetch.
-        from homerhevc_tpu.ops.pack import pack_sparse
-        bitmap, vals, count = pack_sparse([ly, lu, lv], self.pack_C)
-        count_u8 = jax.lax.bitcast_convert_type(
-            count.reshape(1), jnp.uint8).reshape(4)
+        # when the packed capacity overflows). Levels ship as int8 plus a
+        # small escape list (ops/pack.py); mode grid + bitmap + escapes +
+        # counts ride in ONE uint8 buffer: each link round trip costs
+        # ~66 ms on the tunnel, so all per-batch metadata is one fetch.
+        from homerhevc_tpu.ops.pack import pack_sparse8
+        bitmap, vals8, esc_idx, esc_val, count, esc_count = \
+            pack_sparse8([ly, lu, lv], self.pack_C)
+
+        def u8(a):
+            if a.dtype == jnp.uint8:
+                return a.reshape(-1)
+            return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
-            [mode_grid.astype(jnp.uint8).reshape(-1), bitmap, count_u8])
-        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals
+            [mode_grid.astype(jnp.uint8).reshape(-1), bitmap,
+             u8(esc_idx), u8(esc_val),
+             u8(count.reshape(1)), u8(esc_count.reshape(1))])
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals8
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         log2n = n.bit_length() - 1
@@ -404,9 +420,11 @@ class TpuIntraEncoder:
         desc.luma_mode[:] = np.repeat(np.repeat(mode_all, r, 0), r, 1)
         r8 = cu // 8
         desc.chroma_mode[:] = np.repeat(np.repeat(mode_all, r8, 0), r8, 1)
-        desc.coef_y[:] = ly.astype(np.int16)
-        desc.coef_u[:] = lu.astype(np.int16)
-        desc.coef_v[:] = lv.astype(np.int16)
+        # direct assignment (views from the native unpack buffer): the
+        # serializer only needs contiguous int16, not ownership
+        desc.coef_y = np.ascontiguousarray(ly, np.int16)
+        desc.coef_u = np.ascontiguousarray(lu, np.int16)
+        desc.coef_v = np.ascontiguousarray(lv, np.int16)
         return desc
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -426,47 +444,77 @@ class TpuIntraEncoder:
                 return jnp.stack(fs)
             return jnp.asarray(np.asarray(fs, np.uint8))
         out = self._encode_batch_jit(stack(ys), stack(us), stack(vs))
-        # kick the metadata download early: by the time fetch_frames runs
-        # (after the next batch's dispatch and the previous batch's
-        # serialization) it is already on host
+        # kick the metadata + values downloads early: by the time
+        # fetch_frames runs (after the next batch's dispatch and the
+        # previous batch's serialization) they are already on host. The
+        # values head is sized adaptively from recent nonzero counts so
+        # quiet content doesn't pay full-capacity transfers.
+        head = min(self.pack_C, getattr(self, "_head_hint", self.pack_C))
+        vals_head = out[7] if head >= self.pack_C else out[7][:, :head]
         try:
             out[6].copy_to_host_async()
+            vals_head.copy_to_host_async()
         except Exception:
             pass
-        return out
+        return (*out, vals_head, head)
 
     def fetch_frames(self, out, n_frames: int):
         """Download the compact wire data (one metadata buffer + the used
         prefix of the packed values) and rebuild FrameDescs;
         reconstruction planes are returned DEVICE-RESIDENT (consumers
         materialize them lazily)."""
-        from homerhevc_tpu.ops.pack import unpack_sparse
+        from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
         from homerhevc_tpu.utils.profiler import PROFILER
-        ry, ru, rv, ly, lu, lv, meta, vals = out
+        ry, ru, rv, ly, lu, lv, meta, vals, vals_head, head = out
         with PROFILER.scope("fetch_meta"):
-            meta_np = np.asarray(meta)             # link transfer 1
+            meta_np = np.asarray(meta)             # link transfer 1 (async'd)
         ng = self.gh * self.gw
+        n_tot = self.w * self.h * 3 // 2
+        nb = n_tot // 8
+        E = esc_capacity(n_tot, self.pack_C)
         modes = meta_np[:, :ng].reshape(n_frames, self.gh, self.gw)
-        nb = (self.w * self.h * 3 // 2) // 8
         bitmaps = meta_np[:, ng:ng + nb]
-        counts = meta_np[:, ng + nb:].copy().view(np.int32).reshape(-1)
+        o = ng + nb
+        esc_idx = meta_np[:, o:o + E * 4].copy().view(np.int32)
+        esc_val = meta_np[:, o + E * 4:o + E * 6].copy().view(np.int16)
+        tail = meta_np[:, o + E * 6:].copy().view(np.int32)
+        counts, esc_counts = tail[:, 0], tail[:, 1]
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
-        ok = counts <= self.pack_C
+        ok = (counts <= self.pack_C) & (esc_counts <= E)
+        in_head = ok & (counts <= head)
         vals_np = None
-        if ok.any():
-            mc = max(int(counts[ok].max()), 1)
+        if in_head.any():
             with PROFILER.scope("fetch_vals"):
-                vals_np = np.asarray(vals[:, :mc])  # link transfer 2
+                vals_np = np.asarray(vals_head)     # transfer 2 (async'd)
+        # adapt the async head to observed content (x1.25 headroom)
+        if ok.any():
+            want = int(counts[ok].max() * 1.25) + 8
+            self._head_hint = min(self.pack_C, -(-want // 8) * 8)
+        from homerhevc_tpu.native import unpack_sparse8_native
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
-                if ok[i]:
-                    py, pu, pv = unpack_sparse(bitmaps[i],
-                                               vals_np[i, :counts[i]], shapes)
-                else:  # capacity overflow: fall back to full device planes
+                if in_head[i]:
+                    v8 = vals_np[i, :counts[i]]
+                elif ok[i]:   # head undersized: one extra (rare) transfer
+                    with PROFILER.scope("fetch_vals_miss"):
+                        v8 = np.asarray(vals[i, :counts[i]])
+                else:         # capacity overflow: full device planes
                     py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
                                   np.asarray(lv[i]))
+                    v8 = None
+                if v8 is not None:
+                    ec = esc_counts[i]
+                    buf = np.empty(n_tot, np.int16)
+                    if unpack_sparse8_native(bitmaps[i], v8,
+                                             esc_idx[i, :ec],
+                                             esc_val[i, :ec], n_tot, buf):
+                        py, pu, pv = _split_planes(buf, shapes)
+                    else:
+                        py, pu, pv = unpack_sparse8(
+                            bitmaps[i], v8, esc_idx[i, :ec],
+                            esc_val[i, :ec], shapes)
                 desc = self._build_desc(modes[i], py, pu, pv)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))

@@ -844,4 +844,40 @@ long hevcenc_encode_slice2(
   return (long)all.size();
 }
 
+// Expand the device wire format (significance bitmap + compacted int8
+// levels + escape list, see ops/pack.py) into a dense int16 plane buffer.
+// esc_idx holds ascending packed-order indices of levels whose int16 value
+// exceeded the int8 range. Returns consumed value count, or -1 on a
+// bitmap/count mismatch.
+long hevcenc_unpack_sparse8(
+    const uint8_t* bitmap, const int8_t* vals8, long count,
+    const int32_t* esc_idx, const int16_t* esc_val, long esc_count,
+    long n_total, int16_t* out) {
+  long vi = 0, e = 0;
+  long next_esc = esc_count > 0 ? esc_idx[0] : -1;
+  for (long i = 0; i < n_total; i += 8) {
+    uint8_t b = bitmap[i >> 3];
+    if (!b) {
+      memset(out + i, 0, 8 * sizeof(int16_t));
+      continue;
+    }
+    for (int k = 0; k < 8; k++) {
+      if ((b >> k) & 1) {
+        int16_t v = (int16_t)vals8[vi];
+        if (vi == next_esc) {
+          v = esc_val[e];
+          e++;
+          next_esc = e < esc_count ? esc_idx[e] : -1;
+        }
+        out[i + k] = v;
+        vi++;
+      } else {
+        out[i + k] = 0;
+      }
+    }
+  }
+  if (vi != count) return -1;
+  return vi;
+}
+
 }  // extern "C"

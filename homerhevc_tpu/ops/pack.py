@@ -78,3 +78,61 @@ def unpack_sparse(bitmap: np.ndarray, vals: np.ndarray, shapes):
         planes.append(out[off:off + h * w].reshape(h, w))
         off += h * w
     return planes
+
+
+def esc_capacity(n_total: int, capacity: int) -> int:
+    """Escape-list capacity for the int8 wire format: levels outside
+    [-128, 127] only occur on extreme blocks (|coef| > 128*qstep), so a
+    small per-frame list suffices; overflow falls back to full planes.
+    Never larger than the packed-values capacity (escape indices point
+    into the packed array)."""
+    return min(capacity, max(2048, -(-n_total // 512)))
+
+
+def pack_sparse8(planes, capacity: int):
+    """int8 wire variant of pack_sparse: nonzero levels ship as int8
+    (halving the dominant device->host transfer) plus an escape list
+    (packed-order index, int16 value) for the rare levels outside the
+    int8 range. Returns (bitmap u8, vals8 i8, esc_idx i32, esc_val i16,
+    count i32, esc_count i32)."""
+    flat = jnp.concatenate([p.reshape(-1) for p in planes]).astype(jnp.int16)
+    n = flat.shape[0]
+    assert n % 8 == 0
+    nz = flat != 0
+    bits = nz.reshape(-1, 8).astype(jnp.int32)
+    bitmap = (bits * jnp.asarray(_WEIGHTS)[None, :]).sum(axis=1) \
+        .astype(jnp.uint8)
+    count = jnp.sum(nz.astype(jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    key = jnp.where(nz, idx, jnp.int32(1) << 30)
+    _, svals = jax.lax.sort((key, flat), num_keys=1)
+    svals = svals[:capacity]
+    vals8 = jnp.clip(svals, -128, 127).astype(jnp.int8)
+    # escapes: packed positions whose int8 clamp lost information
+    E = esc_capacity(n, capacity)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(-1)
+    is_esc = (svals != vals8.astype(jnp.int16)) & (pos < count)
+    esc_count = jnp.sum(is_esc.astype(jnp.int32))
+    ekey = jnp.where(is_esc, pos, jnp.int32(1) << 30)
+    sidx, sval = jax.lax.sort((ekey, svals), num_keys=1)
+    return bitmap, vals8, sidx[:E], sval[:E], count, esc_count
+
+
+def unpack_sparse8(bitmap, vals8, esc_idx, esc_val, shapes):
+    """Host inverse of pack_sparse8. vals8 length == count; esc arrays
+    length == esc_count (already sliced by the caller)."""
+    nzmask = np.unpackbits(np.asarray(bitmap, np.uint8),
+                           bitorder="little").astype(bool)
+    n = sum(h * w for h, w in shapes)
+    nzmask = nzmask[:n]
+    out = np.zeros(n, np.int16)
+    out[nzmask] = np.asarray(vals8, np.int8).astype(np.int16)
+    if len(esc_idx):
+        nzpos = np.flatnonzero(nzmask)
+        out[nzpos[np.asarray(esc_idx)]] = np.asarray(esc_val, np.int16)
+    planes = []
+    off = 0
+    for h, w in shapes:
+        planes.append(out[off:off + h * w].reshape(h, w))
+        off += h * w
+    return planes

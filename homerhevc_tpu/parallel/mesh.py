@@ -67,7 +67,9 @@ def encode_frames_sharded(cfg, frames, mesh=None):
     step = jax.jit(jax.vmap(enc._encode_frame_impl),
                    out_shardings=shard)
     out = step(ys, us, vs)
-    results = enc.fetch_frames(out, len(frames))
+    # full-capacity values head (fetch_frames expects the dispatch-side
+    # (vals_head, head) tail; sharded encode fetches everything at once)
+    results = enc.fetch_frames((*out, out[7], enc.pack_C), len(frames))
 
     streams = []
     for (desc, ry, ru, rv), (y, u, v) in zip(results, frames):

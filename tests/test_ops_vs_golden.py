@@ -100,3 +100,31 @@ def test_substitution_matches_golden(rng):
         top_dev = sub[2 * n + 1:]
         assert np.array_equal(np.concatenate([[corner_dev], top_dev]), t_g), (x0, y0)
         assert np.array_equal(np.concatenate([[corner_dev], left_dev]), l_g), (x0, y0)
+
+
+def test_pack_sparse8_roundtrip(rng):
+    """int8 wire format: values round-trip exactly, including escapes
+    outside [-128, 127]."""
+    from homerhevc_tpu.ops.pack import (esc_capacity, pack_capacity,
+                                        pack_sparse8, unpack_sparse8)
+    h, w = 32, 64
+    n_tot = h * w * 3 // 2
+    y = np.zeros((h, w), np.int16)
+    u = np.zeros((h // 2, w // 2), np.int16)
+    v = np.zeros((h // 2, w // 2), np.int16)
+    # sparse fill incl. int8-overflow escapes at scattered positions
+    ys = rng.choice(h * w, 40, replace=False)
+    y.reshape(-1)[ys] = rng.randint(-300, 300, 40).astype(np.int16)
+    u[3, 5], v[7, 9] = 1000, -1000
+    C = pack_capacity(n_tot, 32)
+    import jax.numpy as jnp
+    bm, v8, ei, ev, cnt, ecnt = pack_sparse8(
+        [jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)], C)
+    cnt, ecnt = int(cnt), int(ecnt)
+    assert ecnt <= esc_capacity(n_tot, C)
+    py, pu, pv = unpack_sparse8(np.asarray(bm), np.asarray(v8)[:cnt],
+                                np.asarray(ei)[:ecnt], np.asarray(ev)[:ecnt],
+                                [(h, w), (h // 2, w // 2), (h // 2, w // 2)])
+    np.testing.assert_array_equal(py, y)
+    np.testing.assert_array_equal(pu, u)
+    np.testing.assert_array_equal(pv, v)
