@@ -57,48 +57,132 @@ class TpuInterEncoder:
         sv = src_v.astype(jnp.int32)
         ry = ref_y.astype(jnp.int32)
 
-        # ---- ME: SAD maps via shifted-plane block sums, lambda-rate cost ----
-        # Mirrors golden.inter_frame.full_pel_field: pass 1 = global-motion
-        # prior (argmin whole-frame SAD), pass 2 = per-block
-        # argmin SAD + (lam16 * mvd_bits(mv - prior)) >> 4.
-        # uint8 planes for the sweep: it re-reads the padded reference once
-        # per offset, so HBM traffic (not ALU) bounds it — narrow dtypes
-        pad8 = jnp.pad(ry.astype(jnp.uint8), R, mode="edge")
-        sy16 = sy.astype(jnp.int16)
+        # ---- ME: hierarchical coarse sweep + global-shortlist refine ----
+        # Mirrors golden.inter_frame.hier_pel_fields bit-exactly, built ONLY
+        # from whole-plane shifts (per-block patch gathers serialize on TPU):
+        # a 2x decimated sweep covers +-2R full-res pels at 1/4 the HBM
+        # traffic; per-block top-K votes elect G global offsets; full-res
+        # SADs for the +-2 neighbourhood of each + an exact +-4 fine sweep
+        # are shifted-plane block sums shared by the 16- and 32-level trees.
         side = 2 * R + 1
         lam16 = jnp.int32(T.lambda_me_x16(self.qp))
         mvd_bits = jnp.asarray(T.MVD_BITS)
+        K, G16, G32 = 3, 8, 4
 
-        def sad_k(k):
-            dy = k // side - R
-            dx = k % side - R
-            shifted = jax.lax.dynamic_slice(pad8, (R + dy, R + dx),
-                                            (self.h, self.w))
-            d = jnp.abs(sy16 - shifted.astype(jnp.int16)).astype(jnp.int32)
-            return d.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
+        def decim(p):
+            h2, w2 = (p.shape[0] // 2) * 2, (p.shape[1] // 2) * 2
+            q = p[:h2, :w2]
+            return (q[0::2, 0::2] + q[1::2, 0::2]
+                    + q[0::2, 1::2] + q[1::2, 1::2] + 2) >> 2
 
-        # chunked map: vmap CH shifts per scan step (single sequential map
-        # over 1089 offsets leaves the VPU idle; CH-wide batches keep it fed
-        # without materialising 1089 full planes at once)
-        CH = 33
+        m = cu // 2
+        sd16 = decim(sy).astype(jnp.int16)                  # (gh*m, gw*m)
+        rd = decim(ry)
+        pad_c = jnp.pad(rd.astype(jnp.uint8), R, mode="edge")
+
+        # fully static unrolled sweep: every offset is a static slice of
+        # the padded plane, which XLA fuses into the abs-diff/block-reduce
+        # and runs at memory speed. (vmapped dynamic_slice lowers to a
+        # gather at ~8 GB/s effective; lax.map adds per-step overhead —
+        # both measured far slower than the unrolled form.)
         n_off = side * side
-        n_pad = -(-n_off // CH) * CH
-        ks_all = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, CH)
-        ks_all = jnp.minimum(ks_all, n_off - 1)
-        sads = jax.lax.map(jax.vmap(sad_k), ks_all).reshape(-1, gh, gw)
-        sads = sads[:n_off]
-        g = jnp.argmin(sads.sum(axis=(1, 2)))
-        prior = jnp.stack([4 * (g % side - R), 4 * (g // side - R)]) \
-            .astype(jnp.int32)
-        ks = jnp.arange(side * side, dtype=jnp.int32)
-        rate = (mvd_bits[jnp.abs(4 * (ks % side - R) - prior[0])]
-                + mvd_bits[jnp.abs(4 * (ks // side - R) - prior[1])])
-        cost = sads + ((lam16 * rate) >> 4)[:, None, None]
-        best_idx = jnp.argmin(cost.reshape(side * side, -1), axis=0) \
-            .reshape(gh, gw).astype(jnp.int32)
-        dyx = jnp.stack([best_idx // side - R, best_idx % side - R], axis=-1)
-        mvs = (jnp.stack([dyx[..., 1], dyx[..., 0]], axis=-1) * 4) \
-            .reshape(gh * gw, 2)                            # qpel (x, y)
+        coarse_list = []
+        for k in range(n_off):
+            dy, dx = k // side - R, k % side - R
+            sh = pad_c[R + dy:R + dy + gh * m, R + dx:R + dx + gw * m] \
+                .astype(jnp.int16)
+            d = jnp.abs(sd16 - sh).astype(jnp.int32)
+            coarse_list.append(d.reshape(gh, m, gw, m).sum(axis=(1, 3)))
+        sads = jnp.stack(coarse_list)                       # coarse SADs
+        ks = jnp.arange(n_off, dtype=jnp.int32)
+        gh2, gw2 = self.gh2, self.gw2
+
+        def prior_votes(sads_lvl, Glvl):
+            gq = jnp.argmin(sads_lvl.sum(axis=(1, 2)))
+            pr = jnp.stack([8 * (gq % side - R), 8 * (gq // side - R)]) \
+                .astype(jnp.int32)
+            rate = (mvd_bits[jnp.abs(8 * (ks % side - R) - pr[0])]
+                    + mvd_bits[jnp.abs(8 * (ks // side - R) - pr[1])])
+            cost = 4 * sads_lvl + ((lam16 * rate) >> 4)[:, None, None]
+            cc = cost.reshape(n_off, -1)
+            cols = jnp.arange(cc.shape[1])
+            hist = jnp.zeros(n_off, jnp.int32)
+            for _ in range(K):
+                kb = jnp.argmin(cc, axis=0)
+                hist = hist.at[kb].add(1)
+                cc = cc.at[kb, cols].set(jnp.int32(1 << 30))
+            shorts = []
+            for _ in range(Glvl):
+                kg = jnp.argmax(hist).astype(jnp.int32)
+                shorts.append(kg)
+                hist = hist.at[kg].set(-1)
+            return pr, shorts
+        prior, short16 = prior_votes(sads, G16)
+        if self.tree:
+            s4c = sads[:, :gh2 * 2, :].reshape(n_off, gh2, 2, gw2, 2) \
+                .sum(axis=(2, 4))
+            prior2, short32 = prior_votes(s4c, G32)
+        else:
+            prior2, short32 = None, []
+
+        # offset list: exact +-4 fine sweep, then shortlist neighbourhoods
+        # (same order as golden hier_pel_fields: argmin first-min == the
+        # golden sequential strict-< scan)
+        F = 4
+        fine_k = jnp.arange((2 * F + 1) ** 2, dtype=jnp.int32)
+        all_dx = [fine_k % (2 * F + 1) - F]
+        all_dy = [fine_k // (2 * F + 1) - F]
+        go = jnp.arange(25, dtype=jnp.int32)
+        grid_dx, grid_dy = go % 5 - 2, go // 5 - 2
+        for kg in short16 + short32:
+            all_dx.append(2 * (kg % side - R) + grid_dx)
+            all_dy.append(2 * (kg // side - R) + grid_dy)
+        all_dx = jnp.concatenate(all_dx)
+        all_dy = jnp.concatenate(all_dy)
+        n_offs_r = all_dx.shape[0]
+        P = 2 * R + 2
+        pad8F = jnp.pad(ry.astype(jnp.uint8), P, mode="edge")
+        sy16 = sy.astype(jnp.int16)
+
+        def bsum16(diff_band):
+            return diff_band.reshape(gh, cu, gw, cu).sum(axis=(1, 3))
+        sads_list = []
+        # fine sweep: all-static slices (fused views at memory speed)
+        for k in range((2 * F + 1) ** 2):
+            dx, dy = k % (2 * F + 1) - F, k // (2 * F + 1) - F
+            sh = pad8F[P + dy:P + dy + self.h, P + dx:P + dx + self.w] \
+                .astype(jnp.int16)
+            sads_list.append(bsum16(jnp.abs(sy16 - sh).astype(jnp.int32)))
+        # shortlist neighbourhoods: one dynamic row-band per (entry, oy),
+        # static column shifts within the band
+        for kg in short16 + short32:
+            cdx = 2 * (kg % side - R)
+            cdy = 2 * (kg // side - R)
+            for oy in (-2, -1, 0, 1, 2):
+                band = jax.lax.dynamic_slice(
+                    pad8F, (P + cdy + oy, P + cdx - 2),
+                    (self.h, self.w + 4)).astype(jnp.int16)
+                for ox in range(5):
+                    d = jnp.abs(sy16 - band[:, ox:ox + self.w]) \
+                        .astype(jnp.int32)
+                    sads_list.append(bsum16(d))
+        sads_r = jnp.stack(sads_list)                       # (n_offs_r, ...)
+
+        def level_best(sads_lvl, pr):
+            rate = (mvd_bits[jnp.abs(4 * all_dx - pr[0])]
+                    + mvd_bits[jnp.abs(4 * all_dy - pr[1])])
+            cost = sads_lvl.reshape(n_offs_r, -1) \
+                + ((lam16 * rate) >> 4)[:, None]
+            bi = jnp.argmin(cost, axis=0)
+            return jnp.stack([all_dx[bi], all_dy[bi]], axis=-1) * 4
+        mvs = level_best(sads_r, prior)                     # (B, 2) qpel
+        if self.tree:
+            s32r = sads_r[:, :gh2 * 2, :].reshape(n_offs_r, gh2, 2, gw2, 2) \
+                .sum(axis=(2, 4))
+            mv32 = level_best(s32r, prior2)                 # (B2, 2) qpel
+        x0f = (jnp.arange(gh * gw) % gw) * cu
+        y0f = (jnp.arange(gh * gw) // gw) * cu
+        ref_padF = jnp.pad(ry, P, mode="edge")
 
         # ---- sub-pel refinement (half then quarter) ----
         # One (n+8)^2 patch gather per block per frame; all 16 quarter-pel
@@ -108,7 +192,7 @@ class TpuInterEncoder:
         from homerhevc_tpu.ops.interp import LUMA_TAPS, mc_chroma_batch
         from homerhevc_tpu.ops.interp import _windowed
         B = gh * gw
-        padL = R + 8
+        padL = 2 * R + 2 + 8      # hier ME roams up to 2R+2 full-pel
         ref_padL = jnp.pad(ry, padL, mode="edge")
         taps = jnp.asarray(LUMA_TAPS)
         x0s = (jnp.arange(B) % gw) * cu
@@ -186,7 +270,7 @@ class TpuInterEncoder:
                         jnp.clip(pred + rres, 0, 255), pred)
 
         # ---- chroma MC (batched per-CU fractional filters) + residual ----
-        padC = R // 2 + 4
+        padC = R + 1 + 4          # (2R+2)//2 full-pel chroma + filter taps
         cx0s, cy0s = x0s // 2, y0s // 2
 
         def chroma(src_c, ref_c):
@@ -254,27 +338,19 @@ class TpuInterEncoder:
                                  2, 1)
                 ts8 = jnp.full(nz8.shape, 16, jnp.int32)
                 recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
+            extra = [mvs16]
+            if self.ps.sao_enabled:
+                recon_y, recon_u, recon_v, sao_p = self._sao(
+                    sy, su, sv, recon_y, recon_u, recon_v)
+                extra.append(sao_p)
             return self._wire(recon_y, recon_u, recon_v, sy,
-                              [mvs16], ly, lu, lv)
+                              extra, ly, lu, lv)
 
         # ---- CU32 layer: code each full CTB32 as one CU32, keep whichever
         # side wins SSD + lambda*rate (golden encode_inter_frame_tree twin) --
-        gh2, gw2 = self.gh2, self.gw2
+        # mv32/prior2 come from the shared 16/32 shortlist refine above.
         B2 = gh2 * gw2
         lam = jnp.float32(self.lam)
-        s4 = sads[:, :gh2 * 2, :].reshape(side * side, gh2, 2, gw2, 2) \
-            .sum(axis=(2, 4))
-        g2 = jnp.argmin(s4.sum(axis=(1, 2)))
-        prior2 = jnp.stack([4 * (g2 % side - R), 4 * (g2 // side - R)]) \
-            .astype(jnp.int32)
-        rate2 = (mvd_bits[jnp.abs(4 * (ks % side - R) - prior2[0])]
-                 + mvd_bits[jnp.abs(4 * (ks // side - R) - prior2[1])])
-        cost2 = s4 + ((lam16 * rate2) >> 4)[:, None, None]
-        bi2 = jnp.argmin(cost2.reshape(side * side, -1), axis=0) \
-            .reshape(gh2, gw2).astype(jnp.int32)
-        dyx2 = jnp.stack([bi2 // side - R, bi2 % side - R], axis=-1)
-        mv32 = (jnp.stack([dyx2[..., 1], dyx2[..., 0]], axis=-1) * 4) \
-            .reshape(B2, 2)
         x0s2 = (jnp.arange(B2) % gw2) * 32
         y0s2 = (jnp.arange(B2) // gw2) * 32
         src32 = sy[:gh2 * 32].reshape(gh2, 32, gw2, 32) \
@@ -374,10 +450,23 @@ class TpuInterEncoder:
         recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
         lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
         lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
-        return self._wire(
-            recon_y, recon_u, recon_v, sy,
-            [mvs16, choose.astype(jnp.uint8),
-             mv32.reshape(gh2, gw2, 2).astype(jnp.int16)], ly, lu, lv)
+        extra = [mvs16, choose.astype(jnp.uint8),
+                 mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
+        if self.ps.sao_enabled:
+            recon_y, recon_u, recon_v, sao_p = self._sao(
+                sy, su, sv, recon_y, recon_u, recon_v)
+            extra.append(sao_p)
+        return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
+
+    def _sao(self, sy, su, sv, recon_y, recon_u, recon_v):
+        """Device SAO decide+apply (ops/sao_dev.py); returns filtered
+        planes + packed params for the wire meta."""
+        from homerhevc_tpu.ops.sao_dev import pack_params, sao_analyze_apply
+        lam_x256 = int(round(float(T.rd_lambda(self.qp, "I")) * 256))
+        ry_f, ru_f, rv_f, params = sao_analyze_apply(
+            sy, su, sv, recon_y.astype(jnp.int32), recon_u.astype(jnp.int32),
+            recon_v.astype(jnp.int32), self.ps.ctu_size, lam_x256)
+        return ry_f, ru_f, rv_f, pack_params(params)
 
     def _wire(self, recon_y, recon_u, recon_v, sy, extra, ly, lu, lv):
         """Assemble the device->host wire tuple: recon planes stay device
@@ -478,6 +567,14 @@ class TpuInterEncoder:
         if self.tree:
             choose = take(gh2 * gw2, None, (gh2, gw2))
             mv32 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
+        sao_params = None
+        if self.ps.sao_enabled:
+            from homerhevc_tpu.ops.sao_dev import (params_nbytes,
+                                                   unpack_params)
+            sgh = self.h // self.ps.ctu_size
+            sgw = self.w // self.ps.ctu_size
+            sao_params = unpack_params(take(params_nbytes(sgh, sgw)),
+                                       sgh, sgw)
         row_ssd = take(self.h * 4, np.int32)
         n_tot = self.w * self.h * 3 // 2
         E = esc_capacity(n_tot, self.pack_C)
@@ -518,6 +615,7 @@ class TpuInterEncoder:
         desc.coef_u = np.ascontiguousarray(pu, np.int16)
         desc.coef_v = np.ascontiguousarray(pv, np.int16)
         desc.row_ssd_y = row_ssd     # exact luma SSD per row vs source
+        desc.sao_params = sao_params  # device-decided (recon pre-filtered)
         if self.tree:
             ch = np.repeat(np.repeat(choose.astype(bool), 4, 0), 4, 1)
             m32 = np.repeat(np.repeat(mv32.astype(np.int32), 4, 0), 4, 1)

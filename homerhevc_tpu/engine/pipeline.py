@@ -54,6 +54,7 @@ class EncoderPipeline:
         self._queue: list = []
         self._queue_dev: list = []  # device twins uploaded at push() time
         self._pending_q: list = []  # in-flight device batches (depth 2)
+        self._p_pendings: list = []  # in-flight P frames (depth 2)
         self._last_recon = None  # filtered recon planes of previous frame
         self._last_recon_dev = None  # device twin (uint8), IPPP chain only
         self.avg_dist = 1000.0   # reference init, hmr_encoder_lib.c:913
@@ -103,8 +104,9 @@ class EncoderPipeline:
     def _analyze_inter(self, y, u, v, qp=None, ref=None, is_b=False):
         """Inter frame analysis against a filtered reference picture."""
         qp = self.cfg.qp if qp is None else qp
-        chained = (ref is None and self._last_recon_dev is not None
-                   and not self.ps.sao_enabled)
+        # device recon chain is valid even with SAO: the device program
+        # decides and applies SAO in-loop (ops/sao_dev.py)
+        chained = ref is None and self._last_recon_dev is not None
         ref = (self._last_recon_dev if chained
                else (self._last_recon if ref is None else ref))
         assert ref is not None
@@ -260,8 +262,11 @@ class EncoderPipeline:
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
-        sao_params = None
-        if self.ps.sao_enabled and src is not None:
+        # device-decided SAO: recon arrived pre-filtered, host only writes
+        # the syntax (ops/sao_dev.py)
+        sao_params = getattr(desc, "sao_params", None)
+        device_sao = sao_params is not None
+        if self.ps.sao_enabled and not device_sao and src is not None:
             from homerhevc_tpu.hevc.sao import sao_apply_component, sao_decide
             with PROFILER.scope("sao"):
                 ry, ru, rv = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
@@ -293,7 +298,7 @@ class EncoderPipeline:
             # (golden backends, scene change, gop2) coerce via np.asarray
             self._last_recon = (ry, ru, rv)
             cand = getattr(self, "_cand_recon_dev", None)
-            if sao_params is not None:
+            if sao_params is not None and not device_sao:
                 self._last_recon_dev = None   # host filter modified the recon
             elif cand is not None:
                 self._last_recon_dev = cand
@@ -307,7 +312,7 @@ class EncoderPipeline:
             # recon never crosses the link for this; the host fallback
             # computes the identical integer.
             rs = getattr(desc, "row_ssd_y", None)
-            if rs is not None and sao_params is None:
+            if rs is not None and (sao_params is None or device_sao):
                 ssd = int(np.asarray(rs, np.int64).sum())
             else:
                 d = (np.asarray(ry, np.int64)
@@ -388,7 +393,11 @@ class EncoderPipeline:
                     # then do frame i-1's host half (downloads, syntax
                     # selection, CABAC) while the device runs — the frame
                     # engine overlap of the reference (encoder_engine_thread)
-                    # done as device/host overlap on one chip.
+                    # done as device/host overlap on one chip. Depth 2: two
+                    # frames stay in flight so the device keeps computing
+                    # while the host serializes (the avg_dist zero-forcing
+                    # feedback then lags 2 frames, like the reference's
+                    # cross-engine RC handoff, hmr_encoder_lib.c:3268).
                     enc = self._get_tpu_inter(qp)
                     ref = (self._last_recon_dev
                            if self._last_recon_dev is not None
@@ -396,8 +405,9 @@ class EncoderPipeline:
                     out = enc.dispatch((y, u, v), ref, self.avg_dist)
                     self._last_recon_dev = enc.last_dev
                     self._cand_recon_dev = None
-                    yield from self._drain_p_pending()
-                    self._p_pending = (enc, out, (y, u, v), qp)
+                    self._p_pendings.append((enc, out, (y, u, v), qp))
+                    if len(self._p_pendings) >= 2:
+                        yield from self._drain_p_pending(one=True)
                 else:
                     yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_inter(y, u, v, qp)
@@ -491,14 +501,19 @@ class EncoderPipeline:
                              refs_before=(bt - 1 - self._idr_base,))
 
     def _scene_change(self, y: np.ndarray) -> bool:
-        """Cheap scene-change detector: mean absolute difference against the
-        previous reference luma. The reference instead counts intra-chosen
-        partitions (>70%%, hmr_motion_inter.c:3791); this build's P frames are
-        pure inter, so the pre-ME pixel metric plays that role."""
-        if self._last_recon is None:
-            return True
-        ref_y = np.asarray(self._last_recon[0], np.int32)
-        mad = float(np.mean(np.abs(np.asarray(y, np.int32) - ref_y)))
+        """Cheap scene-change detector: mean absolute difference between
+        consecutive SOURCE lumas. The reference instead counts intra-chosen
+        partitions (>70%%, hmr_motion_inter.c:3791); this build's P frames
+        are pure inter, so a pre-ME pixel metric plays that role. Source
+        frames (not recon) keep the detector independent of the
+        device-resident reference chain, so the P software pipeline stays
+        enabled with detection on."""
+        prev = getattr(self, "_last_src_y", None)
+        self._last_src_y = np.asarray(y, np.int16)
+        if prev is None:
+            return False
+        mad = float(np.mean(np.abs(self._last_src_y.astype(np.int32)
+                                   - prev)))
         return mad > 30.0
 
     def _tpu_ok(self) -> bool:
@@ -524,22 +539,21 @@ class EncoderPipeline:
     def _p_pipeline_ok(self) -> bool:
         """The P-chain device/host overlap needs: device inter backend,
         constant QP (RC feedback would need last frame's bits before the
-        next dispatch), no SAO (host filter would break the device-resident
-        reference), no scene-reinit (its MAD check would read a lagged
-        reference)."""
+        next dispatch). SAO is compatible: the device program decides and
+        applies it in-loop (ops/sao_dev.py). Scene-change detection is
+        compatible: it reads only consecutive source frames."""
         return (self._tpu_inter_ok()
-                and self.cfg.bitrate_mode == BitrateMode.FIXED_QP
-                and not self.ps.sao_enabled
-                and not self.cfg.reinit_gop_on_scene_change)
+                and self.cfg.bitrate_mode == BitrateMode.FIXED_QP)
 
-    def _drain_p_pending(self):
-        if getattr(self, "_p_pending", None) is None:
-            return
-        enc, out, src, qp = self._p_pending
-        self._p_pending = None
-        with PROFILER.scope("fetch_inter"):
-            desc, ry, ru, rv = enc.fetch(out)
-        yield self._emit(desc, ry, ru, rv, src=src, slice_type=SLICE_P, qp=qp)
+    def _drain_p_pending(self, one: bool = False):
+        while self._p_pendings:
+            enc, out, src, qp = self._p_pendings.pop(0)
+            with PROFILER.scope("fetch_inter"):
+                desc, ry, ru, rv = enc.fetch(out)
+            yield self._emit(desc, ry, ru, rv, src=src, slice_type=SLICE_P,
+                             qp=qp)
+            if one:
+                return
 
     def _tpu_inter_ok(self) -> bool:
         # the inter engine also supports the CTB32 two-level CU tree

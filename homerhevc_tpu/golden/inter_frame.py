@@ -107,6 +107,203 @@ def full_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng: int,
     return mv.astype(np.int32), prior
 
 
+def decimate2(plane: np.ndarray) -> np.ndarray:
+    """2x2 integer average pool ((a+b+c+d+2)>>2) — the pyramid level for
+    hierarchical ME. Same arithmetic on device."""
+    p = plane.astype(np.int32)
+    h2, w2 = (p.shape[0] // 2) * 2, (p.shape[1] // 2) * 2
+    p = p[:h2, :w2]
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            + 2) >> 2
+
+
+def hier_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng_c: int,
+                   lam16: int, K: int = 3, G: int = 8):
+    """Hierarchical full-pel ME for ALL n x n blocks of the frame.
+
+    TPU-friendly replacement for the reference's per-block diamond search
+    (hmr_motion_estimation, hmr_motion_inter.c:1404), built ONLY from
+    whole-plane shifts (no per-block gathers -- TPU gathers serialize):
+
+      1. a 2x-decimated coarse sweep over (2*rng_c+1)^2 offsets covers
+         +-2*rng_c full-res pels at a quarter of the pixel cost;
+      2. each block votes for its K best coarse offsets; the G most
+         popular offsets frame-wide form a global shortlist (multi-layer
+         motion keeps one slot per layer -- tests/test_inter.py RD guard);
+      3. full-res SADs are evaluated for the +-2 neighbourhood of every
+         shortlist offset plus an exact +-4 fine sweep (the decimated
+         level is blind to pixel-scale texture at odd shifts), each as a
+         shifted-plane block-sum.
+
+    Cost everywhere: SAD + (lam16 * mvd_bits) >> 4 against the global
+    coarse prior. Returns ((gh, gw, 2) full-pel (dx, dy), prior qpel)."""
+    H, W = sy.shape
+    gh, gw = H // n, W // n
+    m = n // 2
+    side = 2 * rng_c + 1
+    sd = decimate2(sy[:gh * n, :gw * n])
+    rd = decimate2(ref)
+    pad_c = np.pad(rd, rng_c, mode="edge")
+    # ---- coarse sweep ----
+    sads_c = np.empty((side * side, gh, gw), np.int32)
+    for k in range(side * side):
+        dy, dx = k // side - rng_c, k % side - rng_c
+        sh = pad_c[rng_c + dy:rng_c + dy + gh * m,
+                   rng_c + dx:rng_c + dx + gw * m]
+        d = np.abs(sd - sh)
+        sads_c[k] = d.reshape(gh, m, gw, m).sum(axis=(1, 3))
+    g = int(sads_c.sum(axis=(1, 2)).argmin())
+    prior_q = np.asarray([8 * (g % side - rng_c), 8 * (g // side - rng_c)],
+                         np.int32)
+    ks = np.arange(side * side, dtype=np.int32)
+    rate_c = mv_rate(8 * (ks % side - rng_c), 8 * (ks // side - rng_c),
+                     prior_q)
+    cost_c = 4 * sads_c + ((lam16 * rate_c.astype(np.int32)) >> 4)[
+        :, None, None]
+    # ---- per-block top-K votes -> global shortlist of G offsets ----
+    cc = cost_c.reshape(side * side, -1).copy()
+    hist = np.zeros(side * side, np.int64)
+    BIG = np.int32(1 << 30)
+    for _ in range(K):
+        kb = cc.argmin(axis=0)
+        hist += np.bincount(kb, minlength=side * side)
+        cc[kb, np.arange(cc.shape[1])] = BIG
+    short = []
+    for _ in range(G):
+        kg = int(hist.argmax())
+        short.append(kg)
+        hist[kg] = -1
+    # ---- full-res refine over shifted planes: fine +-4 sweep first,
+    # then +-2 around each shortlist offset (deterministic order) ----
+    P = 2 * rng_c + 2
+    pad_f = np.pad(ref, P, mode="edge").astype(np.int32)
+    src_pl = sy[:gh * n, :gw * n].astype(np.int32)
+
+    best_cost = np.full(gh * gw, 1 << 30, np.int32)
+    best_dx = np.zeros(gh * gw, np.int32)
+    best_dy = np.zeros(gh * gw, np.int32)
+
+    def eval_off(dx, dy):
+        nonlocal best_cost, best_dx, best_dy
+        sh = pad_f[P + dy:P + dy + gh * n, P + dx:P + dx + gw * n]
+        sad = np.abs(src_pl - sh).reshape(gh, n, gw, n).sum(axis=(1, 3)) \
+            .reshape(-1).astype(np.int32)
+        rate = int(mv_rate(4 * dx, 4 * dy, prior_q))
+        cost = sad + ((lam16 * rate) >> 4)
+        better = cost < best_cost
+        best_cost = np.where(better, cost, best_cost)
+        best_dx = np.where(better, dx, best_dx)
+        best_dy = np.where(better, dy, best_dy)
+
+    F = 4
+    for k in range((2 * F + 1) ** 2):
+        eval_off(k % (2 * F + 1) - F, k // (2 * F + 1) - F)
+    for kg in short:
+        cdx, cdy = 2 * (kg % side - rng_c), 2 * (kg // side - rng_c)
+        for oy in (-2, -1, 0, 1, 2):
+            for ox in (-2, -1, 0, 1, 2):
+                eval_off(cdx + ox, cdy + oy)
+    mv = np.stack([best_dx, best_dy], axis=-1).reshape(gh, gw, 2)
+    return mv.astype(np.int32), prior_q
+
+
+def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
+                    lam16: int, K: int = 3, G16: int = 8, G32: int = 4,
+                    want32: bool = False):
+    """Joint 16- and 32-block hierarchical full-pel ME sharing one set of
+    full-res shifted-plane block sums (32-level SADs are 2x2 sums of the
+    16-level sums — no second sweep). See hier_pel_field for the search
+    structure. Returns (mv16, prior16, mv32, prior32); mv32/prior32 are
+    None unless want32."""
+    H, W = sy.shape
+    gh, gw = H // 16, W // 16
+    gh2, gw2 = H // 32, W // 32
+    m = 8
+    side = 2 * rng_c + 1
+    n_off = side * side
+    sd = decimate2(sy[:gh * 16, :gw * 16])
+    rd = decimate2(ref)
+    pad_c = np.pad(rd, rng_c, mode="edge")
+    sads_c = np.empty((n_off, gh, gw), np.int32)
+    for k in range(n_off):
+        dy, dx = k // side - rng_c, k % side - rng_c
+        sh = pad_c[rng_c + dy:rng_c + dy + gh * m,
+                   rng_c + dx:rng_c + dx + gw * m]
+        sads_c[k] = np.abs(sd - sh).reshape(gh, m, gw, m).sum(axis=(1, 3))
+    ks = np.arange(n_off, dtype=np.int32)
+
+    def prior_votes(sads_lvl, Glvl, unit):
+        g = int(sads_lvl.sum(axis=(1, 2)).argmin())
+        pr = np.asarray([8 * (g % side - rng_c), 8 * (g // side - rng_c)],
+                        np.int32)
+        rate = mv_rate(8 * (ks % side - rng_c), 8 * (ks // side - rng_c),
+                       pr)
+        cost = unit * sads_lvl + ((lam16 * rate.astype(np.int32)) >> 4)[
+            :, None, None]
+        cc = cost.reshape(n_off, -1).copy()
+        hist = np.zeros(n_off, np.int64)
+        for _ in range(K):
+            kb = cc.argmin(axis=0)
+            hist += np.bincount(kb, minlength=n_off)
+            cc[kb, np.arange(cc.shape[1])] = np.int32(1 << 30)
+        short = []
+        for _ in range(Glvl):
+            kg = int(hist.argmax())
+            short.append(kg)
+            hist[kg] = -1
+        return pr, short
+    prior16, short16 = prior_votes(sads_c, G16, 4)
+    if want32:
+        s4c = sads_c[:, :gh2 * 2, :].reshape(n_off, gh2, 2, gw2, 2) \
+            .sum(axis=(2, 4))
+        prior32, short32 = prior_votes(s4c, G32, 4)
+    else:
+        prior32, short32 = None, []
+
+    # offset list: exact fine sweep, then shortlist neighbourhoods
+    offs = [(k % 9 - 4, k // 9 - 4) for k in range(81)]
+    for kg in short16 + short32:
+        cdx, cdy = 2 * (kg % side - rng_c), 2 * (kg // side - rng_c)
+        for oy in (-2, -1, 0, 1, 2):
+            for ox in (-2, -1, 0, 1, 2):
+                offs.append((cdx + ox, cdy + oy))
+
+    P = 2 * rng_c + 2
+    pad_f = np.pad(ref, P, mode="edge").astype(np.int32)
+    src_pl = sy[:gh * 16, :gw * 16].astype(np.int32)
+    bc16 = np.full(gh * gw, 1 << 30, np.int32)
+    bdx16 = np.zeros(gh * gw, np.int32)
+    bdy16 = np.zeros(gh * gw, np.int32)
+    if want32:
+        bc32 = np.full(gh2 * gw2, 1 << 30, np.int32)
+        bdx32 = np.zeros(gh2 * gw2, np.int32)
+        bdy32 = np.zeros(gh2 * gw2, np.int32)
+    for dx, dy in offs:
+        sh = pad_f[P + dy:P + dy + gh * 16, P + dx:P + dx + gw * 16]
+        s16 = np.abs(src_pl - sh).reshape(gh, 16, gw, 16).sum(axis=(1, 3))
+        r16 = int(mv_rate(4 * dx, 4 * dy, prior16))
+        c16 = s16.reshape(-1).astype(np.int32) + ((lam16 * r16) >> 4)
+        b = c16 < bc16
+        bc16 = np.where(b, c16, bc16)
+        bdx16 = np.where(b, dx, bdx16)
+        bdy16 = np.where(b, dy, bdy16)
+        if want32:
+            s32 = s16[:gh2 * 2, :].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
+            r32 = int(mv_rate(4 * dx, 4 * dy, prior32))
+            c32 = s32.reshape(-1).astype(np.int32) + ((lam16 * r32) >> 4)
+            b2 = c32 < bc32
+            bc32 = np.where(b2, c32, bc32)
+            bdx32 = np.where(b2, dx, bdx32)
+            bdy32 = np.where(b2, dy, bdy32)
+    mv16 = np.stack([bdx16, bdy16], axis=-1).reshape(gh, gw, 2) \
+        .astype(np.int32)
+    if not want32:
+        return mv16, prior16, None, None
+    mv32 = np.stack([bdx32, bdy32], axis=-1).reshape(gh2, gw2, 2) \
+        .astype(np.int32)
+    return mv16, prior16, mv32, prior32
+
+
 def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
                   mv_q: tuple[int, int], step: int, prior_q, lam16: int
                   ) -> tuple[int, int]:
@@ -154,7 +351,8 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
 
 
 def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
-                    search: int, avg_dist: float, cu_size: int = 16):
+                    search: int, avg_dist: float, cu_size: int = 16,
+                    fp16=None):
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
@@ -175,7 +373,12 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
     lam16 = T.lambda_me_x16(qp)
-    fp_mv, prior_q = full_pel_field(sy, ry_ref, n, search, lam16)
+    if fp16 is not None:
+        fp_mv, prior_q = fp16            # shared 16/32 field from the tree
+    elif n == 16:
+        fp_mv, prior_q, _, _ = hier_pel_fields(sy, ry_ref, search, lam16)
+    else:
+        fp_mv, prior_q = hier_pel_field(sy, ry_ref, n, search, lam16)
     for gy in range(gh):
         for gx in range(gw):
             x0, y0 = gx * n, gy * n
@@ -280,9 +483,15 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     hmr_motion_inter.c:3116-3290). Partial boundary CTBs stay at CU16.
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
     assert ps.ctu_size == 32
+    sy0 = np.asarray(src_planes[0], np.int32)
+    ry0 = np.asarray(ref_planes[0], np.int32)
+    lam16_ = T.lambda_me_x16(qp)
+    fp16_mv, pr16, fp32, prior_q = hier_pel_fields(
+        sy0, ry0, search, lam16_, want32=True)
     # level-16 pass: reuse the flat encoder wholesale (fills desc at depth 1)
     desc, recon_y, recon_u, recon_v = _encode_level16(
-        ps, src_planes, ref_planes, qp, search, avg_dist)
+        ps, src_planes, ref_planes, qp, search, avg_dist,
+        fp16=(fp16_mv, pr16))
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
@@ -292,7 +501,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     lam = T.rd_lambda(qp, "P")
     lam16 = T.lambda_me_x16(qp)
     me_prec = int(ps.cfg.motion_estimation_precision)
-    fp32, prior_q = full_pel_field(sy, ry_ref, 32, search, lam16)
+    # fp32/prior_q come from the shared 16/32 hierarchical field above
     for gy in range(h // 32):
         for gx in range(w // 32):
             x0, y0 = gx * 32, gy * 32

