@@ -467,14 +467,33 @@ class EncoderPipeline:
                                  display_poc=t,
                                  refs_before=(poc - 2,)
                                  if self._held is not None else (poc - 1,))
-            # after the anchor is reconstructed, encode the held B
+            # after the anchor is reconstructed, encode the held B:
+            # bi-prediction from BOTH anchors (14-bit weighted average,
+            # golden encode_b_frame_tree) when the tree geometry allows,
+            # else L0-uni fallback
             if self._held is not None:
                 bt, fb = self._held
                 self._held = None
                 bpoc = bt - self._idr_base
                 qb = self.rc.pic_qp(False)
-                d2, r2y, r2u, r2v = self._analyze_inter(
-                    *fb, qp=qb, ref=prev_anchor_recon, is_b=True)
+                if (prev_anchor_recon is not None
+                        and self.ps.ctu_size == 32
+                        and self.cfg.width % 32 == 0
+                        and self.cfg.height % 32 == 0):
+                    from homerhevc_tpu.golden.inter_frame import \
+                        encode_b_frame_tree
+                    with PROFILER.scope("analyze_b_bi"):
+                        d2, r2y, r2u, r2v = encode_b_frame_tree(
+                            self.ps, fb,
+                            tuple(np.asarray(p, np.int32)
+                                  for p in prev_anchor_recon),
+                            tuple(np.asarray(p, np.int32)
+                                  for p in self._last_recon),
+                            qb, search=self._inter_search_range(),
+                            avg_dist=self.avg_dist)
+                else:
+                    d2, r2y, r2u, r2v = self._analyze_inter(
+                        *fb, qp=qb, ref=prev_anchor_recon, is_b=True)
                 yield self._emit(d2, r2y, r2u, r2v, src=fb,
                                  slice_type=SLICE_B, qp=qb, poc=bpoc,
                                  display_poc=bt,

@@ -243,6 +243,7 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
     from homerhevc_tpu.hevc.syntax import MODE_INTRA
     intra = desc.pred_mode == MODE_INTRA
     mv = desc.mv
+    mv1 = desc.mv_l1   # all-bi B frames; lists pair by reference picture
 
     def bs_between(uy, ux, vy, vx):
         if intra[uy, ux] or intra[vy, vx]:
@@ -251,6 +252,10 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
             return 1
         if (abs(int(mv[uy, ux, 0]) - int(mv[vy, vx, 0])) >= 4
                 or abs(int(mv[uy, ux, 1]) - int(mv[vy, vx, 1])) >= 4):
+            return 1
+        if mv1 is not None and (
+                abs(int(mv1[uy, ux, 0]) - int(mv1[vy, vx, 0])) >= 4
+                or abs(int(mv1[uy, ux, 1]) - int(mv1[vy, vx, 1])) >= 4):
             return 1
         return 0
 

@@ -573,10 +573,15 @@ def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
 
 
 def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
+    from homerhevc_tpu.hevc.inter import merge_candidates_bi
     w, h = desc.width, desc.height
+    bi = is_b and desc.mv_l1 is not None
     mf = MotionField(*desc.pred_mode.shape)
     mf.mv = desc.mv
     mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+    if bi:
+        mf.mv1 = desc.mv_l1
+        mf.ref1 = mf.ref
     ux, uy = x0 // 8, y0 // 8
     if desc.pred_mode[uy, ux] != MODE_INTER:
         return
@@ -586,10 +591,16 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
                               x0 // 2:(x0 + n) // 2].any()
                or desc.coef_v[y0 // 2:(y0 + n) // 2,
                               x0 // 2:(x0 + n) // 2].any())
-    cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
-    limit = n_spatial if is_b else len(cands)
-    merge_k = next((k for k, c in enumerate(cands[:limit])
-                    if (c[0], c[1]) == mv and c[2] == 0), None)
+    if bi:
+        mv1 = (int(desc.mv_l1[uy, ux, 0]), int(desc.mv_l1[uy, ux, 1]))
+        cands, _ = merge_candidates_bi(mf, x0, y0, n, ps.ctu_size, w, h)
+        merge_k = next((k for k, c in enumerate(cands)
+                        if c == (mv[0], mv[1], mv1[0], mv1[1])), None)
+    else:
+        cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+        limit = n_spatial if is_b else len(cands)
+        merge_k = next((k for k, c in enumerate(cands[:limit])
+                        if (c[0], c[1]) == mv and c[2] == 0), None)
     sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
     if merge_k is not None and not has_res:
         desc.skip[sl8] = 1
@@ -607,6 +618,12 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
         desc.inter_mode[sl8] = 2
         desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
         desc.root_cbf[sl8] = 1 if has_res else 0
+        if bi:
+            mvp1 = amvp_candidates(mf.l1_view(), x0, y0, n,
+                                   ps.ctu_size, w, h)
+            d0 = abs(mv1[0] - mvp1[0][0]) + abs(mv1[1] - mvp1[0][1])
+            d1 = abs(mv1[0] - mvp1[1][0]) + abs(mv1[1] - mvp1[1][1])
+            desc.mvp_flag_l1[sl8] = 0 if d0 <= d1 else 1
 
 
 def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
@@ -771,3 +788,132 @@ def _select_inter_syntax_loop(ps: ParamSets, desc: FrameDesc, cu_size: int,
                 desc.inter_mode[sl8] = 2
                 desc.mvp_flag[sl8] = f
                 desc.root_cbf[sl8] = 1 if has_res else 0
+
+def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
+                        qp: int, search: int = 16, avg_dist: float = 1000.0):
+    """All-bi B frame with the CU32/CU16 tree: every inter CU predicts from
+    BOTH reference lists with the normative 14-bit weighted average
+    (spec 8.5.4.2.3.2; reference analog hmr_bi_motion_estimation_HM
+    hmr_motion_inter.c:1279 + weighted average :2903). Keeping every CU
+    bi-predicted means per-list AMVP never needs the cross-list POC
+    scaling branch — see hevc/inter.py. Returns (desc, ry, ru, rv)."""
+    from homerhevc_tpu.golden.interp import (bi_average, mc_chroma_14,
+                                             mc_luma_14)
+    assert ps.ctu_size == 32
+    sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
+    r0 = [np.asarray(p, np.int32) for p in ref0_planes]
+    r1 = [np.asarray(p, np.int32) for p in ref1_planes]
+    h, w = sy.shape
+    sl = ps.scaling_list_enabled
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    zf_mult = zf_multiplier(avg_dist, qp)
+    lam = T.rd_lambda(qp, "P")
+    lam16 = T.lambda_me_x16(qp)
+    me_prec = int(ps.cfg.motion_estimation_precision)
+    f16_0, p16_0, f32_0, p32_0 = hier_pel_fields(sy, r0[0], search, lam16,
+                                                 want32=True)
+    f16_1, p16_1, f32_1, p32_1 = hier_pel_fields(sy, r1[0], search, lam16,
+                                                 want32=True)
+    desc = FrameDesc.alloc(w, h)
+    desc.pred_mode[:] = MODE_INTER
+    desc.cu_depth[:] = 1
+    desc.mv_l1 = np.zeros_like(desc.mv)
+    desc.mvp_flag_l1 = np.zeros_like(desc.mvp_flag)
+    recon_y = np.zeros_like(sy)
+    recon_u = np.zeros_like(su)
+    recon_v = np.zeros_like(sv)
+
+    def refine_list(x0, y0, n, fp, prior, ref_y):
+        mv = (4 * int(fp[0]), 4 * int(fp[1]))
+        src_blk = sy[y0:y0 + n, x0:x0 + n]
+        if me_prec >= 1:
+            mv = subpel_refine(src_blk, ref_y, x0, y0, mv, 2, prior, lam16)
+        if me_prec >= 2:
+            mv = subpel_refine(src_blk, ref_y, x0, y0, mv, 1, prior, lam16)
+        return mv
+
+    def code_cu(x0, y0, n, mv0, mv1):
+        """Bi MC + TU coding for one n x n CU; returns
+        (lvl, rec, lvl_u, rec_u, lvl_v, rec_v)."""
+        v0 = mc_luma_14(r0[0], x0, y0, n, mv0[0], mv0[1])
+        v1 = mc_luma_14(r1[0], x0, y0, n, mv1[0], mv1[1])
+        pred = bi_average(v0, v1)
+        resid = sy[y0:y0 + n, x0:x0 + n] - pred
+        lvl, rr = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult, lam)
+        rec = np.clip(pred + rr, 0, 255)
+        outs = [lvl, rec]
+        nc = n // 2
+        cx0, cy0 = x0 // 2, y0 // 2
+        for sp, rp0, rp1 in ((su, r0[1], r1[1]), (sv, r0[2], r1[2])):
+            c0 = mc_chroma_14(rp0, cx0, cy0, nc, mv0[0], mv0[1])
+            c1 = mc_chroma_14(rp1, cx0, cy0, nc, mv1[0], mv1[1])
+            cpred = bi_average(c0, c1)
+            cres = sp[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
+            clvl, crr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult, lam)
+            outs += [clvl, np.clip(cpred + crr, 0, 255)]
+        return outs
+
+    def cost_bi(x0, y0, n, mv0, mv1, lvl, rec):
+        d = (sy[y0:y0 + n, x0:x0 + n] - rec).astype(np.float32)
+        bits = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl)) + 6.0
+                + float(mv_rate(mv0[0], mv0[1], p16_0))
+                + float(mv_rate(mv1[0], mv1[1], p16_1)))
+        return float(np.sum(d * d)) + float(lam) * bits
+
+    gh, gw = h // 16, w // 16
+    for gy in range(gh):
+        for gx in range(gw):
+            x0, y0 = gx * 16, gy * 16
+            mv0 = refine_list(x0, y0, 16, f16_0[gy, gx], p16_0, r0[0])
+            mv1 = refine_list(x0, y0, 16, f16_1[gy, gx], p16_1, r1[0])
+            lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 16, mv0, mv1)
+            s8 = (slice(y0 // 8, y0 // 8 + 2), slice(x0 // 8, x0 // 8 + 2))
+            desc.mv[s8[0], s8[1], 0] = mv0[0]
+            desc.mv[s8[0], s8[1], 1] = mv0[1]
+            desc.mv_l1[s8[0], s8[1], 0] = mv1[0]
+            desc.mv_l1[s8[0], s8[1], 1] = mv1[1]
+            desc.coef_y[y0:y0 + 16, x0:x0 + 16] = lvl.astype(np.int16)
+            recon_y[y0:y0 + 16, x0:x0 + 16] = rec
+            cy0, cx0 = y0 // 2, x0 // 2
+            desc.coef_u[cy0:cy0 + 8, cx0:cx0 + 8] = lu_.astype(np.int16)
+            recon_u[cy0:cy0 + 8, cx0:cx0 + 8] = ru_
+            desc.coef_v[cy0:cy0 + 8, cx0:cx0 + 8] = lv_.astype(np.int16)
+            recon_v[cy0:cy0 + 8, cx0:cx0 + 8] = rv_
+    # CU32 layer
+    for gy in range(h // 32):
+        for gx in range(w // 32):
+            x0, y0 = gx * 32, gy * 32
+            mv0 = refine_list(x0, y0, 32, f32_0[gy, gx], p32_0, r0[0])
+            mv1 = refine_list(x0, y0, 32, f32_1[gy, gx], p32_1, r1[0])
+            lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 32, mv0, mv1)
+            c32 = cost_bi(x0, y0, 32, mv0, mv1, lvl, rec)
+            c16 = 0.0
+            for sy16 in (y0, y0 + 16):
+                for sx16 in (x0, x0 + 16):
+                    u8y, u8x = sy16 // 8, sx16 // 8
+                    m0 = (int(desc.mv[u8y, u8x, 0]), int(desc.mv[u8y, u8x, 1]))
+                    m1 = (int(desc.mv_l1[u8y, u8x, 0]),
+                          int(desc.mv_l1[u8y, u8x, 1]))
+                    c16 += cost_bi(
+                        sx16, sy16, 16, m0, m1,
+                        desc.coef_y[sy16:sy16 + 16, sx16:sx16 + 16],
+                        recon_y[sy16:sy16 + 16, sx16:sx16 + 16])
+            if not (c32 <= c16):
+                continue
+            sl8 = (slice(y0 // 8, y0 // 8 + 4), slice(x0 // 8, x0 // 8 + 4))
+            desc.cu_depth[sl8] = 0
+            desc.mv[sl8[0], sl8[1], 0] = mv0[0]
+            desc.mv[sl8[0], sl8[1], 1] = mv0[1]
+            desc.mv_l1[sl8[0], sl8[1], 0] = mv1[0]
+            desc.mv_l1[sl8[0], sl8[1], 1] = mv1[1]
+            desc.coef_y[y0:y0 + 32, x0:x0 + 32] = lvl.astype(np.int16)
+            recon_y[y0:y0 + 32, x0:x0 + 32] = rec
+            cy0, cx0 = y0 // 2, x0 // 2
+            desc.coef_u[cy0:cy0 + 16, cx0:cx0 + 16] = lu_.astype(np.int16)
+            recon_u[cy0:cy0 + 16, cx0:cx0 + 16] = ru_
+            desc.coef_v[cy0:cy0 + 16, cx0:cx0 + 16] = lv_.astype(np.int16)
+            recon_v[cy0:cy0 + 16, cx0:cx0 + 16] = rv_
+    select_inter_syntax_tree(ps, desc, is_b=True)
+    if ps.deblocking_enabled:
+        recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
+    return desc, recon_y, recon_u, recon_v

@@ -62,6 +62,61 @@ def mc_luma(ref: np.ndarray, x0: int, y0: int, n: int, mv_x: int, mv_y: int,
     return out.astype(np.int32)
 
 
+def mc_luma_14(ref: np.ndarray, x0: int, y0: int, n: int, mv_x: int,
+               mv_y: int) -> np.ndarray:
+    """14-bit intermediate luma MC (spec 8.5.4.2.2.1 predSamplesLX, 8-bit
+    video): the un-rounded filter output used by bi-prediction. Full-pel
+    positions return ref << 6."""
+    ix, iy = mv_x >> 2, mv_y >> 2
+    fx, fy = mv_x & 3, mv_y & 3
+    if fx == 0 and fy == 0:
+        return _fetch(ref, x0 + ix, y0 + iy, n, n).astype(np.int64) << 6
+    patch = _fetch(ref, x0 + ix - 3, y0 + iy - 3, n + 7, n + 7) \
+        .astype(np.int64)
+    if fx:
+        f = np.array(LUMA_FILT[fx], np.int64)
+        h = sum(f[k] * patch[:, k:k + n] for k in range(8))
+    else:
+        h = patch[:, 3:3 + n] * 64
+    if fy:
+        f = np.array(LUMA_FILT[fy], np.int64)
+        v = sum(f[k] * h[k:k + n, :] for k in range(8)) >> 6
+    else:
+        v = h[3:3 + n, :]
+    return v
+
+
+def mc_chroma_14(ref: np.ndarray, x0: int, y0: int, n: int, mv_x: int,
+                 mv_y: int) -> np.ndarray:
+    """14-bit intermediate chroma MC (bi-prediction input); MV in
+    EIGHTH-pel chroma units."""
+    ix, iy = mv_x >> 3, mv_y >> 3
+    fx, fy = mv_x & 7, mv_y & 7
+    if fx == 0 and fy == 0:
+        return _fetch(ref, x0 + ix, y0 + iy, n, n).astype(np.int64) << 6
+    patch = _fetch(ref, x0 + ix - 1, y0 + iy - 1, n + 3, n + 3) \
+        .astype(np.int64)
+    if fx:
+        f = np.array(CHROMA_FILT[fx], np.int64)
+        h = sum(f[k] * patch[:, k:k + n] for k in range(4))
+    else:
+        h = patch[:, 1:1 + n] * 64
+    if fy:
+        f = np.array(CHROMA_FILT[fy], np.int64)
+        v = sum(f[k] * h[k:k + n, :] for k in range(4)) >> 6
+    else:
+        v = h[1:1 + n, :]
+    return v
+
+
+def bi_average(v0: np.ndarray, v1: np.ndarray,
+               bit_depth: int = 8) -> np.ndarray:
+    """Default bi-predictive weighted sample combination (8.5.4.2.3.2):
+    Clip(((pred14_L0 + pred14_L1 + 64) >> 7))."""
+    return np.clip((v0 + v1 + 64) >> 7, 0, (1 << bit_depth) - 1) \
+        .astype(np.int32)
+
+
 def mc_chroma(ref: np.ndarray, x0: int, y0: int, n: int, mv_x: int, mv_y: int,
               bit_depth: int = 8) -> np.ndarray:
     """n x n chroma block; MV in EIGHTH-pel chroma units (= luma qpel value)."""

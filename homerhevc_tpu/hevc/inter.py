@@ -16,14 +16,20 @@ MERGE_MAX = 5
 
 class MotionField:
     """Per-8x8-unit motion info for one frame: mv (quarter-pel), ref_idx
-    (-1 = unavailable/intra)."""
+    (-1 = unavailable/intra). For B frames a second list (mv1/ref1) may be
+    populated; this build's B path codes every inter CU bi-predicted, so
+    AMVP derivation per list never hits the cross-list POC-scaling branch
+    (spec 8.5.3.2.6 step 2) — each neighbour always carries same-list,
+    same-ref motion."""
 
     def __init__(self, h8: int, w8: int):
         self.mv = np.zeros((h8, w8, 2), np.int32)
         self.ref = np.full((h8, w8), -1, np.int32)
+        self.mv1 = None   # (h8, w8, 2) when bi
+        self.ref1 = None
 
     def at(self, x: int, y: int):
-        """Motion at luma pixel (x, y); None if outside/intra."""
+        """L0 motion at luma pixel (x, y); None if outside/intra."""
         h8, w8 = self.ref.shape
         ux, uy = x >> 3, y >> 3
         if x < 0 or y < 0 or ux >= w8 or uy >= h8:
@@ -32,6 +38,27 @@ class MotionField:
             return None
         return (int(self.mv[uy, ux, 0]), int(self.mv[uy, ux, 1]),
                 int(self.ref[uy, ux]))
+
+    def at_bi(self, x: int, y: int):
+        """Full (L0, L1) motion; None if outside/intra."""
+        h8, w8 = self.ref.shape
+        ux, uy = x >> 3, y >> 3
+        if x < 0 or y < 0 or ux >= w8 or uy >= h8:
+            return None
+        if self.ref[uy, ux] < 0:
+            return None
+        return (int(self.mv[uy, ux, 0]), int(self.mv[uy, ux, 1]),
+                int(self.mv1[uy, ux, 0]), int(self.mv1[uy, ux, 1]))
+
+    def l1_view(self) -> "MotionField":
+        """A MotionField presenting list 1 as the primary list (for the
+        shared per-list AMVP derivation)."""
+        v = MotionField.__new__(MotionField)
+        v.mv = self.mv1
+        v.ref = self.ref1 if self.ref1 is not None else self.ref
+        v.mv1 = None
+        v.ref1 = None
+        return v
 
 
 def _coded_before(x: int, y: int, cur_x: int, cur_y: int, ctu: int,
@@ -90,6 +117,41 @@ def merge_candidates(mf: MotionField, x0: int, y0: int, n: int,
     while len(cands) < max_cand:
         cands.append((0, 0, 0))
     return cands[:max_cand], n_spatial
+
+
+def merge_candidates_bi(mf: MotionField, x0: int, y0: int, n: int,
+                        ctu: int, pic_w: int, pic_h: int,
+                        max_cand: int = MERGE_MAX):
+    """B-slice merge list, spatial part (spec 8.5.3.2.3): every candidate
+    carries both lists' motion; pruning compares the FULL motion. Combined
+    and zero-fill candidates occupy indices >= n_spatial in the decoder's
+    list, so callers restricting selection to the first n_spatial entries
+    always agree with any conformant decoder. Returns (cands, n_spatial)
+    with cands entries (mv0x, mv0y, mv1x, mv1y)."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at_bi(x, y)
+
+    a1 = nb(x0 - 1, y0 + n - 1)
+    b1 = nb(x0 + n - 1, y0 - 1)
+    b0 = nb(x0 + n, y0 - 1)
+    a0 = nb(x0 - 1, y0 + n)
+    b2 = nb(x0 - 1, y0 - 1)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    return cands, len(cands)
 
 
 def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,

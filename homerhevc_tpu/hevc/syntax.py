@@ -71,8 +71,12 @@ class FrameDesc:
     inter_mode: Optional[np.ndarray] = None  # 0=skip, 1=merge, 2=amvp
     merge_idx: Optional[np.ndarray] = None
     mvp_flag: Optional[np.ndarray] = None
-    mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel
+    mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel (L0)
     root_cbf: Optional[np.ndarray] = None
+    # B slices: list-1 motion + mvp flag; this build codes every inter CU
+    # of a B frame bi-predicted (see hevc/inter.py MotionField docstring)
+    mv_l1: Optional[np.ndarray] = None       # (h8,w8,2) quarter-pel (L1)
+    mvp_flag_l1: Optional[np.ndarray] = None
     # analysis side-channel: exact per-row luma SSD vs source (int32),
     # computed on device so the host never pulls recon just for the
     # avg_dist zero-forcing feedback
@@ -161,6 +165,9 @@ class SliceDataEncoder:
             mf = MotionField(*desc.pred_mode.shape)
             mf.mv = desc.mv
             mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+            if desc.mv_l1 is not None:
+                mf.mv1 = desc.mv_l1
+                mf.ref1 = mf.ref
             self.motion_field = mf
 
     # ---- neighbor helpers --------------------------------------------------
@@ -341,12 +348,16 @@ class SliceDataEncoder:
         if mode == 1:
             self._encode_merge_idx(int(d.merge_idx[uy, ux]))
         else:
-            if self.slice_type == SLICE_B:
-                # inter_pred_idc: uni (bin0=0, ctx by CU depth), list 0
-                depth = int(d.cu_depth[uy, ux])
-                e.encode_bin(OFF["inter_dir"] + depth, 0)
-                e.encode_bin(OFF["inter_dir"] + 4, 0)  # PRED_L0
             from homerhevc_tpu.hevc.inter import amvp_candidates
+            bi = self.slice_type == SLICE_B and d.mv_l1 is not None
+            if self.slice_type == SLICE_B:
+                # inter_pred_idc (9.3.3.7): bin0 = BI (ctx by CU depth);
+                # uni adds bin1 = L1 (ctx 4). This build's B CUs are all
+                # bi-predicted when mv_l1 is present.
+                depth = int(d.cu_depth[uy, ux])
+                e.encode_bin(OFF["inter_dir"] + depth, int(bi))
+                if not bi:
+                    e.encode_bin(OFF["inter_dir"] + 4, 0)  # PRED_L0
             mvp = amvp_candidates(self.motion_field, x0, y0, 1 << log2_size,
                                   ps.ctu_size, d.width, d.height)
             f = int(d.mvp_flag[uy, ux])
@@ -354,6 +365,14 @@ class SliceDataEncoder:
             mvd_y = int(d.mv[uy, ux, 1]) - mvp[f][1]
             self._encode_mvd(mvd_x, mvd_y)
             e.encode_bin(OFF["mvp_idx"], f)
+            if bi:
+                mvp1 = amvp_candidates(self.motion_field.l1_view(), x0, y0,
+                                       1 << log2_size, ps.ctu_size,
+                                       d.width, d.height)
+                f1 = int(d.mvp_flag_l1[uy, ux])
+                self._encode_mvd(int(d.mv_l1[uy, ux, 0]) - mvp1[f1][0],
+                                 int(d.mv_l1[uy, ux, 1]) - mvp1[f1][1])
+                e.encode_bin(OFF["mvp_idx"], f1)
         rcbf = int(d.root_cbf[uy, ux])
         if mode != 1:  # merge 2Nx2N: rqt_root_cbf inferred 1
             e.encode_bin(OFF["qt_root_cbf"], rcbf)

@@ -65,6 +65,7 @@ def get_lib():
         + [ctypes.c_char_p] * 6          # cu_depth..pred_mode
         + [_I32P] * 3                    # coef planes (int16)
         + [ctypes.c_char_p] * 5 + [_I32P]  # inter maps + mv
+        + [_I32P, ctypes.c_char_p]       # mv_l1 + mvp_flag_l1 (B, all-bi)
         + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
         + [_I32P, ctypes.c_long, _I32P])
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
@@ -121,6 +122,11 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
     coef_u, pu_ = ptr(desc.coef_u, np.int16)
     coef_v, pv_ = ptr(desc.coef_v, np.int16)
     mv_arr, pmv = ptr(desc.mv, np.int32)
+    if desc.mv_l1 is not None:
+        mv1_arr, pmv1 = ptr(desc.mv_l1, np.int32)
+        mvp1 = b(desc.mvp_flag_l1)
+    else:
+        pmv1, mvp1 = None, None
     if sao_params is not None:
         sp = sao_params
         sml = b(sp.merge_left.astype(np.uint8))
@@ -147,6 +153,7 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         py_, pu_, pv_,
         b(desc.skip), b(desc.inter_mode), b(desc.merge_idx),
         b(desc.mvp_flag), b(desc.root_cbf), pmv,
+        pmv1, mvp1,
         sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
         out.ctypes.data_as(ctypes.c_void_p), cap,
         row_sizes.ctypes.data_as(ctypes.c_void_p))

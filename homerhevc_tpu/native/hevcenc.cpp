@@ -232,6 +232,9 @@ struct Desc {
   // inter maps (P slices; may be null for I)
   const uint8_t *skip, *inter_mode, *merge_idx, *mvp_flag, *root_cbf;
   const int32_t *mv;     // (h8, w8, 2)
+  // B slices, all-bi coding (null for P / L0-uni B)
+  const int32_t *mv_l1;
+  const uint8_t *mvp_flag_l1;
   const uint8_t *pred_mode;  // 0 = inter, 1 = intra
   // SAO per-CTU params (may be null)
   const uint8_t *sao_merge_left, *sao_merge_up;
@@ -529,15 +532,19 @@ struct Enc {
     return zaddr(x, y, ctu) < zaddr(cx0, cy0, ctu);
   }
   struct MV { int x, y, ref; };
-  bool motion_at(int x, int y, int cx0, int cy0, MV* out) const {
+  bool motion_at_list(const int32_t* mvarr, int x, int y, int cx0, int cy0,
+                      MV* out) const {
     if (x < 0 || y < 0 || x >= p.width || y >= p.height) return false;
     if (!coded_before(x, y, cx0, cy0)) return false;
     int u = (y >> 3) * d.w8 + (x >> 3);
     if (d.pred_mode[u] != 0) return false;  // intra
-    out->x = d.mv[2 * u];
-    out->y = d.mv[2 * u + 1];
+    out->x = mvarr[2 * u];
+    out->y = mvarr[2 * u + 1];
     out->ref = 0;
     return true;
+  }
+  bool motion_at(int x, int y, int cx0, int cy0, MV* out) const {
+    return motion_at_list(d.mv, x, y, cx0, cy0, out);
   }
   int merge_list(int x0, int y0, int n, MV out[5]) const {
     MV a1, b1, b0, a0, b2;
@@ -559,18 +566,22 @@ struct Enc {
     while (cnt < 5) out[cnt++] = MV{0, 0, 0};
     return 5;
   }
-  void amvp_list(int x0, int y0, int n, MV out[2]) const {
+  void amvp_list_of(const int32_t* mvarr, int x0, int y0, int n,
+                    MV out[2]) const {
     MV a0, a1, b0, b1, b2, mva, mvb;
     bool hva = false, hvb = false;
-    if (motion_at(x0 - 1, y0 + n, x0, y0, &a0)) { mva = a0; hva = true; }
-    else if (motion_at(x0 - 1, y0 + n - 1, x0, y0, &a1)) { mva = a1; hva = true; }
-    if (motion_at(x0 + n, y0 - 1, x0, y0, &b0)) { mvb = b0; hvb = true; }
-    else if (motion_at(x0 + n - 1, y0 - 1, x0, y0, &b1)) { mvb = b1; hvb = true; }
-    else if (motion_at(x0 - 1, y0 - 1, x0, y0, &b2)) { mvb = b2; hvb = true; }
+    if (motion_at_list(mvarr, x0 - 1, y0 + n, x0, y0, &a0)) { mva = a0; hva = true; }
+    else if (motion_at_list(mvarr, x0 - 1, y0 + n - 1, x0, y0, &a1)) { mva = a1; hva = true; }
+    if (motion_at_list(mvarr, x0 + n, y0 - 1, x0, y0, &b0)) { mvb = b0; hvb = true; }
+    else if (motion_at_list(mvarr, x0 + n - 1, y0 - 1, x0, y0, &b1)) { mvb = b1; hvb = true; }
+    else if (motion_at_list(mvarr, x0 - 1, y0 - 1, x0, y0, &b2)) { mvb = b2; hvb = true; }
     int cnt = 0;
     if (hva) out[cnt++] = mva;
     if (hvb && (!hva || mvb.x != mva.x || mvb.y != mva.y)) out[cnt++] = mvb;
     while (cnt < 2) out[cnt++] = MV{0, 0, 0};
+  }
+  void amvp_list(int x0, int y0, int n, MV out[2]) const {
+    amvp_list_of(d.mv, x0, y0, n, out);
   }
 
   void encode_merge_idx(int idx, int max_cand = 5) {
@@ -604,16 +615,27 @@ struct Enc {
     if (mode == 1) {
       encode_merge_idx(d.merge_idx[u]);
     } else {
-      if (p.slice_type == 0) {  // B: inter_pred_idc = uni L0
+      bool bi = p.slice_type == 0 && d.mv_l1 != nullptr;
+      if (p.slice_type == 0) {
+        // inter_pred_idc (9.3.3.7): bin0 = BI (ctx by depth); uni adds
+        // bin1 = L1. All-bi B coding when mv_l1 is provided.
         int depth = d.cu_depth[u];
-        c.bin(INTER_DIR + depth, 0);
-        c.bin(INTER_DIR + 4, 0);
+        c.bin(INTER_DIR + depth, bi ? 1 : 0);
+        if (!bi) c.bin(INTER_DIR + 4, 0);
       }
       MV mvp[2];
       amvp_list(x0, y0, 1 << log2, mvp);
       int f = d.mvp_flag[u];
       encode_mvd(d.mv[2 * u] - mvp[f].x, d.mv[2 * u + 1] - mvp[f].y);
       c.bin(MVP_IDX, f);
+      if (bi) {
+        MV mvp1[2];
+        amvp_list_of(d.mv_l1, x0, y0, 1 << log2, mvp1);
+        int f1 = d.mvp_flag_l1[u];
+        encode_mvd(d.mv_l1[2 * u] - mvp1[f1].x,
+                   d.mv_l1[2 * u + 1] - mvp1[f1].y);
+        c.bin(MVP_IDX, f1);
+      }
     }
     int rcbf = d.root_cbf[u];
     if (mode != 1) c.bin(QT_ROOT_CBF, rcbf);
@@ -771,6 +793,7 @@ long hevcenc_encode_slice2(
     const int16_t* coef_y, const int16_t* coef_u, const int16_t* coef_v,
     const uint8_t* skip, const uint8_t* inter_mode, const uint8_t* merge_idx,
     const uint8_t* mvp_flag, const uint8_t* root_cbf, const int32_t* mv,
+    const int32_t* mv_l1, const uint8_t* mvp_flag_l1,
     const uint8_t* sao_merge_left, const uint8_t* sao_merge_up,
     const int32_t* sao_type_l, const int32_t* sao_type_c,
     const int32_t* sao_eo_l, const int32_t* sao_eo_c,
@@ -786,6 +809,7 @@ long hevcenc_encode_slice2(
   e.d.coef_y = coef_y; e.d.coef_u = coef_u; e.d.coef_v = coef_v;
   e.d.skip = skip; e.d.inter_mode = inter_mode; e.d.merge_idx = merge_idx;
   e.d.mvp_flag = mvp_flag; e.d.root_cbf = root_cbf; e.d.mv = mv;
+  e.d.mv_l1 = mv_l1; e.d.mvp_flag_l1 = mvp_flag_l1;
   e.d.sao_merge_left = sao_merge_left; e.d.sao_merge_up = sao_merge_up;
   e.d.sao_type_l = sao_type_l; e.d.sao_type_c = sao_type_c;
   e.d.sao_eo_l = sao_eo_l; e.d.sao_eo_c = sao_eo_c;
