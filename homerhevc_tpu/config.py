@@ -65,6 +65,14 @@ class EncoderConfig:
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerformanceMode = PerformanceMode.UFAST
     reinit_gop_on_scene_change: bool = True
+    # generalized-B "P" frames (gop_size 1): once two references exist, P
+    # frames are coded as B slices bi-predicting from t-1 (L0) and t-2
+    # (L1, via ref list modification) with bi-target list-1 matching.
+    # Off by default: with every CU forced bi (the scaling-free AMVP
+    # invariant, hevc/inter.py), asymmetric reference distances lose to
+    # uni prediction on noisy/sub-pel content; per-CU uni/bi selection
+    # needs the spec 8.5.3.2.6 AMVP scaling branch (next round)
+    gpb: bool = False
     # parallelism (TPU-native knobs; replaces n_enc_engines/n_wpp_threads)
     wpp: bool = False                 # per-CTU-row substreams (host-parallel CABAC)
     num_frames_in_flight: int = 1     # device pipeline depth (frame engines analog)

@@ -46,18 +46,14 @@ class TpuInterEncoder:
         self.pack_head = min(self.pack_C, -(-n_tot // 32))
         self._jit = jax.jit(self._impl)
 
-    # ---- device program -----------------------------------------------------
-
-    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult):
-        cu, cuc = self.cu, self.cu // 2
+    def _hier_me(self, sy, ry):
+        """Hierarchical shortlist full-pel ME vs one reference plane
+        (golden twin: hier_pel_fields). Returns (mvs (B,2) qpel, prior,
+        mv32 (B2,2) qpel or None, prior2 or None)."""
+        cu = self.cu
         gw, gh = self.gw, self.gh
         R = self.search
-        sy = src_y.astype(jnp.int32)
-        su = src_u.astype(jnp.int32)
-        sv = src_v.astype(jnp.int32)
-        ry = ref_y.astype(jnp.int32)
-
-        # ---- ME: hierarchical coarse sweep + global-shortlist refine ----
+        # (see golden hier_pel_fields for the search structure)
         # Mirrors golden.inter_frame.hier_pel_fields bit-exactly, built ONLY
         # from whole-plane shifts (per-block patch gathers serialize on TPU):
         # a 2x decimated sweep covers +-2R full-res pels at 1/4 the HBM
@@ -180,9 +176,24 @@ class TpuInterEncoder:
             s32r = sads_r[:, :gh2 * 2, :].reshape(n_offs_r, gh2, 2, gw2, 2) \
                 .sum(axis=(2, 4))
             mv32 = level_best(s32r, prior2)                 # (B2, 2) qpel
-        x0f = (jnp.arange(gh * gw) % gw) * cu
-        y0f = (jnp.arange(gh * gw) // gw) * cu
-        ref_padF = jnp.pad(ry, P, mode="edge")
+        if not self.tree:
+            mv32, prior2 = None, None
+        return mvs, prior, mv32, prior2
+
+    # ---- device program -----------------------------------------------------
+
+    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult):
+        cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        R = self.search
+        sy = src_y.astype(jnp.int32)
+        su = src_u.astype(jnp.int32)
+        sv = src_v.astype(jnp.int32)
+        ry = ref_y.astype(jnp.int32)
+
+        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
+        mvd_bits = jnp.asarray(T.MVD_BITS)
+        mvs, prior, mv32, prior2 = self._hier_me(sy, ry)
 
         # ---- sub-pel refinement (half then quarter) ----
         # One (n+8)^2 patch gather per block per frame; all 16 quarter-pel
@@ -349,6 +360,7 @@ class TpuInterEncoder:
         # ---- CU32 layer: code each full CTB32 as one CU32, keep whichever
         # side wins SSD + lambda*rate (golden encode_inter_frame_tree twin) --
         # mv32/prior2 come from the shared 16/32 shortlist refine above.
+        gh2, gw2 = self.gh2, self.gw2
         B2 = gh2 * gw2
         lam = jnp.float32(self.lam)
         x0s2 = (jnp.arange(B2) % gw2) * 32
@@ -458,6 +470,270 @@ class TpuInterEncoder:
             extra.append(sao_p)
         return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
 
+    def _impl_b(self, src_y, src_u, src_v, r0y, r0u, r0v, r1y, r1u, r1v,
+                zf_mult):
+        """Bi-predicted frame (B in IBP, or generalized-B "P"): every CU
+        predicts from both references with the normative 14-bit weighted
+        average. Golden twin: encode_b_frame_tree. CU32/CU16 tree."""
+        assert self.tree
+        cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        gh2, gw2 = self.gh2, self.gw2
+        R = self.search
+        sy = src_y.astype(jnp.int32)
+        su = src_u.astype(jnp.int32)
+        sv = src_v.astype(jnp.int32)
+        ry0 = r0y.astype(jnp.int32)
+        ry1 = r1y.astype(jnp.int32)
+        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
+        lam = jnp.float32(self.lam)
+        mvd_bits = jnp.asarray(T.MVD_BITS)
+        me_prec = int(self.cfg.motion_estimation_precision)
+        from homerhevc_tpu.ops.interp import (LUMA_TAPS, _windowed,
+                                              mc_chroma_batch_14)
+        taps = jnp.asarray(LUMA_TAPS)
+        B = gh * gw
+        B2 = gh2 * gw2
+        padL = 2 * R + 2 + 8
+        padC = R + 1 + 4
+
+        mvs0, pr0, mv32_0, pr2_0 = self._hier_me(sy, ry0)
+
+        x0s = (jnp.arange(B) % gw) * cu
+        y0s = (jnp.arange(B) // gw) * cu
+        x0s2 = (jnp.arange(B2) % gw2) * 32
+        y0s2 = (jnp.arange(B2) // gw2) * 32
+        src_blk = sy.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
+            .reshape(B, cu, cu)
+        src32 = sy[:gh2 * 32].reshape(gh2, 32, gw2, 32) \
+            .transpose(0, 2, 1, 3).reshape(B2, 32, 32)
+
+        def subpel_tools(ry):
+            ref_padL = jnp.pad(ry, padL, mode="edge")
+
+            def make_v(x0v, y0v, mv0, n):
+                """(v16, v14, ix0, iy0): rounded and 14-bit quarter-pel
+                interpolations of the (n+8)^2 patch."""
+                ix0, iy0 = mv0[:, 0] >> 2, mv0[:, 1] >> 2
+                by = y0v + iy0 - 1 + padL - 3
+                bx = x0v + ix0 - 1 + padL - 3
+                rows = by[:, None, None] + jnp.arange(n + 8)[None, :, None]
+                cols = bx[:, None, None] + jnp.arange(n + 8)[None, None, :]
+                patch = ref_padL[rows, cols].astype(jnp.int32)
+                wx = _windowed(patch, 8, axis=2)
+                h4 = jnp.einsum("fk,byxk->fbyx", taps, wx)
+                wy = _windowed(h4, 8, axis=2)
+                v = jnp.einsum("gk,fbyxk->gfbyx", taps, wy) >> 6
+                v16 = jnp.clip((v + 32) >> 6, 0, 255)
+                return (v16.reshape(16, -1, n + 1, n + 1),
+                        v.reshape(16, -1, n + 1, n + 1), ix0, iy0)
+            return make_v
+
+        def sel_phase(vstack, ix0, iy0, mv, n):
+            p = (mv[:, 1] & 3) * 4 + (mv[:, 0] & 3)
+            oy = (mv[:, 1] >> 2) - (iy0 - 1)
+            ox = (mv[:, 0] >> 2) - (ix0 - 1)
+            sel = jnp.take_along_axis(
+                vstack, p[None, :, None, None], axis=0)[0]
+            c00 = sel[:, 0:n, 0:n]
+            c01 = sel[:, 0:n, 1:n + 1]
+            c10 = sel[:, 1:n + 1, 0:n]
+            c11 = sel[:, 1:n + 1, 1:n + 1]
+            idx = (oy * 2 + ox)[:, None, None]
+            return jnp.where(idx == 0, c00,
+                             jnp.where(idx == 1, c01,
+                                       jnp.where(idx == 2, c10, c11)))
+
+        def refine_v(v16, ix0, iy0, src_b, nb, mv_cur, step, pr):
+            bc = jnp.full((mv_cur.shape[0],), 1 << 30, jnp.int32)
+            bmv = mv_cur
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    cand = mv_cur + jnp.asarray([dx, dy], jnp.int32)
+                    p = sel_phase(v16, ix0, iy0, cand, nb)
+                    sad = jnp.sum(jnp.abs(src_b - p), axis=(-1, -2))
+                    rt = (mvd_bits[jnp.abs(cand[:, 0] - pr[0])]
+                          + mvd_bits[jnp.abs(cand[:, 1] - pr[1])])
+                    cost = sad + ((lam16 * rt) >> 4)
+                    better = cost < bc
+                    bc = jnp.where(better, cost, bc)
+                    bmv = jnp.where(better[:, None], cand, bmv)
+            return bmv
+
+        mkv0 = subpel_tools(ry0)
+        mkv1 = subpel_tools(ry1)
+
+        def refine_and_pred(mk, mvq, pr, src_b, x0v, y0v, n):
+            v16, v14, ix0, iy0 = mk(x0v, y0v, mvq, n)
+            if me_prec >= 1:
+                mvq = refine_v(v16, ix0, iy0, src_b, n, mvq, 2, pr)
+            if me_prec >= 2:
+                mvq = refine_v(v16, ix0, iy0, src_b, n, mvq, 1, pr)
+            p14 = sel_phase(v14, ix0, iy0, mvq, n)
+            return mvq, p14
+
+        def code_bi(p14a, p14b, src_b, n, qp, qp_zf):
+            pred = jnp.clip((p14a + p14b + 64) >> 7, 0, 255)
+            resid = src_b - pred
+            coef = forward_transform(resid, False)
+            lvl = quantize(coef, n, qp, False, self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                lvl = sign_bit_hiding(lvl, coef, n, qp, False, 0,
+                                      self.ps.scaling_list_enabled)
+            deq = dequantize(lvl, n, qp, False,
+                             self.ps.scaling_list_enabled)
+            rres = inverse_transform(deq, False)
+            lvl, rres = self._zero_force(resid, lvl, rres, qp_zf)
+            nz = jnp.any(lvl != 0, axis=(-1, -2))
+            rec = jnp.where(nz[:, None, None],
+                            jnp.clip(pred + rres, 0, 255), pred)
+            return lvl, rec, nz
+
+        # ---- CU16 level: list 0 first, then list 1 by BI-TARGET matching
+        # (2*src - pred0; golden twin + reference analog
+        # hmr_bi_motion_estimation_HM, hmr_motion_inter.c:1279) ----
+        mvs0, p14_0 = refine_and_pred(mkv0, mvs0, pr0, src_blk, x0s, y0s, cu)
+        pred0u = jnp.clip((p14_0 + 32) >> 6, 0, 255)
+        tgt_plane = 2 * sy - pred0u.reshape(gh, gw, cu, cu) \
+            .transpose(0, 2, 1, 3).reshape(self.h, self.w)
+        mvs1, pr1, mv32_1, pr2_1 = self._hier_me(tgt_plane, ry1)
+        tgt_blk = tgt_plane.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
+            .reshape(B, cu, cu)
+        mvs1, p14_1 = refine_and_pred(mkv1, mvs1, pr1, tgt_blk, x0s, y0s, cu)
+        lvl, rec, nz = code_bi(p14_0, p14_1, src_blk, cu, self.qp, zf_mult)
+
+        cx0s, cy0s = x0s // 2, y0s // 2
+        r0up = jnp.pad(r0u.astype(jnp.int32), padC, mode="edge")
+        r0vp = jnp.pad(r0v.astype(jnp.int32), padC, mode="edge")
+        r1up = jnp.pad(r1u.astype(jnp.int32), padC, mode="edge")
+        r1vp = jnp.pad(r1v.astype(jnp.int32), padC, mode="edge")
+
+        def blk_c(src_c, n, rows):
+            """Block a chroma plane (optionally cropped to `rows`)."""
+            p = src_c if rows is None else src_c[:rows]
+            hh, ww = p.shape
+            return p.reshape(hh // n, n, ww // n, n) \
+                .transpose(0, 2, 1, 3).reshape(-1, n, n)
+
+        def chroma_bi(src_cb, rpa, rpb, x0v, y0v, n, mv_a, mv_b):
+            ca = mc_chroma_batch_14(rpa, padC, x0v, y0v, n, mv_a)
+            cb = mc_chroma_batch_14(rpb, padC, x0v, y0v, n, mv_b)
+            lvlc, recc, _ = code_bi(ca, cb, src_cb, n, self.qp_c, zf_mult)
+            return lvlc, recc
+
+        lvl_u, rec_u = chroma_bi(blk_c(su, cuc, None), r0up, r1up,
+                                 cx0s, cy0s, cuc, mvs0, mvs1)
+        lvl_v, rec_v = chroma_bi(blk_c(sv, cuc, None), r0vp, r1vp,
+                                 cx0s, cy0s, cuc, mvs0, mvs1)
+
+        def unblock(blocks, n, hh, ww):
+            gy, gx = hh // n, ww // n
+            return blocks.reshape(gy, gx, n, n).transpose(0, 2, 1, 3) \
+                .reshape(hh, ww)
+        recon_y = unblock(rec, cu, self.h, self.w)
+        recon_u = unblock(rec_u, cuc, self.h // 2, self.w // 2)
+        recon_v = unblock(rec_v, cuc, self.h // 2, self.w // 2)
+        ly = unblock(lvl.astype(jnp.int16), cu, self.h, self.w)
+        lu = unblock(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+
+        # ---- CU32 level (same list-0-then-target structure) ----
+        mv32_0, p32a = refine_and_pred(mkv0, mv32_0, pr2_0, src32,
+                                       x0s2, y0s2, 32)
+        tgt32 = 2 * src32 - jnp.clip((p32a + 32) >> 6, 0, 255)
+        mv32_1, p32b = refine_and_pred(mkv1, mv32_1, pr2_1, tgt32,
+                                       x0s2, y0s2, 32)
+        lvl32, rec32, nz32 = code_bi(p32a, p32b, src32, 32, self.qp, zf_mult)
+
+        def cost_bi(src_b, rec_b, lvl_b, mva, mvb):
+            d = (src_b - rec_b).astype(jnp.float32)
+            ssd = jnp.sum(d * d, axis=(-1, -2))
+            nnzf = jnp.sum((lvl_b != 0), axis=(-1, -2)).astype(jnp.float32)
+            lsum = jnp.sum(jnp.abs(lvl_b), axis=(-1, -2)).astype(jnp.float32)
+            rt = (mvd_bits[jnp.abs(mva[:, 0] - pr0[0])]
+                  + mvd_bits[jnp.abs(mva[:, 1] - pr0[1])]
+                  + mvd_bits[jnp.abs(mvb[:, 0] - pr1[0])]
+                  + mvd_bits[jnp.abs(mvb[:, 1] - pr1[1])]) \
+                .astype(jnp.float32)
+            return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
+
+        c32 = cost_bi(src32, rec32, lvl32, mv32_0, mv32_1).reshape(gh2, gw2)
+        c16 = cost_bi(src_blk, rec, lvl, mvs0, mvs1).reshape(gh, gw)
+        c16p = c16[:gh2 * 2].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
+        choose = c32 <= c16p
+
+        lvl_u32, rec_u32 = chroma_bi(blk_c(su, 16, gh2 * 16), r0up, r1up,
+                                     x0s2 // 2, y0s2 // 2, 16,
+                                     mv32_0, mv32_1)
+        lvl_v32, rec_v32 = chroma_bi(blk_c(sv, 16, gh2 * 16), r0vp, r1vp,
+                                     x0s2 // 2, y0s2 // 2, 16,
+                                     mv32_0, mv32_1)
+
+        def combine(plane16, blocks32, m, dt):
+            p32 = blocks32.astype(dt).reshape(gh2, gw2, m, m) \
+                .transpose(0, 2, 1, 3).reshape(gh2 * m, gw2 * m)
+            mask = jnp.repeat(jnp.repeat(choose, m, 0), m, 1)
+            top = jnp.where(mask, p32, plane16[:gh2 * m])
+            return jnp.concatenate([top, plane16[gh2 * m:]], axis=0)
+
+        recon_y = combine(recon_y, rec32, 32, recon_y.dtype)
+        ly = combine(ly, lvl32.astype(jnp.int16), 32, jnp.int16)
+        recon_u = combine(recon_u, rec_u32, 16, recon_u.dtype)
+        recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
+        lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
+        lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
+
+        if self.ps.deblocking_enabled:
+            from homerhevc_tpu.ops.deblock import deblock_luma_bs
+            ch4 = jnp.repeat(jnp.repeat(choose, 4, 0), 4, 1)
+            pad_rows = self.h // 8 - ch4.shape[0]
+            chf = jnp.pad(ch4, ((0, pad_rows), (0, 0)))
+            rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+            nz8 = rep2(nz.reshape(gh, gw))
+            nz32_8 = jnp.pad(jnp.repeat(jnp.repeat(
+                nz32.reshape(gh2, gw2), 4, 0), 4, 1),
+                ((0, pad_rows), (0, 0)))
+            nz8 = jnp.where(chf, nz32_8, nz8)
+
+            def mv8_of(mvs_lvl, mv32_lvl):
+                a = jnp.repeat(jnp.repeat(
+                    mvs_lvl.reshape(gh, gw, 2), 2, 0), 2, 1)
+                b = jnp.pad(jnp.repeat(jnp.repeat(
+                    mv32_lvl.reshape(gh2, gw2, 2), 4, 0), 4, 1),
+                    ((0, pad_rows), (0, 0), (0, 0)))
+                return jnp.where(chf[..., None], b, a)
+            mv8a = mv8_of(mvs0, mv32_0)
+            mv8b = mv8_of(mvs1, mv32_1)
+            ts8 = jnp.where(chf, 32, 16).astype(jnp.int32)
+            ux = jnp.arange(nz8.shape[1])[None, :]
+            uy = jnp.arange(nz8.shape[0])[:, None]
+            vv = (ux > 0) & (((ux * 8) % ts8) == 0)
+            vh = (uy > 0) & (((uy * 8) % ts8) == 0)
+
+            def diffs(mv8):
+                mvl = jnp.pad(mv8, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+                mvt = jnp.pad(mv8, ((1, 0), (0, 0), (0, 0)))[:-1, :]
+                return (jnp.any(jnp.abs(mv8 - mvl) >= 4, axis=-1),
+                        jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1))
+            dla, dta = diffs(mv8a)
+            dlb, dtb = diffs(mv8b)
+            nzl = jnp.pad(nz8, ((0, 0), (1, 0)))[:, :-1]
+            nzt = jnp.pad(nz8, ((1, 0), (0, 0)))[:-1, :]
+            bs_v = (vv & (nz8 | nzl | dla | dlb)).astype(jnp.int32)
+            bs_h = (vh & (nz8 | nzt | dta | dtb)).astype(jnp.int32)
+            recon_y = deblock_luma_bs(recon_y, bs_v, bs_h, self.qp)
+
+        extra = [mvs0.reshape(gh, gw, 2).astype(jnp.int16),
+                 mvs1.reshape(gh, gw, 2).astype(jnp.int16),
+                 choose.astype(jnp.uint8),
+                 mv32_0.reshape(gh2, gw2, 2).astype(jnp.int16),
+                 mv32_1.reshape(gh2, gw2, 2).astype(jnp.int16)]
+        if self.ps.sao_enabled:
+            recon_y, recon_u, recon_v, sao_p = self._sao(
+                sy, su, sv, recon_y, recon_u, recon_v)
+            extra.append(sao_p)
+        return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
+
     def _sao(self, sy, su, sv, recon_y, recon_u, recon_v):
         """Device SAO decide+apply (ops/sao_dev.py); returns filtered
         planes + packed params for the wire meta."""
@@ -545,10 +821,11 @@ class TpuInterEncoder:
             pass
         return out
 
-    def fetch(self, out, is_b: bool = False):
+    def fetch(self, out, is_b: bool = False, bi: bool = False):
         """Download one dispatched frame's compact wire data and build the
         FrameDesc (host half of encode_frame). Reconstruction planes are
-        returned device-resident (lazily materialized by consumers)."""
+        returned device-resident (lazily materialized by consumers).
+        bi: the output came from _impl_b (two-list motion in the meta)."""
         from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
         recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
         meta_np = np.asarray(meta)
@@ -564,9 +841,14 @@ class TpuInterEncoder:
                 a = a.copy().view(dt)
             return a.reshape(shape) if shape is not None else a
         mvs = take(gh * gw * 4, np.int16, (gh, gw, 2))
+        mvs1 = mv32_1 = None
+        if bi:
+            mvs1 = take(gh * gw * 4, np.int16, (gh, gw, 2))
         if self.tree:
             choose = take(gh2 * gw2, None, (gh2, gw2))
             mv32 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
+            if bi:
+                mv32_1 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
         sao_params = None
         if self.ps.sao_enabled:
             from homerhevc_tpu.ops.sao_dev import (params_nbytes,
@@ -611,6 +893,10 @@ class TpuInterEncoder:
         desc.cu_depth[:] = self.ps.log2_ctu - (cu.bit_length() - 1)
         r8 = cu // 8
         desc.mv[:] = np.repeat(np.repeat(mvs.astype(np.int32), r8, 0), r8, 1)
+        if bi:
+            desc.mv_l1 = np.repeat(np.repeat(mvs1.astype(np.int32),
+                                             r8, 0), r8, 1)
+            desc.mvp_flag_l1 = np.zeros_like(desc.mvp_flag)
         desc.coef_y = np.ascontiguousarray(py, np.int16)
         desc.coef_u = np.ascontiguousarray(pu, np.int16)
         desc.coef_v = np.ascontiguousarray(pv, np.int16)
@@ -623,12 +909,44 @@ class TpuInterEncoder:
             full[:ch.shape[0], :ch.shape[1]] = ch
             desc.cu_depth[full] = 0
             desc.mv[:ch.shape[0], :ch.shape[1]][ch] = m32[ch]
+            if bi:
+                m32b = np.repeat(np.repeat(mv32_1.astype(np.int32),
+                                           4, 0), 4, 1)
+                desc.mv_l1[:ch.shape[0], :ch.shape[1]][ch] = m32b[ch]
             from homerhevc_tpu.golden.inter_frame import \
                 select_inter_syntax_tree
-            select_inter_syntax_tree(self.ps, desc, is_b=is_b)
+            select_inter_syntax_tree(self.ps, desc, is_b=is_b or bi)
         else:
             select_inter_syntax(self.ps, desc, cu, is_b=is_b)
         return desc, recon_y, recon_u, recon_v
+
+    def dispatch_b(self, src, ref0, ref1, avg_dist: float = 1000.0):
+        """Launch the bi-predicted device program (_impl_b)."""
+        from homerhevc_tpu.golden.inter_frame import zf_multiplier
+        if not hasattr(self, "_jit_b"):
+            self._jit_b = jax.jit(self._impl_b)
+        zf_mult = zf_multiplier(avg_dist, self.qp)
+
+        def as_dev(a):
+            if isinstance(a, jax.Array):
+                return a
+            return jnp.asarray(np.asarray(a, np.uint8))
+        y, u, v = src
+        out = self._jit_b(as_dev(y), as_dev(u), as_dev(v),
+                          as_dev(ref0[0]), as_dev(ref0[1]), as_dev(ref0[2]),
+                          as_dev(ref1[0]), as_dev(ref1[1]), as_dev(ref1[2]),
+                          jnp.float32(zf_mult))
+        self.last_dev = (out[0], out[1], out[2])
+        try:
+            out[6].copy_to_host_async()
+            out[8].copy_to_host_async()
+        except Exception:
+            pass
+        return out
+
+    def encode_frame_b(self, src, ref0, ref1, avg_dist: float = 1000.0):
+        return self.fetch(self.dispatch_b(src, ref0, ref1, avg_dist),
+                          bi=True)
 
     def encode_frame(self, src, ref, is_b: bool = False,
                      avg_dist: float = 1000.0):

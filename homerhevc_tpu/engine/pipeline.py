@@ -77,6 +77,7 @@ class EncoderPipeline:
                   and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
             backend = "tpu" if ok else "golden"
         self._last_recon_dev = None   # intra breaks the device ref chain
+        self._last_recon_dev2 = None
         if backend == "golden":
             from homerhevc_tpu.golden.intra_frame import encode_intra_frame
             with PROFILER.scope("analyze_intra_golden"):
@@ -142,7 +143,8 @@ class EncoderPipeline:
 
     def _serialize_slice_wpp(self, desc, slice_type: int, nal_type: int,
                              qp: int, sao_params=None, poc=None,
-                             refs_before=(), refs_after=()) -> bytes:
+                             refs_before=(), refs_after=(),
+                             l1_swap: bool = False) -> bytes:
         """WPP slice: one CABAC substream per CTU row; contexts fork from the
         state after the second CTB of the row above (spec entropy sync;
         reference ee_copy_entropy_model hmr_encoder_lib.c:2371). Rows are
@@ -166,7 +168,7 @@ class EncoderPipeline:
                              sao_luma=sao_params is not None,
                              sao_chroma=sao_params is not None,
                              ref_pocs_before=refs_before,
-                             ref_pocs_after=refs_after)
+                             ref_pocs_after=refs_after, l1_swap=l1_swap)
             bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
             return make_nal(nal_type, bw.get_bytes() + payload)
         rows = []
@@ -202,14 +204,15 @@ class EncoderPipeline:
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
                          ref_pocs_before=refs_before,
-                         ref_pocs_after=refs_after)
+                         ref_pocs_after=refs_after, l1_swap=l1_swap)
         bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
         return make_nal(nal_type, bw.get_bytes() + payload)
 
     def _serialize_slice(self, desc, slice_type: int, nal_type: int,
                          qp: int, use_native: bool = True,
                          sao_params=None, poc=None,
-                         refs_before=None, refs_after=()) -> bytes:
+                         refs_before=None, refs_after=(),
+                         l1_swap: bool = False) -> bytes:
         ps = self.ps
         if refs_before is None:
             refs_before = ((self.gop_poc - 1,)
@@ -218,13 +221,14 @@ class EncoderPipeline:
             return self._serialize_slice_wpp(desc, slice_type, nal_type, qp,
                                              sao_params=sao_params, poc=poc,
                                              refs_before=refs_before,
-                                             refs_after=refs_after)
+                                             refs_after=refs_after,
+                                             l1_swap=l1_swap)
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
                          poc=self.gop_poc if poc is None else poc, qp=qp,
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
                          ref_pocs_before=refs_before,
-                         ref_pocs_after=refs_after)
+                         ref_pocs_after=refs_after, l1_swap=l1_swap)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
@@ -258,7 +262,7 @@ class EncoderPipeline:
 
     def _emit(self, desc, ry, ru, rv, src=None, slice_type=SLICE_I, qp=None,
               poc=None, refs_before=None, refs_after=(), is_ref=True,
-              display_poc=None):
+              display_poc=None, l1_swap=False):
         from homerhevc_tpu.api import EncodedFrame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -292,10 +296,15 @@ class EncoderPipeline:
             nals.append(self._serialize_slice(desc, slice_type, nal_type, qp,
                                               sao_params=sao_params, poc=poc,
                                               refs_before=refs_before,
-                                              refs_after=refs_after))
+                                              refs_after=refs_after,
+                                              l1_swap=l1_swap))
         if is_ref and self.cfg.gop_size != 0:
             # stored as-is (device arrays stay device-resident); consumers
-            # (golden backends, scene change, gop2) coerce via np.asarray
+            # (golden backends, scene change, gop2) coerce via np.asarray.
+            # _prev_recon2 = t-2 reference for generalized-B; never valid
+            # across an IDR (refs must stay inside the coded video sequence)
+            self._prev_recon2 = (None if slice_type == SLICE_I
+                                 else self._last_recon)
             self._last_recon = (ry, ru, rv)
             cand = getattr(self, "_cand_recon_dev", None)
             if sao_params is not None and not device_sao:
@@ -398,14 +407,30 @@ class EncoderPipeline:
                     # while the host serializes (the avg_dist zero-forcing
                     # feedback then lags 2 frames, like the reference's
                     # cross-engine RC handoff, hmr_encoder_lib.c:3268).
+                    # Generalized-B: once two references exist, the frame
+                    # bi-predicts from t-1 and t-2 (cfg.gpb).
                     enc = self._get_tpu_inter(qp)
-                    ref = (self._last_recon_dev
-                           if self._last_recon_dev is not None
+                    chain_active = self._last_recon_dev is not None
+                    ref = (self._last_recon_dev if chain_active
                            else self._last_recon)
-                    out = enc.dispatch((y, u, v), ref, self.avg_dist)
+                    ref2 = getattr(self, "_last_recon_dev2", None)
+                    if ref2 is None and chain_active:
+                        # emit lags dispatch by one frame, so the host-side
+                        # _last_recon is exactly the t-2 reference here
+                        ref2 = self._last_recon
+                    gpb = (self.cfg.gpb and ref2 is not None
+                           and self.ps.ctu_size == 32)
+                    if gpb:
+                        out = enc.dispatch_b((y, u, v), ref, ref2,
+                                             self.avg_dist)
+                    else:
+                        out = enc.dispatch((y, u, v), ref, self.avg_dist)
+                    self._last_recon_dev2 = (
+                        self._last_recon_dev if self._last_recon_dev
+                        is not None else None)
                     self._last_recon_dev = enc.last_dev
                     self._cand_recon_dev = None
-                    self._p_pendings.append((enc, out, (y, u, v), qp))
+                    self._p_pendings.append((enc, out, (y, u, v), qp, gpb))
                     if len(self._p_pendings) >= 2:
                         yield from self._drain_p_pending(one=True)
                 else:
@@ -480,17 +505,24 @@ class EncoderPipeline:
                         and self.ps.ctu_size == 32
                         and self.cfg.width % 32 == 0
                         and self.cfg.height % 32 == 0):
-                    from homerhevc_tpu.golden.inter_frame import \
-                        encode_b_frame_tree
-                    with PROFILER.scope("analyze_b_bi"):
-                        d2, r2y, r2u, r2v = encode_b_frame_tree(
-                            self.ps, fb,
-                            tuple(np.asarray(p, np.int32)
-                                  for p in prev_anchor_recon),
-                            tuple(np.asarray(p, np.int32)
-                                  for p in self._last_recon),
-                            qb, search=self._inter_search_range(),
-                            avg_dist=self.avg_dist)
+                    if self._tpu_inter_ok():
+                        enc = self._get_tpu_inter(qb)
+                        with PROFILER.scope("analyze_b_bi"):
+                            d2, r2y, r2u, r2v = enc.encode_frame_b(
+                                fb, prev_anchor_recon, self._last_recon,
+                                avg_dist=self.avg_dist)
+                    else:
+                        from homerhevc_tpu.golden.inter_frame import \
+                            encode_b_frame_tree
+                        with PROFILER.scope("analyze_b_bi"):
+                            d2, r2y, r2u, r2v = encode_b_frame_tree(
+                                self.ps, fb,
+                                tuple(np.asarray(p, np.int32)
+                                      for p in prev_anchor_recon),
+                                tuple(np.asarray(p, np.int32)
+                                      for p in self._last_recon),
+                                qb, search=self._inter_search_range(),
+                                avg_dist=self.avg_dist)
                 else:
                     d2, r2y, r2u, r2v = self._analyze_inter(
                         *fb, qp=qb, ref=prev_anchor_recon, is_b=True)
@@ -566,11 +598,17 @@ class EncoderPipeline:
 
     def _drain_p_pending(self, one: bool = False):
         while self._p_pendings:
-            enc, out, src, qp = self._p_pendings.pop(0)
+            enc, out, src, qp, gpb = self._p_pendings.pop(0)
             with PROFILER.scope("fetch_inter"):
-                desc, ry, ru, rv = enc.fetch(out)
-            yield self._emit(desc, ry, ru, rv, src=src, slice_type=SLICE_P,
-                             qp=qp)
+                desc, ry, ru, rv = enc.fetch(out, bi=gpb)
+            if gpb:
+                p = self.gop_poc
+                yield self._emit(desc, ry, ru, rv, src=src,
+                                 slice_type=SLICE_B, qp=qp,
+                                 refs_before=(p - 1, p - 2), l1_swap=True)
+            else:
+                yield self._emit(desc, ry, ru, rv, src=src,
+                                 slice_type=SLICE_P, qp=qp)
             if one:
                 return
 

@@ -812,8 +812,6 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     me_prec = int(ps.cfg.motion_estimation_precision)
     f16_0, p16_0, f32_0, p32_0 = hier_pel_fields(sy, r0[0], search, lam16,
                                                  want32=True)
-    f16_1, p16_1, f32_1, p32_1 = hier_pel_fields(sy, r1[0], search, lam16,
-                                                 want32=True)
     desc = FrameDesc.alloc(w, h)
     desc.pred_mode[:] = MODE_INTER
     desc.cu_depth[:] = 1
@@ -823,14 +821,36 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     recon_u = np.zeros_like(su)
     recon_v = np.zeros_like(sv)
 
-    def refine_list(x0, y0, n, fp, prior, ref_y):
+    def refine_list(x0, y0, n, fp, prior, ref_y, tgt=None):
         mv = (4 * int(fp[0]), 4 * int(fp[1]))
-        src_blk = sy[y0:y0 + n, x0:x0 + n]
+        src_blk = (sy if tgt is None else tgt)[y0:y0 + n, x0:x0 + n]
         if me_prec >= 1:
             mv = subpel_refine(src_blk, ref_y, x0, y0, mv, 2, prior, lam16)
         if me_prec >= 2:
             mv = subpel_refine(src_blk, ref_y, x0, y0, mv, 1, prior, lam16)
         return mv
+
+    # ---- list-0 motion first, then list-1 by BI-TARGET matching: the
+    # second list searches 2*src - pred0 so the weighted average lands on
+    # the source (reference analog: hmr_bi_motion_estimation_HM,
+    # hmr_motion_inter.c:1279). With asymmetric reference distances a
+    # per-list independent match would average a good and a bad
+    # prediction and LOSE to uni-prediction; target matching keeps every
+    # CU bi-predicted (AMVP stays scaling-free) at uni-or-better quality.
+    gh, gw = h // 16, w // 16
+    mv0_16 = {}
+    pred0_plane = np.zeros((gh * 16, gw * 16), np.int32)
+    for gy in range(gh):
+        for gx in range(gw):
+            x0, y0 = gx * 16, gy * 16
+            mv0 = refine_list(x0, y0, 16, f16_0[gy, gx], p16_0, r0[0])
+            mv0_16[(gy, gx)] = mv0
+            v0 = mc_luma_14(r0[0], x0, y0, 16, mv0[0], mv0[1])
+            pred0_plane[y0:y0 + 16, x0:x0 + 16] = \
+                np.clip((v0 + 32) >> 6, 0, 255)
+    target = 2 * sy[:gh * 16, :gw * 16] - pred0_plane
+    f16_1, p16_1, f32_1, p32_1 = hier_pel_fields(target, r1[0], search,
+                                                 lam16, want32=True)
 
     def code_cu(x0, y0, n, mv0, mv1):
         """Bi MC + TU coding for one n x n CU; returns
@@ -860,12 +880,12 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
                 + float(mv_rate(mv1[0], mv1[1], p16_1)))
         return float(np.sum(d * d)) + float(lam) * bits
 
-    gh, gw = h // 16, w // 16
     for gy in range(gh):
         for gx in range(gw):
             x0, y0 = gx * 16, gy * 16
-            mv0 = refine_list(x0, y0, 16, f16_0[gy, gx], p16_0, r0[0])
-            mv1 = refine_list(x0, y0, 16, f16_1[gy, gx], p16_1, r1[0])
+            mv0 = mv0_16[(gy, gx)]
+            mv1 = refine_list(x0, y0, 16, f16_1[gy, gx], p16_1, r1[0],
+                              tgt=target)
             lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 16, mv0, mv1)
             s8 = (slice(y0 // 8, y0 // 8 + 2), slice(x0 // 8, x0 // 8 + 2))
             desc.mv[s8[0], s8[1], 0] = mv0[0]
@@ -884,7 +904,13 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
         for gx in range(w // 32):
             x0, y0 = gx * 32, gy * 32
             mv0 = refine_list(x0, y0, 32, f32_0[gy, gx], p32_0, r0[0])
-            mv1 = refine_list(x0, y0, 32, f32_1[gy, gx], p32_1, r1[0])
+            v0_32 = mc_luma_14(r0[0], x0, y0, 32, mv0[0], mv0[1])
+            t32 = np.zeros_like(target)
+            t32[y0:y0 + 32, x0:x0 + 32] = \
+                2 * sy[y0:y0 + 32, x0:x0 + 32] \
+                - np.clip((v0_32 + 32) >> 6, 0, 255)
+            mv1 = refine_list(x0, y0, 32, f32_1[gy, gx], p32_1, r1[0],
+                              tgt=t32)
             lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 32, mv0, mv1)
             c32 = cost_bi(x0, y0, 32, mv0, mv1, lvl, rec)
             c16 = 0.0

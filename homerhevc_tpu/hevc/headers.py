@@ -220,7 +220,7 @@ def write_pps(ps: ParamSets) -> bytes:
         bw.write_se(0)  # pps_beta_offset_div2
         bw.write_se(0)  # pps_tc_offset_div2
     bw.write(0, 1)      # pps_scaling_list_data_present_flag
-    bw.write(0, 1)      # lists_modification_present_flag
+    bw.write(1, 1)      # lists_modification_present_flag (generalized-B)
     bw.write_ue(0)      # log2_parallel_merge_level_minus2
     bw.write(0, 1)      # slice_segment_header_extension_present_flag
     bw.write(0, 1)      # pps_extension_present_flag
@@ -240,6 +240,10 @@ class SliceParams:
     ref_pocs_after: tuple = ()   # positive-delta refs (L1)
     num_entry_points: int = 0
     max_merge_cand: int = 5
+    # generalized-B: swap L1[0] to the second list-temp entry via
+    # ref_pic_list_modification (list_entry_l1[0] = 1), so a "P" frame
+    # bi-predicts from t-1 (L0) and t-2 (L1) with refidx 0 in both lists
+    l1_swap: bool = False
 
     @property
     def is_irap(self) -> bool:
@@ -284,6 +288,18 @@ def write_slice_header(ps: ParamSets, sp: SliceParams,
         bw.write(int(sp.sao_chroma), 1)
     if sp.slice_type != SLICE_I:
         bw.write(0, 1)  # num_ref_idx_active_override_flag
+        # ref_pic_list_modification (PPS lists_modification_present_flag=1;
+        # spec 7.3.6.2) — present whenever NumPicsTotalCurr > 1
+        npt = len(sp.ref_pocs_before) + len(sp.ref_pocs_after)
+        if npt > 1:
+            nbits = max(1, (npt - 1).bit_length())
+            bw.write(0, 1)  # ref_pic_list_modification_flag_l0
+            if sp.slice_type == SLICE_B:
+                if sp.l1_swap:
+                    bw.write(1, 1)  # ref_pic_list_modification_flag_l1
+                    bw.write(1, nbits)  # list_entry_l1[0] = 1
+                else:
+                    bw.write(0, 1)
         if sp.slice_type == SLICE_B:
             bw.write(0, 1)  # mvd_l1_zero_flag
         bw.write_ue(5 - sp.max_merge_cand)  # five_minus_max_num_merge_cand

@@ -105,3 +105,24 @@ def mc_chroma_batch(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
     wy = _windowed(h, 4, axis=1)
     v = jnp.einsum("bk,byxk->byx", fyt, wy) >> 6
     return jnp.clip((v + 32) >> 6, 0, 255)
+
+
+def mc_chroma_batch_14(ref_pad: jnp.ndarray, pad: int, x0s: jnp.ndarray,
+                       y0s: jnp.ndarray, n: int,
+                       mvs: jnp.ndarray) -> jnp.ndarray:
+    """14-bit intermediate chroma MC (bi-prediction input; golden twin
+    mc_chroma_14): the un-rounded filter output."""
+    mvx, mvy = mvs[:, 0], mvs[:, 1]
+    ix, iy = mvx >> 3, mvy >> 3
+    fx, fy = mvx & 7, mvy & 7
+    by = y0s + iy + pad - 1
+    bx = x0s + ix + pad - 1
+    rows = by[:, None, None] + jnp.arange(n + 3)[None, :, None]
+    cols = bx[:, None, None] + jnp.arange(n + 3)[None, None, :]
+    patch = ref_pad[rows, cols].astype(jnp.int32)       # (B, n+3, n+3)
+    fxt = jnp.asarray(CHROMA_TAPS)[fx]
+    fyt = jnp.asarray(CHROMA_TAPS)[fy]
+    wx = _windowed(patch, 4, axis=2)
+    h = jnp.einsum("bk,byxk->byx", fxt, wx)
+    wy = _windowed(h, 4, axis=1)
+    return jnp.einsum("bk,byxk->byx", fyt, wy) >> 6

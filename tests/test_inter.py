@@ -182,3 +182,42 @@ def test_ippp_partial_ctb_bands(tmp_path, rng):
     assert len(dec) == 3
     for i in range(3):
         assert np.array_equal(dec[i], efs[i].recon["y"]), i
+
+
+def test_gpb_conformance(tmp_path, rng):
+    """Generalized-B "P" frames (cfg.gpb): once two references exist, each
+    frame is a B slice bi-predicting from t-1 (L0) and t-2 (L1 via
+    ref_pic_list_modification). FFmpeg must accept the header syntax and
+    reproduce the encoder's reconstruction bit-exactly."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tests.conftest import decode_annexb, make_yuv
+
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32, reinit_gop_on_scene_change=False,
+                        gpb=True)
+    enc = Encoder(cfg)
+    y0, u0, v0 = make_yuv(rng, w, h)
+    efs = []
+    path = tmp_path / "gpb.265"
+    with open(path, "wb") as f:
+        for t in range(6):
+            y = np.clip(np.roll(y0, 2 * t, 1).astype(np.int32)
+                        + rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+            for ef in enc.encode(y, u0, v0):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    types = [e.frame_type for e in efs]
+    # I, first P (one ref), then generalized-B frames
+    assert types[0] == "I" and types[1] == "P", types
+    assert all(t == "B" for t in types[2:]), types
+    dec = decode_annexb(path)
+    assert len(dec) == 6
+    for i in range(6):
+        assert np.array_equal(dec[i], np.asarray(efs[i].recon["y"])), \
+            f"frame {i}"

@@ -101,3 +101,38 @@ def test_ctb32_tree_e2e_conformance(tmp_path, rng):
     assert len(dec) == 4
     for i in range(4):
         assert np.array_equal(dec[i], efs[i].recon["y"]), i
+
+
+def test_device_b_matches_golden(rng):
+    """Bi-predicted device program (_impl_b) must match the golden
+    encode_b_frame_tree bit-exactly (MVs both lists, levels, recon)."""
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+    from homerhevc_tpu.golden.inter_frame import encode_b_frame_tree
+    from homerhevc_tpu.hevc.headers import ParamSets
+    from homerhevc_tpu.config import EncoderConfig
+
+    w, h = 128, 96
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=2, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    r0 = (np.roll(y, 3, 1).astype(np.int32), np.roll(u, 1, 1).astype(np.int32),
+          np.roll(v, 1, 1).astype(np.int32))
+    r1 = (np.roll(y, -3, 1).astype(np.int32),
+          np.roll(u, -1, 1).astype(np.int32),
+          np.roll(v, -1, 1).astype(np.int32))
+    gd, gy, gu, gv = encode_b_frame_tree(ps, (y, u, v), r0, r1, cfg.qp)
+    enc = TpuInterEncoder(ps, cfg, search=16)
+    dd, dy, du, dv = enc.encode_frame_b((y, u, v), r0, r1)
+    assert np.array_equal(gd.mv, dd.mv), "L0 MVs differ"
+    assert np.array_equal(gd.mv_l1, dd.mv_l1), "L1 MVs differ"
+    assert np.array_equal(gd.cu_depth, dd.cu_depth), "tree differs"
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gd.coef_u, dd.coef_u)
+    assert np.array_equal(gd.coef_v, dd.coef_v)
+    assert np.array_equal(np.asarray(gy, np.uint8), np.asarray(dy))
+    assert np.array_equal(np.asarray(gu, np.uint8), np.asarray(du))
+    assert np.array_equal(np.asarray(gv, np.uint8), np.asarray(dv))
+    assert np.array_equal(gd.inter_mode, dd.inter_mode)
+    assert np.array_equal(gd.merge_idx, dd.merge_idx)
