@@ -18,7 +18,7 @@ def main():
     from homerhevc_tpu.api import Encoder
     from homerhevc_tpu.config import EncoderConfig
 
-    W, H, N = 1280, 720, 64
+    W, H, N, B = 1280, 720, 128, 32
     rng = np.random.RandomState(42)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     frames = []
@@ -32,10 +32,10 @@ def main():
 
     cfg = EncoderConfig(width=W, height=H, qp=32, gop_size=0, sao=False,
                         deblocking=False, sign_hiding=True, cu_size=16,
-                        num_frames_in_flight=16)
+                        num_frames_in_flight=B)
     enc = Encoder(cfg)
     # warmup (compiles the batched wavefront program)
-    for f in frames[:16]:
+    for f in frames[:B]:
         list(enc.encode(*f))
     list(enc.flush())
     from homerhevc_tpu.utils.profiler import PROFILER

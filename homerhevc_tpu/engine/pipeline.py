@@ -387,8 +387,13 @@ class EncoderPipeline:
                 y, u, v = fr
                 intra = self._is_intra_poc(self.poc)
                 qp = self.rc.pic_qp(intra)
+                # record the source for EVERY frame (including scheduled
+                # intras) so the MAD stays a one-frame delta; the first P
+                # after a periodic I must not compare sources two frames
+                # apart
+                scene_cut = self._scene_change(y)
                 if (not intra and self.cfg.reinit_gop_on_scene_change
-                        and self._scene_change(y)):
+                        and scene_cut):
                     # reference behaviour: scene change -> RC pivot + GOP
                     # reinit (hmr_motion_inter.c:3791, reinit_gop flag)
                     intra = True
@@ -415,9 +420,14 @@ class EncoderPipeline:
                            else self._last_recon)
                     ref2 = getattr(self, "_last_recon_dev2", None)
                     if ref2 is None and chain_active:
-                        # emit lags dispatch by one frame, so the host-side
-                        # _last_recon is exactly the t-2 reference here
-                        ref2 = self._last_recon
+                        # host fallback for the t-2 reference: when emits
+                        # lag dispatch (>=1 frame still in flight),
+                        # _last_recon is the recon of t-2; when emits have
+                        # caught up, it is t-1 and _prev_recon2 holds t-2
+                        if self._p_pendings:
+                            ref2 = self._last_recon
+                        else:
+                            ref2 = getattr(self, "_prev_recon2", None)
                     gpb = (self.cfg.gpb and ref2 is not None
                            and self.ps.ctu_size == 32)
                     if gpb:

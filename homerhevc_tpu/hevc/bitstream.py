@@ -68,20 +68,47 @@ class BitWriter:
         return bytes(self.buf)
 
 
+def _ebsp_positions(rbsp) -> list:
+    """Byte indexes i where an emulation_prevention_three_byte must be
+    inserted *before* rbsp[i] (H.265 7.4.2): the sequential scan escapes
+    whenever two counted zeros precede a byte <= 3, and each escape resets
+    the zero counter. Vectorized: candidate positions (00 00 0x patterns)
+    come from one numpy pass; the escape-resets-the-run rule then thins
+    candidates with a tiny loop (an escape at i consumes the run, so the
+    next escape needs two fresh zero bytes: j - i >= 2). CABAC payloads
+    are high-entropy, so candidates are rare and the loop is O(escapes),
+    not O(bytes) — the previous per-byte Python scan dominated the host
+    serialize time at 720p."""
+    import numpy as np
+    b = np.frombuffer(bytes(rbsp), np.uint8)
+    if b.size < 3:
+        return []
+    cand = np.flatnonzero((b[2:] <= 3) & (b[1:-1] == 0) & (b[:-2] == 0)) + 2
+    out = []
+    last = -2
+    for i in cand.tolist():
+        if i - last >= 2:
+            out.append(i)
+            last = i
+    return out
+
+
 def ebsp_escape(rbsp: bytes) -> bytes:
     """Insert emulation_prevention_three_byte per H.265 7.4.2 / Annex B.
 
     Any 0x000000 / 0x000001 / 0x000002 / 0x000003 pattern in the RBSP becomes
     0x000003xx. (reference: hmr_bitstream.c:123-152)
     """
+    pos = _ebsp_positions(rbsp)
+    if not pos:
+        return bytes(rbsp)
     out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
+    prev = 0
+    for i in pos:
+        out.extend(rbsp[prev:i])
+        out.append(3)
+        prev = i
+    out.extend(rbsp[prev:])
     return bytes(out)
 
 
@@ -97,21 +124,13 @@ def ebsp_row_escapes(payload: bytes, row_sizes: list) -> list:
     always ends with a nonzero byte (alignment stop bit), so the initial
     zero-run is 0.
     """
+    import numpy as np
+    pos = _ebsp_positions(payload)
+    bounds = np.cumsum(np.asarray(row_sizes, np.int64))
     counts = [0] * len(row_sizes)
-    bounds = []
-    acc = 0
-    for s in row_sizes:
-        acc += s
-        bounds.append(acc)
-    row = 0
-    zeros = 0
-    for i, b in enumerate(payload):
-        while row < len(bounds) - 1 and i >= bounds[row]:
-            row += 1
-        if zeros >= 2 and b <= 3:
-            counts[row] += 1
-            zeros = 0
-        zeros = zeros + 1 if b == 0 else 0
+    for r in np.searchsorted(bounds, np.asarray(pos, np.int64),
+                             side="right").tolist():
+        counts[r] += 1
     return counts
 
 

@@ -297,6 +297,10 @@ def write_slice_header(ps: ParamSets, sp: SliceParams,
             if sp.slice_type == SLICE_B:
                 if sp.l1_swap:
                     bw.write(1, 1)  # ref_pic_list_modification_flag_l1
+                    # exactly num_ref_idx_l1_active entries must follow;
+                    # write_pps signals num_ref_idx_l1_default_active_minus1
+                    # = 0 (see line ~200) and no override is written above,
+                    # so the active L1 count is pinned to 1 here
                     bw.write(1, nbits)  # list_entry_l1[0] = 1
                 else:
                     bw.write(0, 1)

@@ -151,6 +151,7 @@ def merge_candidates_bi(mf: MotionField, x0: int, y0: int, n: int,
         cands.append(a0)
     if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cands.append(b2)
+    cands = cands[:max_cand]
     return cands, len(cands)
 
 

@@ -26,7 +26,8 @@ def _build(force: bool = False) -> bool:
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return True
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops",
+             "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True, capture_output=True)
         return True
     except Exception:

@@ -276,17 +276,18 @@ struct Enc {
   void residual(const int16_t* plane, int stride, int bx, int by,
                 int log2, int cidx, int scan_sel) {
     int size = 1 << log2;
+    int szmask = size - 1;
     const std::vector<int>& scan = g_scans.coeff[log2][scan_sel];
     int nn = size * size;
     int32_t sc[1024];
     int last_pos = -1;
     for (int i = 0; i < nn; i++) {
       int r = scan[i];
-      sc[i] = plane[(by + r / size) * stride + bx + r % size];
+      sc[i] = plane[(by + (r >> log2)) * stride + bx + (r & szmask)];
       if (sc[i]) last_pos = i;
     }
     int last_raster = scan[last_pos];
-    int last_x = last_raster % size, last_y = last_raster / size;
+    int last_x = last_raster & szmask, last_y = last_raster >> log2;
     if (scan_sel == 2) { int t = last_x; last_x = last_y; last_y = t; }
     encode_last(last_x, last_y, log2, cidx);
 
@@ -294,18 +295,17 @@ struct Enc {
     int num_cg = (last_pos >> 4) + 1;
     const std::vector<int>& cgo = g_scans.cg[log2][scan_sel];
     bool cg_nz[64] = {false};
+    bool cg_nz_r[64] = {false};   // indexed by raster CG position
     for (int ci = 0; ci < num_cg; ci++) {
       for (int k = ci * 16; k < (ci + 1) * 16; k++)
-        if (sc[k]) { cg_nz[ci] = true; break; }
+        if (sc[k]) { cg_nz[ci] = true; cg_nz_r[cgo[ci]] = true; break; }
     }
     auto right_below = [&](int ci) {
       int r = cgo[ci];
       int cgx = r % ncg, cgy = r / ncg;
       int res = 0;
-      if (cgx + 1 < ncg)
-        for (int q = 0; q < num_cg; q++) if (cgo[q] == r + 1 && cg_nz[q]) { res |= 1; break; }
-      if (cgy + 1 < ncg)
-        for (int q = 0; q < num_cg; q++) if (cgo[q] == r + ncg && cg_nz[q]) { res |= 2; break; }
+      if (cgx + 1 < ncg && cg_nz_r[r + 1]) res |= 1;
+      if (cgy + 1 < ncg && cg_nz_r[r + ncg]) res |= 2;
       return res;
     };
 
@@ -331,7 +331,7 @@ struct Enc {
         if (in_last && pos == last_pos) { pos_list[n_nz++] = pos; num_found++; continue; }
         if (n == 0 && infer_dc && num_found == 0) { pos_list[n_nz++] = pos; continue; }
         int r = scan[pos];
-        int px = r % size, py = r / size;
+        int px = r & szmask, py = r >> log2;
         int ctxinc = sig_ctx(px, py, log2, cidx, scan_sel, prev_csbf);
         c.bin(SIG + (cidx ? 27 : 0) + ctxinc, sig);
         if (sig) { pos_list[n_nz++] = pos; num_found++; }
