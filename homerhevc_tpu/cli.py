@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-profile", action="store_true",
                    help="print a host pipeline stage breakdown at exit "
                         "(reference PROFILER_PRINT analog, hmr_profiler.h:29)")
+    p.add_argument("-psnr", action="store_true",
+                   help="compute per-frame and average Y/U/V PSNR "
+                        "(reference COMPUTE_METRICS analog, hmr_metics.c:53;"
+                        " forces reconstruction fetches, slows encoding)")
+    p.add_argument("-trace", action="store_true",
+                   help="per-frame result trace line (reference "
+                        "DBG_TRACE_RESULTS analog, hmr_encoder_lib.c:3337)")
     return p
 
 
@@ -75,6 +82,11 @@ def main(argv=None) -> int:
     total_bits = 0
     n_done = 0
     rawf = open(args.rawfile, "wb") if args.rawfile else None
+    tracker = None
+    if args.psnr:
+        from homerhevc_tpu.utils.metrics import PsnrTracker
+        tracker = PsnrTracker()
+    srcs = {}    # display poc -> source planes (PSNR mode only)
     t0 = None
     with open(args.infile, "rb") as fin, open(args.outfile, "wb") as fout:
         fin.seek(args.skipped_frames * fsz)
@@ -87,6 +99,15 @@ def main(argv=None) -> int:
                 rawf.write(ef.recon["y"].tobytes())
                 rawf.write(ef.recon["u"].tobytes())
                 rawf.write(ef.recon["v"].tobytes())
+            if tracker is not None:
+                sp = srcs.pop(ef.poc)
+                vals = tracker.add(sp, (ef.recon["y"], ef.recon["u"],
+                                        ef.recon["v"]))
+                print(f"POC {ef.poc} {ef.frame_type} PSNR "
+                      f"Y {vals[0]:.2f} U {vals[1]:.2f} V {vals[2]:.2f}")
+            if args.trace:
+                from homerhevc_tpu.utils.metrics import frame_trace
+                print(frame_trace(ef, enc._pipeline.rc.fullness))
             n_done += 1
 
         for k in range(args.n_frames):
@@ -97,6 +118,8 @@ def main(argv=None) -> int:
             y = raw[:w * h].reshape(h, w)
             u = raw[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
             v = raw[w * h + w * h // 4:].reshape(h // 2, w // 2)
+            if tracker is not None:
+                srcs[k] = (y, u, v)
             if t0 is None:
                 t0 = time.time()  # exclude first-call compile from fps
             for ef in enc.encode(y, u, v):
@@ -109,6 +132,9 @@ def main(argv=None) -> int:
     kbps = total_bits * cfg.frame_rate / max(n_done, 1) / 1000.0
     print(f"{n_done} frames in {dt*1000:.0f} ms: {n_done/dt:.2f} fps, "
           f"{kbps:.0f} kbps")
+    if tracker is not None and tracker.n:
+        ay, au, av = tracker.average
+        print(f"average PSNR Y {ay:.2f} U {au:.2f} V {av:.2f}")
     if args.profile:
         from homerhevc_tpu.utils.profiler import PROFILER
         print(PROFILER.report())

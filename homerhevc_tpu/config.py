@@ -66,12 +66,11 @@ class EncoderConfig:
     performance_mode: PerformanceMode = PerformanceMode.UFAST
     reinit_gop_on_scene_change: bool = True
     # generalized-B "P" frames (gop_size 1): once two references exist, P
-    # frames are coded as B slices bi-predicting from t-1 (L0) and t-2
-    # (L1, via ref list modification) with bi-target list-1 matching.
-    # Off by default: with every CU forced bi (the scaling-free AMVP
-    # invariant, hevc/inter.py), asymmetric reference distances lose to
-    # uni prediction on noisy/sub-pel content; per-CU uni/bi selection
-    # needs the spec 8.5.3.2.6 AMVP scaling branch (next round)
+    # frames are coded as B slices predicting from t-1 (L0) and t-2 (L1,
+    # via ref list modification) with PER-CU uni/bi selection (AMVP uses
+    # the spec 8.5.3.2.6 POC-distance scaling for mixed-direction
+    # neighbours). Also activated by num_ref_frames >= 2 (two-list
+    # multi-reference).
     gpb: bool = False
     # parallelism (TPU-native knobs; replaces n_enc_engines/n_wpp_threads)
     wpp: bool = False                 # per-CTU-row substreams (host-parallel CABAC)

@@ -34,22 +34,23 @@ class TpuInterEncoder:
         # two-level CU tree (CU32 over CU16) when the stream CTB is 32
         self.tree = ps.ctu_size == 32
         self.gw2, self.gh2 = self.w // 32, self.h // 32
-        self.qp = cfg.qp
-        self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
-        self.lam = float(T.rd_lambda(cfg.qp, "P"))
+        # QP is a traced input of the device programs (one compile serves
+        # every QP — the CBR/VBR requirement); only the wire capacity is
+        # sized from the nominal cfg QP (with RC-dip headroom)
         from homerhevc_tpu.ops.pack import pack_capacity
         n_tot = self.w * self.h * 3 // 2
-        self.pack_C = pack_capacity(n_tot, cfg.qp)
+        self.pack_C = pack_capacity(n_tot, max(0, cfg.qp - 4))
         # P-frame levels are sparse (zero-forcing + motion compensation):
         # a small fixed head covers typical frames and is async-copied at
         # dispatch, avoiding a per-frame slice round trip on the link
         self.pack_head = min(self.pack_C, -(-n_tot // 32))
         self._jit = jax.jit(self._impl)
 
-    def _hier_me(self, sy, ry):
+    def _hier_me(self, sy, ry, lam16):
         """Hierarchical shortlist full-pel ME vs one reference plane
-        (golden twin: hier_pel_fields). Returns (mvs (B,2) qpel, prior,
-        mv32 (B2,2) qpel or None, prior2 or None)."""
+        (golden twin: hier_pel_fields). lam16: traced or static int32
+        SAD-domain lambda. Returns (mvs (B,2) qpel, prior, mv32 (B2,2)
+        qpel or None, prior2 or None)."""
         cu = self.cu
         gw, gh = self.gw, self.gh
         R = self.search
@@ -61,7 +62,6 @@ class TpuInterEncoder:
         # SADs for the +-2 neighbourhood of each + an exact +-4 fine sweep
         # are shifted-plane block sums shared by the 16- and 32-level trees.
         side = 2 * R + 1
-        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
         mvd_bits = jnp.asarray(T.MVD_BITS)
         K, G16, G32 = 3, 8, 4
 
@@ -76,20 +76,27 @@ class TpuInterEncoder:
         rd = decim(ry)
         pad_c = jnp.pad(rd.astype(jnp.uint8), R, mode="edge")
 
-        # fully static unrolled sweep: every offset is a static slice of
-        # the padded plane, which XLA fuses into the abs-diff/block-reduce
-        # and runs at memory speed. (vmapped dynamic_slice lowers to a
-        # gather at ~8 GB/s effective; lax.map adds per-step overhead —
-        # both measured far slower than the unrolled form.)
+        # coarse sweep: the fused Pallas kernel stages both decimated
+        # planes in VMEM once and loops all (2R+1)^2 offsets in-register
+        # (ops/pallas/me_sad.py, probe-gated); the fallback is the fully
+        # static unrolled sweep — every offset a static slice the XLA
+        # fuses into the abs-diff/block-reduce. (vmapped dynamic_slice
+        # lowers to a gather at ~8 GB/s effective; lax.map adds per-step
+        # overhead — both measured far slower.) Bit-identical either way.
+        from homerhevc_tpu.ops.pallas.me_sad import (coarse_sweep_sads,
+                                                     pallas_ok)
         n_off = side * side
-        coarse_list = []
-        for k in range(n_off):
-            dy, dx = k // side - R, k % side - R
-            sh = pad_c[R + dy:R + dy + gh * m, R + dx:R + dx + gw * m] \
-                .astype(jnp.int16)
-            d = jnp.abs(sd16 - sh).astype(jnp.int32)
-            coarse_list.append(d.reshape(gh, m, gw, m).sum(axis=(1, 3)))
-        sads = jnp.stack(coarse_list)                       # coarse SADs
+        if pallas_ok():
+            sads = coarse_sweep_sads(sd16, pad_c.astype(jnp.int16), R, m)
+        else:
+            coarse_list = []
+            for k in range(n_off):
+                dy, dx = k // side - R, k % side - R
+                sh = pad_c[R + dy:R + dy + gh * m, R + dx:R + dx + gw * m] \
+                    .astype(jnp.int16)
+                d = jnp.abs(sd16 - sh).astype(jnp.int32)
+                coarse_list.append(d.reshape(gh, m, gw, m).sum(axis=(1, 3)))
+            sads = jnp.stack(coarse_list)                   # coarse SADs
         ks = jnp.arange(n_off, dtype=jnp.int32)
         gh2, gw2 = self.gh2, self.gw2
 
@@ -182,7 +189,7 @@ class TpuInterEncoder:
 
     # ---- device program -----------------------------------------------------
 
-    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult):
+    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult, qp):
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
         R = self.search
@@ -191,9 +198,12 @@ class TpuInterEncoder:
         sv = src_v.astype(jnp.int32)
         ry = ref_y.astype(jnp.int32)
 
-        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
+        qp = qp.astype(jnp.int32)
+        qp_c = jnp.asarray(T.CHROMA_QP_MAP)[
+            jnp.clip(qp + self.ps.cb_qp_offset, 0, 57)]
+        lam16 = jnp.asarray(T.LAMBDA_ME_X16_TAB)[qp]
         mvd_bits = jnp.asarray(T.MVD_BITS)
-        mvs, prior, mv32, prior2 = self._hier_me(sy, ry)
+        mvs, prior, mv32, prior2 = self._hier_me(sy, ry, lam16)
 
         # ---- sub-pel refinement (half then quarter) ----
         # One (n+8)^2 patch gather per block per frame; all 16 quarter-pel
@@ -269,11 +279,11 @@ class TpuInterEncoder:
         pred = mc_v16(v16, ix0, iy0, mvs, cu)
         resid = src_blk - pred
         coef = forward_transform(resid, False)
-        lvl = quantize(coef, cu, self.qp, False, self.ps.scaling_list_enabled)
+        lvl = quantize(coef, cu, qp, False, self.ps.scaling_list_enabled)
         if self.ps.sign_hiding:
-            lvl = sign_bit_hiding(lvl, coef, cu, self.qp, False, 0,
+            lvl = sign_bit_hiding(lvl, coef, cu, qp, False, 0,
                                   self.ps.scaling_list_enabled)
-        deq = dequantize(lvl, cu, self.qp, False, self.ps.scaling_list_enabled)
+        deq = dequantize(lvl, cu, qp, False, self.ps.scaling_list_enabled)
         rres = inverse_transform(deq, False)
         lvl, rres = self._zero_force(resid, lvl, rres, zf_mult)
         nz = jnp.any(lvl != 0, axis=(-1, -2))
@@ -291,12 +301,12 @@ class TpuInterEncoder:
                 gh, cuc, gw, cuc).transpose(0, 2, 1, 3).reshape(B, cuc, cuc)
             resc = src_cb - predc
             coefc = forward_transform(resc, False)
-            lvlc = quantize(coefc, cuc, self.qp_c, False,
+            lvlc = quantize(coefc, cuc, qp_c, False,
                             self.ps.scaling_list_enabled)
             if self.ps.sign_hiding:
-                lvlc = sign_bit_hiding(lvlc, coefc, cuc, self.qp_c, False, 0,
+                lvlc = sign_bit_hiding(lvlc, coefc, cuc, qp_c, False, 0,
                                        self.ps.scaling_list_enabled)
-            deqc = dequantize(lvlc, cuc, self.qp_c, False,
+            deqc = dequantize(lvlc, cuc, qp_c, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
             lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
@@ -340,7 +350,7 @@ class TpuInterEncoder:
             dt = jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1)
             bs_v = (vv & (nz8 | nzl | dl)).astype(jnp.int32)
             bs_h = (vh & (nz8 | nzt | dt)).astype(jnp.int32)
-            return deblock_luma_bs(plane_y, bs_v, bs_h, self.qp)
+            return deblock_luma_bs(plane_y, bs_v, bs_h, qp)
 
         if not self.tree:
             if self.ps.deblocking_enabled:
@@ -352,7 +362,7 @@ class TpuInterEncoder:
             extra = [mvs16]
             if self.ps.sao_enabled:
                 recon_y, recon_u, recon_v, sao_p = self._sao(
-                    sy, su, sv, recon_y, recon_u, recon_v)
+                    sy, su, sv, recon_y, recon_u, recon_v, qp)
                 extra.append(sao_p)
             return self._wire(recon_y, recon_u, recon_v, sy,
                               extra, ly, lu, lv)
@@ -362,7 +372,7 @@ class TpuInterEncoder:
         # mv32/prior2 come from the shared 16/32 shortlist refine above.
         gh2, gw2 = self.gh2, self.gw2
         B2 = gh2 * gw2
-        lam = jnp.float32(self.lam)
+        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
         x0s2 = (jnp.arange(B2) % gw2) * 32
         y0s2 = (jnp.arange(B2) // gw2) * 32
         src32 = sy[:gh2 * 32].reshape(gh2, 32, gw2, 32) \
@@ -376,12 +386,12 @@ class TpuInterEncoder:
         pred32 = mc_v16(v16b, ix0b, iy0b, mv32, 32)
         resid32 = src32 - pred32
         coef32 = forward_transform(resid32, False)
-        lvl32 = quantize(coef32, 32, self.qp, False,
+        lvl32 = quantize(coef32, 32, qp, False,
                          self.ps.scaling_list_enabled)
         if self.ps.sign_hiding:
-            lvl32 = sign_bit_hiding(lvl32, coef32, 32, self.qp, False, 0,
+            lvl32 = sign_bit_hiding(lvl32, coef32, 32, qp, False, 0,
                                     self.ps.scaling_list_enabled)
-        deq32 = dequantize(lvl32, 32, self.qp, False,
+        deq32 = dequantize(lvl32, 32, qp, False,
                            self.ps.scaling_list_enabled)
         rres32 = inverse_transform(deq32, False)
         lvl32, rres32 = self._zero_force(resid32, lvl32, rres32, zf_mult)
@@ -414,12 +424,12 @@ class TpuInterEncoder:
                 .reshape(B2, 16, 16)
             resc = src_cb - predc
             coefc = forward_transform(resc, False)
-            lvlc = quantize(coefc, 16, self.qp_c, False,
+            lvlc = quantize(coefc, 16, qp_c, False,
                             self.ps.scaling_list_enabled)
             if self.ps.sign_hiding:
-                lvlc = sign_bit_hiding(lvlc, coefc, 16, self.qp_c, False, 0,
+                lvlc = sign_bit_hiding(lvlc, coefc, 16, qp_c, False, 0,
                                        self.ps.scaling_list_enabled)
-            deqc = dequantize(lvlc, 16, self.qp_c, False,
+            deqc = dequantize(lvlc, 16, qp_c, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
             lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
@@ -466,15 +476,20 @@ class TpuInterEncoder:
                  mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
         if self.ps.sao_enabled:
             recon_y, recon_u, recon_v, sao_p = self._sao(
-                sy, su, sv, recon_y, recon_u, recon_v)
+                sy, su, sv, recon_y, recon_u, recon_v, qp)
             extra.append(sao_p)
         return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
 
     def _impl_b(self, src_y, src_u, src_v, r0y, r0u, r0v, r1y, r1u, r1v,
-                zf_mult):
-        """Bi-predicted frame (B in IBP, or generalized-B "P"): every CU
-        predicts from both references with the normative 14-bit weighted
-        average. Golden twin: encode_b_frame_tree. CU32/CU16 tree."""
+                zf_mult, qp):
+        """Bi-capable frame (B in IBP, or generalized-B "P") with PER-CU
+        uni/bi selection: every CU codes whichever of {uni-L0, uni-L1, bi}
+        wins SSD + lambda*rate (reference analog: per-CU inter direction
+        choice in hmr_cu_motion_estimation, hmr_motion_inter.c:2471-2880;
+        bi ME :1279). Bi uses the normative 14-bit weighted average.
+        Golden twin: encode_b_frame_tree (bit-exact; the uni-L1 candidate
+        searches the SOURCE while the bi list-1 field matches the bi
+        target 2*src - pred0). CU32/CU16 tree."""
         assert self.tree
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
@@ -485,11 +500,15 @@ class TpuInterEncoder:
         sv = src_v.astype(jnp.int32)
         ry0 = r0y.astype(jnp.int32)
         ry1 = r1y.astype(jnp.int32)
-        lam16 = jnp.int32(T.lambda_me_x16(self.qp))
-        lam = jnp.float32(self.lam)
+        qp = qp.astype(jnp.int32)
+        qp_c = jnp.asarray(T.CHROMA_QP_MAP)[
+            jnp.clip(qp + self.ps.cb_qp_offset, 0, 57)]
+        lam16 = jnp.asarray(T.LAMBDA_ME_X16_TAB)[qp]
+        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
         mvd_bits = jnp.asarray(T.MVD_BITS)
         me_prec = int(self.cfg.motion_estimation_precision)
         from homerhevc_tpu.ops.interp import (LUMA_TAPS, _windowed,
+                                              mc_chroma_batch,
                                               mc_chroma_batch_14)
         taps = jnp.asarray(LUMA_TAPS)
         B = gh * gw
@@ -497,7 +516,9 @@ class TpuInterEncoder:
         padL = 2 * R + 2 + 8
         padC = R + 1 + 4
 
-        mvs0, pr0, mv32_0, pr2_0 = self._hier_me(sy, ry0)
+        mvs0, pr0, mv32_0, pr2_0 = self._hier_me(sy, ry0, lam16)
+        # uni-L1 candidate motion field: matched to the SOURCE
+        mvs1s, pr1s, mv32_1s, pr2_1s = self._hier_me(sy, ry1, lam16)
 
         x0s = (jnp.arange(B) % gw) * cu
         y0s = (jnp.arange(B) // gw) * cu
@@ -564,23 +585,26 @@ class TpuInterEncoder:
         mkv1 = subpel_tools(ry1)
 
         def refine_and_pred(mk, mvq, pr, src_b, x0v, y0v, n):
+            """Subpel-refine mvq and return (mvq, 14-bit pred, rounded
+            uni pred) at the refined position."""
             v16, v14, ix0, iy0 = mk(x0v, y0v, mvq, n)
             if me_prec >= 1:
                 mvq = refine_v(v16, ix0, iy0, src_b, n, mvq, 2, pr)
             if me_prec >= 2:
                 mvq = refine_v(v16, ix0, iy0, src_b, n, mvq, 1, pr)
             p14 = sel_phase(v14, ix0, iy0, mvq, n)
-            return mvq, p14
+            pu8 = sel_phase(v16, ix0, iy0, mvq, n)
+            return mvq, p14, pu8
 
-        def code_bi(p14a, p14b, src_b, n, qp, qp_zf):
-            pred = jnp.clip((p14a + p14b + 64) >> 7, 0, 255)
+        def code_pred(pred, src_b, n, qp_, qp_zf):
+            """TU coding of one prediction; returns (lvl, rec, nz)."""
             resid = src_b - pred
             coef = forward_transform(resid, False)
-            lvl = quantize(coef, n, qp, False, self.ps.scaling_list_enabled)
+            lvl = quantize(coef, n, qp_, False, self.ps.scaling_list_enabled)
             if self.ps.sign_hiding:
-                lvl = sign_bit_hiding(lvl, coef, n, qp, False, 0,
+                lvl = sign_bit_hiding(lvl, coef, n, qp_, False, 0,
                                       self.ps.scaling_list_enabled)
-            deq = dequantize(lvl, n, qp, False,
+            deq = dequantize(lvl, n, qp_, False,
                              self.ps.scaling_list_enabled)
             rres = inverse_transform(deq, False)
             lvl, rres = self._zero_force(resid, lvl, rres, qp_zf)
@@ -589,19 +613,68 @@ class TpuInterEncoder:
                             jnp.clip(pred + rres, 0, 255), pred)
             return lvl, rec, nz
 
-        # ---- CU16 level: list 0 first, then list 1 by BI-TARGET matching
-        # (2*src - pred0; golden twin + reference analog
+        def code_bi(p14a, p14b, src_b, n, qp_, qp_zf):
+            pred = jnp.clip((p14a + p14b + 64) >> 7, 0, 255)
+            return code_pred(pred, src_b, n, qp_, qp_zf)
+
+        def cu_cost(src_b, rec_b, lvl_b, rt):
+            d = (src_b - rec_b).astype(jnp.float32)
+            ssd = jnp.sum(d * d, axis=(-1, -2))
+            nnzf = jnp.sum((lvl_b != 0), axis=(-1, -2)).astype(jnp.float32)
+            lsum = jnp.sum(jnp.abs(lvl_b), axis=(-1, -2)).astype(jnp.float32)
+            return ssd + lam * (3.0 * nnzf + lsum + 6.0
+                                + rt.astype(jnp.float32))
+
+        def rate_of(mv, pr):
+            return (mvd_bits[jnp.abs(mv[:, 0] - pr[0])]
+                    + mvd_bits[jnp.abs(mv[:, 1] - pr[1])])
+
+        def choose3(cbi, cu0, cu1):
+            """dir bitmask per block: bi wins ties against both unis,
+            uni-L0 against uni-L1 (golden choose() twin)."""
+            bi_best = (cbi <= cu0) & (cbi <= cu1)
+            return jnp.where(bi_best, 3,
+                             jnp.where(cu0 <= cu1, 1, 2)).astype(jnp.int32)
+
+        def sel3(dirv, a_bi, a_u0, a_u1):
+            shape = (slice(None),) + (None,) * (a_bi.ndim - 1)
+            d = dirv[shape]
+            return jnp.where(d == 3, a_bi, jnp.where(d == 1, a_u0, a_u1))
+
+        # ---- CU16 level: list 0 first, then bi list-1 by BI-TARGET
+        # matching (2*src - pred0; reference analog
         # hmr_bi_motion_estimation_HM, hmr_motion_inter.c:1279) ----
-        mvs0, p14_0 = refine_and_pred(mkv0, mvs0, pr0, src_blk, x0s, y0s, cu)
-        pred0u = jnp.clip((p14_0 + 32) >> 6, 0, 255)
-        tgt_plane = 2 * sy - pred0u.reshape(gh, gw, cu, cu) \
+        mvs0, p14_0, pu8_0 = refine_and_pred(mkv0, mvs0, pr0, src_blk,
+                                             x0s, y0s, cu)
+        tgt_plane = 2 * sy - pu8_0.reshape(gh, gw, cu, cu) \
             .transpose(0, 2, 1, 3).reshape(self.h, self.w)
-        mvs1, pr1, mv32_1, pr2_1 = self._hier_me(tgt_plane, ry1)
+        mvs1, pr1, mv32_1, pr2_1 = self._hier_me(tgt_plane, ry1, lam16)
         tgt_blk = tgt_plane.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
             .reshape(B, cu, cu)
-        mvs1, p14_1 = refine_and_pred(mkv1, mvs1, pr1, tgt_blk, x0s, y0s, cu)
-        lvl, rec, nz = code_bi(p14_0, p14_1, src_blk, cu, self.qp, zf_mult)
+        mvs1, p14_1, _ = refine_and_pred(mkv1, mvs1, pr1, tgt_blk,
+                                         x0s, y0s, cu)
+        mvs1s, _, pu8_1s = refine_and_pred(mkv1, mvs1s, pr1s, src_blk,
+                                           x0s, y0s, cu)
+        lvl_bi, rec_bi, nz_bi = code_bi(p14_0, p14_1, src_blk, cu, qp,
+                                        zf_mult)
+        lvl_u0, rec_u0, nz_u0 = code_pred(pu8_0, src_blk, cu, qp, zf_mult)
+        lvl_u1, rec_u1, nz_u1 = code_pred(pu8_1s, src_blk, cu, qp, zf_mult)
+        cbi = cu_cost(src_blk, rec_bi, lvl_bi,
+                      rate_of(mvs0, pr0) + rate_of(mvs1, pr1))
+        cu0 = cu_cost(src_blk, rec_u0, lvl_u0, rate_of(mvs0, pr0))
+        cu1 = cu_cost(src_blk, rec_u1, lvl_u1, rate_of(mvs1s, pr1s))
+        dir16 = choose3(cbi, cu0, cu1)
+        c16best = jnp.minimum(cbi, jnp.minimum(cu0, cu1))
+        lvl = sel3(dir16, lvl_bi, lvl_u0, lvl_u1)
+        rec = sel3(dir16, rec_bi, rec_u0, rec_u1)
+        nz = sel3(dir16, nz_bi, nz_u0, nz_u1)
+        # effective per-list motion (zero when the list is unused)
+        mv0_eff = jnp.where((dir16 & 1)[:, None].astype(bool), mvs0, 0)
+        mv1_sel = jnp.where((dir16 == 3)[:, None], mvs1, mvs1s)
+        mv1_eff = jnp.where((dir16 & 2)[:, None].astype(bool), mv1_sel, 0)
 
+        # ---- chroma: select the chosen direction's prediction, code once
+        # (the uni/bi choice is luma-driven, exactly as golden) ----
         cx0s, cy0s = x0s // 2, y0s // 2
         r0up = jnp.pad(r0u.astype(jnp.int32), padC, mode="edge")
         r0vp = jnp.pad(r0v.astype(jnp.int32), padC, mode="edge")
@@ -609,22 +682,27 @@ class TpuInterEncoder:
         r1vp = jnp.pad(r1v.astype(jnp.int32), padC, mode="edge")
 
         def blk_c(src_c, n, rows):
-            """Block a chroma plane (optionally cropped to `rows`)."""
             p = src_c if rows is None else src_c[:rows]
             hh, ww = p.shape
             return p.reshape(hh // n, n, ww // n, n) \
                 .transpose(0, 2, 1, 3).reshape(-1, n, n)
 
-        def chroma_bi(src_cb, rpa, rpb, x0v, y0v, n, mv_a, mv_b):
-            ca = mc_chroma_batch_14(rpa, padC, x0v, y0v, n, mv_a)
-            cb = mc_chroma_batch_14(rpb, padC, x0v, y0v, n, mv_b)
-            lvlc, recc, _ = code_bi(ca, cb, src_cb, n, self.qp_c, zf_mult)
-            return lvlc, recc
+        def chroma_sel(src_cb, rpa, rpb, x0v, y0v, n, dirv,
+                       mva, mvb_bi, mvb_uni):
+            ca14 = mc_chroma_batch_14(rpa, padC, x0v, y0v, n, mva)
+            cb14 = mc_chroma_batch_14(rpb, padC, x0v, y0v, n, mvb_bi)
+            pred_bi = jnp.clip((ca14 + cb14 + 64) >> 7, 0, 255)
+            pred_u0 = mc_chroma_batch(rpa, padC, x0v, y0v, n, mva)
+            pred_u1 = mc_chroma_batch(rpb, padC, x0v, y0v, n, mvb_uni)
+            pred = sel3(dirv, pred_bi, pred_u0, pred_u1)
+            return code_pred(pred, src_cb, n, qp_c, zf_mult)[:2]
 
-        lvl_u, rec_u = chroma_bi(blk_c(su, cuc, None), r0up, r1up,
-                                 cx0s, cy0s, cuc, mvs0, mvs1)
-        lvl_v, rec_v = chroma_bi(blk_c(sv, cuc, None), r0vp, r1vp,
-                                 cx0s, cy0s, cuc, mvs0, mvs1)
+        lvl_u, rec_u = chroma_sel(blk_c(su, cuc, None), r0up, r1up,
+                                  cx0s, cy0s, cuc, dir16,
+                                  mvs0, mvs1, mvs1s)
+        lvl_v, rec_v = chroma_sel(blk_c(sv, cuc, None), r0vp, r1vp,
+                                  cx0s, cy0s, cuc, dir16,
+                                  mvs0, mvs1, mvs1s)
 
         def unblock(blocks, n, hh, ww):
             gy, gx = hh // n, ww // n
@@ -637,37 +715,44 @@ class TpuInterEncoder:
         lu = unblock(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         lv = unblock(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
 
-        # ---- CU32 level (same list-0-then-target structure) ----
-        mv32_0, p32a = refine_and_pred(mkv0, mv32_0, pr2_0, src32,
-                                       x0s2, y0s2, 32)
-        tgt32 = 2 * src32 - jnp.clip((p32a + 32) >> 6, 0, 255)
-        mv32_1, p32b = refine_and_pred(mkv1, mv32_1, pr2_1, tgt32,
-                                       x0s2, y0s2, 32)
-        lvl32, rec32, nz32 = code_bi(p32a, p32b, src32, 32, self.qp, zf_mult)
+        # ---- CU32 level (same three-way selection) ----
+        mv32_0, p32a, pu8_32a = refine_and_pred(mkv0, mv32_0, pr2_0, src32,
+                                                x0s2, y0s2, 32)
+        tgt32 = 2 * src32 - pu8_32a
+        mv32_1, p32b, _ = refine_and_pred(mkv1, mv32_1, pr2_1, tgt32,
+                                          x0s2, y0s2, 32)
+        mv32_1s, _, pu8_32b = refine_and_pred(mkv1, mv32_1s, pr2_1s, src32,
+                                              x0s2, y0s2, 32)
+        lvl32_bi, rec32_bi, nz32_bi = code_bi(p32a, p32b, src32, 32, qp,
+                                              zf_mult)
+        lvl32_u0, rec32_u0, nz32_u0 = code_pred(pu8_32a, src32, 32, qp,
+                                                zf_mult)
+        lvl32_u1, rec32_u1, nz32_u1 = code_pred(pu8_32b, src32, 32, qp,
+                                                zf_mult)
+        c32bi = cu_cost(src32, rec32_bi, lvl32_bi,
+                        rate_of(mv32_0, pr2_0) + rate_of(mv32_1, pr2_1))
+        c32u0 = cu_cost(src32, rec32_u0, lvl32_u0, rate_of(mv32_0, pr2_0))
+        c32u1 = cu_cost(src32, rec32_u1, lvl32_u1,
+                        rate_of(mv32_1s, pr2_1s))
+        dir32 = choose3(c32bi, c32u0, c32u1)
+        c32 = jnp.minimum(c32bi, jnp.minimum(c32u0, c32u1)).reshape(gh2, gw2)
+        lvl32 = sel3(dir32, lvl32_bi, lvl32_u0, lvl32_u1)
+        rec32 = sel3(dir32, rec32_bi, rec32_u0, rec32_u1)
+        nz32 = sel3(dir32, nz32_bi, nz32_u0, nz32_u1)
+        mv32_0e = jnp.where((dir32 & 1)[:, None].astype(bool), mv32_0, 0)
+        mv32_1sel = jnp.where((dir32 == 3)[:, None], mv32_1, mv32_1s)
+        mv32_1e = jnp.where((dir32 & 2)[:, None].astype(bool), mv32_1sel, 0)
 
-        def cost_bi(src_b, rec_b, lvl_b, mva, mvb):
-            d = (src_b - rec_b).astype(jnp.float32)
-            ssd = jnp.sum(d * d, axis=(-1, -2))
-            nnzf = jnp.sum((lvl_b != 0), axis=(-1, -2)).astype(jnp.float32)
-            lsum = jnp.sum(jnp.abs(lvl_b), axis=(-1, -2)).astype(jnp.float32)
-            rt = (mvd_bits[jnp.abs(mva[:, 0] - pr0[0])]
-                  + mvd_bits[jnp.abs(mva[:, 1] - pr0[1])]
-                  + mvd_bits[jnp.abs(mvb[:, 0] - pr1[0])]
-                  + mvd_bits[jnp.abs(mvb[:, 1] - pr1[1])]) \
-                .astype(jnp.float32)
-            return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
-
-        c32 = cost_bi(src32, rec32, lvl32, mv32_0, mv32_1).reshape(gh2, gw2)
-        c16 = cost_bi(src_blk, rec, lvl, mvs0, mvs1).reshape(gh, gw)
-        c16p = c16[:gh2 * 2].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
+        c16p = c16best.reshape(gh, gw)[:gh2 * 2] \
+            .reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
         choose = c32 <= c16p
 
-        lvl_u32, rec_u32 = chroma_bi(blk_c(su, 16, gh2 * 16), r0up, r1up,
-                                     x0s2 // 2, y0s2 // 2, 16,
-                                     mv32_0, mv32_1)
-        lvl_v32, rec_v32 = chroma_bi(blk_c(sv, 16, gh2 * 16), r0vp, r1vp,
-                                     x0s2 // 2, y0s2 // 2, 16,
-                                     mv32_0, mv32_1)
+        lvl_u32, rec_u32 = chroma_sel(blk_c(su, 16, gh2 * 16), r0up, r1up,
+                                      x0s2 // 2, y0s2 // 2, 16, dir32,
+                                      mv32_0, mv32_1, mv32_1s)
+        lvl_v32, rec_v32 = chroma_sel(blk_c(sv, 16, gh2 * 16), r0vp, r1vp,
+                                      x0s2 // 2, y0s2 // 2, 16, dir32,
+                                      mv32_0, mv32_1, mv32_1s)
 
         def combine(plane16, blocks32, m, dt):
             p32 = blocks32.astype(dt).reshape(gh2, gw2, m, m) \
@@ -695,50 +780,62 @@ class TpuInterEncoder:
                 ((0, pad_rows), (0, 0)))
             nz8 = jnp.where(chf, nz32_8, nz8)
 
-            def mv8_of(mvs_lvl, mv32_lvl):
+            def map8(a16, a32, comps):
                 a = jnp.repeat(jnp.repeat(
-                    mvs_lvl.reshape(gh, gw, 2), 2, 0), 2, 1)
+                    a16.reshape(gh, gw, *comps), 2, 0), 2, 1)
                 b = jnp.pad(jnp.repeat(jnp.repeat(
-                    mv32_lvl.reshape(gh2, gw2, 2), 4, 0), 4, 1),
-                    ((0, pad_rows), (0, 0), (0, 0)))
-                return jnp.where(chf[..., None], b, a)
-            mv8a = mv8_of(mvs0, mv32_0)
-            mv8b = mv8_of(mvs1, mv32_1)
+                    a32.reshape(gh2, gw2, *comps), 4, 0), 4, 1),
+                    ((0, pad_rows), (0, 0)) + ((0, 0),) * len(comps))
+                m = chf[(...,) + (None,) * len(comps)] if comps else chf
+                return jnp.where(m, b, a)
+            mv8a = map8(mv0_eff, mv32_0e, (2,))
+            mv8b = map8(mv1_eff, mv32_1e, (2,))
+            dir8 = map8(dir16, dir32, ())
             ts8 = jnp.where(chf, 32, 16).astype(jnp.int32)
             ux = jnp.arange(nz8.shape[1])[None, :]
             uy = jnp.arange(nz8.shape[0])[:, None]
             vv = (ux > 0) & (((ux * 8) % ts8) == 0)
             vh = (uy > 0) & (((uy * 8) % ts8) == 0)
 
-            def diffs(mv8):
+            def diffs(mv8, use):
                 mvl = jnp.pad(mv8, ((0, 0), (1, 0), (0, 0)))[:, :-1]
                 mvt = jnp.pad(mv8, ((1, 0), (0, 0), (0, 0)))[:-1, :]
-                return (jnp.any(jnp.abs(mv8 - mvl) >= 4, axis=-1),
-                        jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1))
-            dla, dta = diffs(mv8a)
-            dlb, dtb = diffs(mv8b)
+                dl = jnp.any(jnp.abs(mv8 - mvl) >= 4, axis=-1)
+                dt = jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1)
+                return dl & use, dt & use
+            # spec 8.7.2.4: direction mismatch between neighbours -> BS=1;
+            # same direction -> per-list mv comparison (golden bs_between)
+            dirl = jnp.pad(dir8, ((0, 0), (1, 0)))[:, :-1]
+            dirt = jnp.pad(dir8, ((1, 0), (0, 0)))[:-1, :]
+            dml = dir8 != dirl
+            dmt = dir8 != dirt
+            dla, dta = diffs(mv8a, (dir8 & 1).astype(bool))
+            dlb, dtb = diffs(mv8b, (dir8 & 2).astype(bool))
             nzl = jnp.pad(nz8, ((0, 0), (1, 0)))[:, :-1]
             nzt = jnp.pad(nz8, ((1, 0), (0, 0)))[:-1, :]
-            bs_v = (vv & (nz8 | nzl | dla | dlb)).astype(jnp.int32)
-            bs_h = (vh & (nz8 | nzt | dta | dtb)).astype(jnp.int32)
-            recon_y = deblock_luma_bs(recon_y, bs_v, bs_h, self.qp)
+            bs_v = (vv & (nz8 | nzl | dml | dla | dlb)).astype(jnp.int32)
+            bs_h = (vh & (nz8 | nzt | dmt | dta | dtb)).astype(jnp.int32)
+            recon_y = deblock_luma_bs(recon_y, bs_v, bs_h, qp)
 
-        extra = [mvs0.reshape(gh, gw, 2).astype(jnp.int16),
-                 mvs1.reshape(gh, gw, 2).astype(jnp.int16),
+        extra = [mv0_eff.reshape(gh, gw, 2).astype(jnp.int16),
+                 mv1_eff.reshape(gh, gw, 2).astype(jnp.int16),
+                 dir16.reshape(gh, gw).astype(jnp.uint8),
                  choose.astype(jnp.uint8),
-                 mv32_0.reshape(gh2, gw2, 2).astype(jnp.int16),
-                 mv32_1.reshape(gh2, gw2, 2).astype(jnp.int16)]
+                 mv32_0e.reshape(gh2, gw2, 2).astype(jnp.int16),
+                 mv32_1e.reshape(gh2, gw2, 2).astype(jnp.int16),
+                 dir32.reshape(gh2, gw2).astype(jnp.uint8)]
         if self.ps.sao_enabled:
             recon_y, recon_u, recon_v, sao_p = self._sao(
-                sy, su, sv, recon_y, recon_u, recon_v)
+                sy, su, sv, recon_y, recon_u, recon_v, qp)
             extra.append(sao_p)
         return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
 
-    def _sao(self, sy, su, sv, recon_y, recon_u, recon_v):
+    def _sao(self, sy, su, sv, recon_y, recon_u, recon_v, qp):
         """Device SAO decide+apply (ops/sao_dev.py); returns filtered
-        planes + packed params for the wire meta."""
+        planes + packed params for the wire meta. qp traced."""
         from homerhevc_tpu.ops.sao_dev import pack_params, sao_analyze_apply
-        lam_x256 = int(round(float(T.rd_lambda(self.qp, "I")) * 256))
+        lam_x256 = (jnp.asarray(T.RD_LAMBDA_I_TAB)[qp] * 256.0 + 0.5) \
+            .astype(jnp.int32)
         ry_f, ru_f, rv_f, params = sao_analyze_apply(
             sy, su, sv, recon_y.astype(jnp.int32), recon_u.astype(jnp.int32),
             recon_v.astype(jnp.int32), self.ps.ctu_size, lam_x256)
@@ -791,14 +888,17 @@ class TpuInterEncoder:
 
     # ---- host driver ----------------------------------------------------------
 
-    def dispatch(self, src, ref, avg_dist: float = 1000.0):
+    def dispatch(self, src, ref, avg_dist: float = 1000.0, qp=None):
         """Launch the device program; returns the device output tuple
         without forcing any transfer. self.last_dev immediately holds the
-        (device-resident) post-deblock recon for chaining the next frame."""
+        (device-resident) post-deblock recon for chaining the next frame.
+        qp: per-frame QP (defaults to cfg.qp); a device input, so QP
+        changes never recompile."""
         from homerhevc_tpu.golden.inter_frame import zf_multiplier
         y, u, v = src
         ry, ru, rv = ref
-        zf_mult = zf_multiplier(avg_dist, self.qp)
+        qp = self.cfg.qp if qp is None else int(qp)
+        zf_mult = zf_multiplier(avg_dist, qp)
 
         def as_dev(a):
             # device arrays (the chained reference recon) pass through
@@ -809,7 +909,7 @@ class TpuInterEncoder:
 
         out = self._jit(as_dev(y), as_dev(u), as_dev(v),
                         as_dev(ry), as_dev(ru), as_dev(rv),
-                        jnp.float32(zf_mult))
+                        jnp.float32(zf_mult), jnp.int32(qp))
         # post-deblock recon stays resident for the next frame in the chain
         self.last_dev = (out[0], out[1], out[2])
         # start the metadata + values-head downloads now; they complete
@@ -821,11 +921,14 @@ class TpuInterEncoder:
             pass
         return out
 
-    def fetch(self, out, is_b: bool = False, bi: bool = False):
+    def fetch(self, out, is_b: bool = False, bi: bool = False,
+              ref_dists=(1, 2)):
         """Download one dispatched frame's compact wire data and build the
         FrameDesc (host half of encode_frame). Reconstruction planes are
         returned device-resident (lazily materialized by consumers).
-        bi: the output came from _impl_b (two-list motion in the meta)."""
+        bi: the output came from _impl_b (two-list motion + per-CU
+        direction maps in the meta); ref_dists feed the AMVP scaling of
+        the mixed-direction syntax selection."""
         from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
         recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
         meta_np = np.asarray(meta)
@@ -841,14 +944,16 @@ class TpuInterEncoder:
                 a = a.copy().view(dt)
             return a.reshape(shape) if shape is not None else a
         mvs = take(gh * gw * 4, np.int16, (gh, gw, 2))
-        mvs1 = mv32_1 = None
+        mvs1 = mv32_1 = dir16 = dir32 = None
         if bi:
             mvs1 = take(gh * gw * 4, np.int16, (gh, gw, 2))
+            dir16 = take(gh * gw, None, (gh, gw))
         if self.tree:
             choose = take(gh2 * gw2, None, (gh2, gw2))
             mv32 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
             if bi:
                 mv32_1 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
+                dir32 = take(gh2 * gw2, None, (gh2, gw2))
         sao_params = None
         if self.ps.sao_enabled:
             from homerhevc_tpu.ops.sao_dev import (params_nbytes,
@@ -897,6 +1002,8 @@ class TpuInterEncoder:
             desc.mv_l1 = np.repeat(np.repeat(mvs1.astype(np.int32),
                                              r8, 0), r8, 1)
             desc.mvp_flag_l1 = np.zeros_like(desc.mvp_flag)
+            desc.inter_dir = np.repeat(np.repeat(dir16.astype(np.uint8),
+                                                 r8, 0), r8, 1)
         desc.coef_y = np.ascontiguousarray(py, np.int16)
         desc.coef_u = np.ascontiguousarray(pu, np.int16)
         desc.coef_v = np.ascontiguousarray(pv, np.int16)
@@ -913,19 +1020,25 @@ class TpuInterEncoder:
                 m32b = np.repeat(np.repeat(mv32_1.astype(np.int32),
                                            4, 0), 4, 1)
                 desc.mv_l1[:ch.shape[0], :ch.shape[1]][ch] = m32b[ch]
+                d32r = np.repeat(np.repeat(dir32.astype(np.uint8),
+                                           4, 0), 4, 1)
+                desc.inter_dir[:ch.shape[0], :ch.shape[1]][ch] = d32r[ch]
             from homerhevc_tpu.golden.inter_frame import \
                 select_inter_syntax_tree
-            select_inter_syntax_tree(self.ps, desc, is_b=is_b or bi)
+            select_inter_syntax_tree(self.ps, desc, is_b=is_b or bi,
+                                     dists=ref_dists)
         else:
             select_inter_syntax(self.ps, desc, cu, is_b=is_b)
         return desc, recon_y, recon_u, recon_v
 
-    def dispatch_b(self, src, ref0, ref1, avg_dist: float = 1000.0):
+    def dispatch_b(self, src, ref0, ref1, avg_dist: float = 1000.0,
+                   qp=None):
         """Launch the bi-predicted device program (_impl_b)."""
         from homerhevc_tpu.golden.inter_frame import zf_multiplier
         if not hasattr(self, "_jit_b"):
             self._jit_b = jax.jit(self._impl_b)
-        zf_mult = zf_multiplier(avg_dist, self.qp)
+        qp = self.cfg.qp if qp is None else int(qp)
+        zf_mult = zf_multiplier(avg_dist, qp)
 
         def as_dev(a):
             if isinstance(a, jax.Array):
@@ -935,7 +1048,7 @@ class TpuInterEncoder:
         out = self._jit_b(as_dev(y), as_dev(u), as_dev(v),
                           as_dev(ref0[0]), as_dev(ref0[1]), as_dev(ref0[2]),
                           as_dev(ref1[0]), as_dev(ref1[1]), as_dev(ref1[2]),
-                          jnp.float32(zf_mult))
+                          jnp.float32(zf_mult), jnp.int32(qp))
         self.last_dev = (out[0], out[1], out[2])
         try:
             out[6].copy_to_host_async()
@@ -944,10 +1057,12 @@ class TpuInterEncoder:
             pass
         return out
 
-    def encode_frame_b(self, src, ref0, ref1, avg_dist: float = 1000.0):
-        return self.fetch(self.dispatch_b(src, ref0, ref1, avg_dist),
-                          bi=True)
+    def encode_frame_b(self, src, ref0, ref1, avg_dist: float = 1000.0,
+                       qp=None, ref_dists=(1, -1)):
+        return self.fetch(self.dispatch_b(src, ref0, ref1, avg_dist, qp=qp),
+                          bi=True, ref_dists=ref_dists)
 
     def encode_frame(self, src, ref, is_b: bool = False,
-                     avg_dist: float = 1000.0):
-        return self.fetch(self.dispatch(src, ref, avg_dist), is_b=is_b)
+                     avg_dist: float = 1000.0, qp=None):
+        return self.fetch(self.dispatch(src, ref, avg_dist, qp=qp),
+                          is_b=is_b)

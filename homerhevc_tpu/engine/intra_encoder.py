@@ -72,9 +72,20 @@ class _DeviceSlice:
         return a.astype(dtype) if dtype is not None else a
 
 
+# per-QP intra mode-cost constants (derived from the I-slice lambda), as
+# lookup tables so QP can be a traced device input
+_BITS_MPM = np.asarray(
+    [int(float(np.sqrt(T.rd_lambda(q, "I"))) * 2) for q in range(52)],
+    np.int32)
+_BITS_REM = np.asarray(
+    [int(float(np.sqrt(T.rd_lambda(q, "I"))) * 6) for q in range(52)],
+    np.int32)
+
+
 class TpuIntraEncoder:
     """Wavefront all-intra encoder. One instance per (frame size, cu size,
-    qp, flags) — everything static is precomputed at init."""
+    flags) — QP is a traced input (per frame), so one compiled program
+    serves every QP; everything static is precomputed at init."""
 
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16):
         # persistent compilation cache: the whole-frame scan program is big
@@ -93,18 +104,16 @@ class TpuIntraEncoder:
         self.cu = cu
         self.w, self.h = w, h
         self.gw, self.gh = w // cu, h // cu
-        self.qp = cfg.qp
-        self.qp_c = T.chroma_qp(cfg.qp + ps.cb_qp_offset)
-        lam_sqrt = float(np.sqrt(T.rd_lambda(cfg.qp, "I")))
-        self.bits_mpm = int(lam_sqrt * 2)
-        self.bits_rem = int(lam_sqrt * 6)
         from homerhevc_tpu.ops.pack import pack_capacity
-        self.pack_C = pack_capacity(w * h * 3 // 2, cfg.qp)
+        # capacity sized from the nominal QP with headroom for RC dips
+        # (overflow falls back to full-plane fetches)
+        self.pack_C = pack_capacity(w * h * 3 // 2, max(0, cfg.qp - 4))
         self._build_static()
         # frame-batched variant: the wavefront is latency-bound (one small
         # step per diagonal); vmapping F independent frames through the same
         # scan amortizes the per-step overhead — the single-chip analog of
-        # the reference's frame-level "encoder engines"
+        # the reference's frame-level "encoder engines". QP is vmapped too:
+        # each frame in a batch may carry its own QP (VBR/CBR).
         self._encode_batch_jit = jax.jit(jax.vmap(self._encode_frame_impl))
 
     # -- static geometry -----------------------------------------------------
@@ -247,10 +256,15 @@ class TpuIntraEncoder:
         seq = dip.substitute_refs(seq, mask)
         return self._seq_to_refs(seq, n)
 
-    def _encode_frame_impl(self, src_y, src_u, src_v):
+    def _encode_frame_impl(self, src_y, src_u, src_v, qp):
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
         ndiag = self.ndiag
+        qp = qp.astype(jnp.int32)
+        qp_c = jnp.asarray(T.CHROMA_QP_MAP)[
+            jnp.clip(qp + self.ps.cb_qp_offset, 0, 57)]
+        bits_mpm = jnp.asarray(_BITS_MPM)[qp]
+        bits_rem = jnp.asarray(_BITS_REM)[qp]
 
         # block the sources and pre-gather into the diagonal-slot layout
         # (one gather per component per frame; uint8 until inside the scan)
@@ -309,19 +323,19 @@ class TpuIntraEncoder:
             mpm = _mpm_jax(left_mode, above_mode)
             modes_r = jnp.arange(35)[None, :]
             in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
-            cost = sad + jnp.where(in_mpm, self.bits_mpm, self.bits_rem)
+            cost = sad + jnp.where(in_mpm, bits_mpm, bits_rem)
             best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
 
-            lvl, rec = component(best, src_blk, None, cu, self.qp, True,
+            lvl, rec = component(best, src_blk, None, cu, qp, True,
                                  preds_cache=preds)
             refs_u = self._refs_from_prev(p1b_u, p1r_u, p2b_u, p3b_u, cuc,
                                           mask_c)
             lvl_u, rec_u = component(best, sb_u.astype(jnp.int32), refs_u,
-                                     cuc, self.qp_c, False)
+                                     cuc, qp_c, False)
             refs_v = self._refs_from_prev(p1b_v, p1r_v, p2b_v, p3b_v, cuc,
                                           mask_c)
             lvl_v, rec_v = component(best, sb_v.astype(jnp.int32), refs_v,
-                                     cuc, self.qp_c, False)
+                                     cuc, qp_c, False)
 
             carry = (rec[:, -1, :], rec[:, :, -1], p1b, p2b,
                      rec_u[:, -1, :], rec_u[:, :, -1], p1b_u, p2b_u,
@@ -358,9 +372,9 @@ class TpuIntraEncoder:
             ry = assemble(rec, cu, self.h, self.w)
             ru = assemble(rec_u, cuc, self.h // 2, self.w // 2)
             rv = assemble(rec_v, cuc, self.h // 2, self.w // 2)
-            ry = deblock_luma_uniform(ry, cu, self.qp)
-            ru = deblock_chroma_uniform(ru, cu, self.qp, self.ps.cb_qp_offset)
-            rv = deblock_chroma_uniform(rv, cu, self.qp, self.ps.cr_qp_offset)
+            ry = deblock_luma_uniform(ry, cu, qp)
+            ru = deblock_chroma_uniform(ru, cu, qp, self.ps.cb_qp_offset)
+            rv = deblock_chroma_uniform(rv, cu, qp, self.ps.cr_qp_offset)
             recon_y, recon_u, recon_v = (ry.astype(jnp.uint8),
                                          ru.astype(jnp.uint8),
                                          rv.astype(jnp.uint8))
@@ -394,6 +408,7 @@ class TpuIntraEncoder:
         return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals8
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
+        """qp may be static or traced (forwarded to sign_bit_hiding)."""
         log2n = n.bit_length() - 1
         mode_dep = log2n == 2 or (log2n == 3 and is_luma)
         if not mode_dep:
@@ -429,21 +444,25 @@ class TpuIntraEncoder:
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int):
-        assert qp == self.qp
-        return self.encode_frames([y], [u], [v])[0]
+        return self.encode_frames([y], [u], [v], qps=[qp])[0]
 
-    def dispatch_frames(self, ys, us, vs):
+    def dispatch_frames(self, ys, us, vs, qps=None):
         """Async: launch the batched device program, return device arrays
         immediately (jax dispatch is non-blocking). Pair with fetch_frames
         to overlap host serialization with device compute.
 
         Frames may arrive as device arrays (uploaded at push() time so the
-        host->device copy overlaps the previous batch's host work)."""
+        host->device copy overlaps the previous batch's host work).
+        qps: per-frame QP list (defaults to cfg.qp); QP is a device input,
+        so mixed-QP batches reuse the same compiled program."""
         def stack(fs):
             if fs and isinstance(fs[0], jax.Array):
                 return jnp.stack(fs)
             return jnp.asarray(np.asarray(fs, np.uint8))
-        out = self._encode_batch_jit(stack(ys), stack(us), stack(vs))
+        if qps is None:
+            qps = [self.cfg.qp] * len(ys)
+        qp_arr = jnp.asarray(np.asarray(qps, np.int32))
+        out = self._encode_batch_jit(stack(ys), stack(us), stack(vs), qp_arr)
         # kick the metadata + values downloads early: by the time
         # fetch_frames runs (after the next batch's dispatch and the
         # previous batch's serialization) they are already on host. The
@@ -520,6 +539,7 @@ class TpuIntraEncoder:
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))
         return results
 
-    def encode_frames(self, ys, us, vs):
+    def encode_frames(self, ys, us, vs, qps=None):
         """Batched: lists/arrays of F frames -> list of (desc, ry, ru, rv)."""
-        return self.fetch_frames(self.dispatch_frames(ys, us, vs), len(ys))
+        return self.fetch_frames(self.dispatch_frames(ys, us, vs, qps=qps),
+                                 len(ys))

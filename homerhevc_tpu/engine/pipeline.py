@@ -13,7 +13,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from homerhevc_tpu.config import BitrateMode, EncoderConfig
+from homerhevc_tpu.config import EncoderConfig
 from homerhevc_tpu.hevc.bitstream import (
     NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R, make_nal,
 )
@@ -25,6 +25,24 @@ from homerhevc_tpu.hevc.headers import (
 )
 from homerhevc_tpu.hevc.syntax import SliceDataEncoder
 from homerhevc_tpu.utils.profiler import PROFILER
+
+
+def _ref_dists(poc, refs_before, refs_after, l1_swap):
+    """POC(cur) - POC(first entry) of each reference list. L0 leads with
+    the closest past ref; L1 leads with the first future ref, or (under
+    ref_pic_list_modification l1_swap) the second past ref."""
+    refs_before = tuple(refs_before or ())
+    refs_after = tuple(refs_after or ())
+    if not refs_before and not refs_after:
+        return (1, 1)
+    l0 = refs_before[0] if refs_before else refs_after[0]
+    if refs_after:
+        l1 = refs_after[0]
+    elif l1_swap and len(refs_before) >= 2:
+        l1 = refs_before[1]
+    else:
+        l1 = refs_before[0]
+    return (poc - l0, poc - l1)
 
 
 class EncoderPipeline:
@@ -61,8 +79,10 @@ class EncoderPipeline:
         self.gop_poc = 0
         from homerhevc_tpu.engine.rate_control import RateControl
         self.rc = RateControl(cfg)
-        self._tpu_by_qp = {}
-        self._tpu_inter_by_qp = {}
+        # QP is a traced device input, so ONE compiled program per geometry
+        # serves every QP (requirement for CBR/VBR on the device path)
+        self._tpu_intra = None
+        self._tpu_inter = None
 
     # ---- frame analysis dispatch ------------------------------------------
 
@@ -83,7 +103,7 @@ class EncoderPipeline:
             with PROFILER.scope("analyze_intra_golden"):
                 return self._analyze_intra_golden(y, u, v, qp)
         with PROFILER.scope("analyze_intra_device"):
-            return self._get_tpu(qp).encode_frame(y, u, v, qp)
+            return self._get_tpu().encode_frame(y, u, v, qp)
 
     def _analyze_intra_golden(self, y, u, v, qp):
         from homerhevc_tpu.golden.intra_frame import encode_intra_frame
@@ -112,10 +132,11 @@ class EncoderPipeline:
                else (self._last_recon if ref is None else ref))
         assert ref is not None
         if self._tpu_inter_ok():
-            enc = self._get_tpu_inter(qp)
+            enc = self._get_tpu_inter()
             with PROFILER.scope("analyze_inter_device"):
                 desc, ry, ru, rv = enc.encode_frame(
-                    (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist)
+                    (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist,
+                    qp=qp)
             # the recon stays resident on device; chain it for the next P
             # (only when this frame will be the reference and no host-side
             # filter (SAO) modifies the recon afterwards — _emit gates that)
@@ -152,11 +173,14 @@ class EncoderPipeline:
         from homerhevc_tpu.hevc.bitstream import BitWriter, ebsp_row_escapes
         ps = self.ps
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
+        poc_val = self.gop_poc if poc is None else poc
+        dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
         # native fast path
         from homerhevc_tpu import native
         res = native.encode_slice_native(
             ps, desc, init_contexts(st, qp), ps.sign_hiding,
-            slice_type=slice_type, sao_params=sao_params, wpp=True)
+            slice_type=slice_type, sao_params=sao_params, wpp=True,
+            ref_dists=dists)
         if res is not None:
             payload, row_sizes = res
             # entry points count escaped bytes (spec 7.4.7.1; reference
@@ -182,7 +206,7 @@ class EncoderPipeline:
             bw_row = BitWriter()
             enc = CabacEncoder(bw_row, ctx)
             sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
-                                  sao_params=sao_params)
+                                  sao_params=sao_params, ref_dists=dists)
             saved = None
             for cx in range(ps.ctus_x):
                 sd.encode_ctu(cx, cy)
@@ -232,16 +256,18 @@ class EncoderPipeline:
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
+        poc_val = self.gop_poc if poc is None else poc
+        dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
         if use_native and not ps.cu_qp_delta_enabled:
             from homerhevc_tpu import native
             payload = native.encode_slice_native(
                 ps, desc, ctx, ps.sign_hiding, slice_type=slice_type,
-                sao_params=sao_params)
+                sao_params=sao_params, ref_dists=dists)
             if payload is not None:
                 return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)
         sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
-                              sao_params=sao_params)
+                              sao_params=sao_params, ref_dists=dists)
         n_ctus = ps.ctus_x * ps.ctus_y
         for i in range(n_ctus):
             sd.encode_ctu(i % ps.ctus_x, i // ps.ctus_x)
@@ -360,16 +386,17 @@ class EncoderPipeline:
             if len(self._pending_q) >= 2:
                 out, pframes, pqp = self._pending_q.pop(0)
                 with PROFILER.scope("fetch_intra"):
-                    prev_results = (self._get_tpu(pqp).fetch_frames(
+                    prev_results = (self._get_tpu().fetch_frames(
                         out, len(pframes)), pframes, pqp)
             qp = self.rc.pic_qp(True)
-            enc = self._get_tpu(qp)
+            enc = self._get_tpu()
             src = (frames_dev if len(frames_dev) == len(frames) else frames)
             with PROFILER.scope("dispatch_intra"):
                 self._pending_q.append(
                     (enc.dispatch_frames([f[0] for f in src],
                                          [f[1] for f in src],
-                                         [f[2] for f in src]),
+                                         [f[2] for f in src],
+                                         qps=[qp] * len(frames)),
                      frames, qp))
             if prev_results is not None:
                 results, pframes, pqp = prev_results
@@ -414,7 +441,7 @@ class EncoderPipeline:
                     # cross-engine RC handoff, hmr_encoder_lib.c:3268).
                     # Generalized-B: once two references exist, the frame
                     # bi-predicts from t-1 and t-2 (cfg.gpb).
-                    enc = self._get_tpu_inter(qp)
+                    enc = self._get_tpu_inter()
                     chain_active = self._last_recon_dev is not None
                     ref = (self._last_recon_dev if chain_active
                            else self._last_recon)
@@ -428,13 +455,19 @@ class EncoderPipeline:
                             ref2 = self._last_recon
                         else:
                             ref2 = getattr(self, "_prev_recon2", None)
-                    gpb = (self.cfg.gpb and ref2 is not None
+                    # generalized-B "P" frames: explicit cfg.gpb, or
+                    # num_ref_frames >= 2 (multi-reference realized as the
+                    # two-list t-1/t-2 machinery; reference analog
+                    # ref_wnds[] multi-ref, hmr_private.h:1407)
+                    want_gpb = self.cfg.gpb or self.cfg.num_ref_frames >= 2
+                    gpb = (want_gpb and ref2 is not None
                            and self.ps.ctu_size == 32)
                     if gpb:
                         out = enc.dispatch_b((y, u, v), ref, ref2,
-                                             self.avg_dist)
+                                             self.avg_dist, qp=qp)
                     else:
-                        out = enc.dispatch((y, u, v), ref, self.avg_dist)
+                        out = enc.dispatch((y, u, v), ref, self.avg_dist,
+                                           qp=qp)
                     self._last_recon_dev2 = (
                         self._last_recon_dev if self._last_recon_dev
                         is not None else None)
@@ -459,7 +492,7 @@ class EncoderPipeline:
     def _fetch_emit(self, pending) -> Iterator:
         out, pframes, qp = pending
         with PROFILER.scope("fetch_intra"):
-            results = self._get_tpu(qp).fetch_frames(out, len(pframes))
+            results = self._get_tpu().fetch_frames(out, len(pframes))
         for (desc, ry, ru, rv), src in zip(results, pframes):
             yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
 
@@ -472,7 +505,6 @@ class EncoderPipeline:
             self._disp = 0
             self._held = None
             self._idr_base = 0
-            self._prev_anchor = None
 
         def emit_anchor(t, fr):
             intra = t == 0 or (self.cfg.intra_period > 0
@@ -491,17 +523,49 @@ class EncoderPipeline:
             if intra:
                 self._idr_base = t
                 desc, ry, ru, rv = self._analyze_intra(*fr, qp=qp)
-                self._prev_anchor = None
+                self._anchor_m2 = None
                 yield self._emit(desc, ry, ru, rv, src=fr, qp=qp,
                                  display_poc=t)
             else:
                 poc = t - self._idr_base
-                desc, ry, ru, rv = self._analyze_inter(*fr, qp=qp)
-                yield self._emit(desc, ry, ru, rv, src=fr,
-                                 slice_type=SLICE_P, qp=qp, poc=poc,
-                                 display_poc=t,
-                                 refs_before=(poc - 2,)
-                                 if self._held is not None else (poc - 1,))
+                anchor_dist = 2 if self._held is not None else 1
+                prev2 = getattr(self, "_anchor_m2", None)
+                bi_anchor = (anchor_dist == 2 and prev2 is not None
+                             and self._tpu_inter_ok()
+                             and self.ps.ctu_size == 32
+                             and self.cfg.width % 32 == 0
+                             and self.cfg.height % 32 == 0)
+                if bi_anchor:
+                    # generalized-B anchor: bi-predict from the two
+                    # previous anchors (t-2 = L0, t-4 = L1 via l1_swap);
+                    # per-CU uni/bi keeps quality at asymmetric distances
+                    enc = self._get_tpu_inter()
+                    with PROFILER.scope("analyze_anchor_bi"):
+                        desc, ry, ru, rv = enc.encode_frame_b(
+                            fr, self._last_recon, prev2,
+                            avg_dist=self.avg_dist, qp=qp,
+                            ref_dists=(2, 4))
+                    # this anchor IS the next reference: chain its
+                    # device-resident recon (a stale _cand_recon_dev from
+                    # an earlier _analyze_inter would silently become the
+                    # next frame's reference otherwise)
+                    self._cand_recon_dev = enc.last_dev
+                    self._anchor_m2 = self._last_recon
+                    yield self._emit(desc, ry, ru, rv, src=fr,
+                                     slice_type=SLICE_B, qp=qp, poc=poc,
+                                     display_poc=t,
+                                     refs_before=(poc - 2, poc - 4),
+                                     l1_swap=True)
+                else:
+                    self._anchor_m2 = (self._last_recon
+                                       if anchor_dist == 2 else None)
+                    desc, ry, ru, rv = self._analyze_inter(*fr, qp=qp)
+                    yield self._emit(desc, ry, ru, rv, src=fr,
+                                     slice_type=SLICE_P, qp=qp, poc=poc,
+                                     display_poc=t,
+                                     refs_before=(poc - 2,)
+                                     if self._held is not None
+                                     else (poc - 1,))
             # after the anchor is reconstructed, encode the held B:
             # bi-prediction from BOTH anchors (14-bit weighted average,
             # golden encode_b_frame_tree) when the tree geometry allows,
@@ -516,11 +580,11 @@ class EncoderPipeline:
                         and self.cfg.width % 32 == 0
                         and self.cfg.height % 32 == 0):
                     if self._tpu_inter_ok():
-                        enc = self._get_tpu_inter(qb)
+                        enc = self._get_tpu_inter()
                         with PROFILER.scope("analyze_b_bi"):
                             d2, r2y, r2u, r2v = enc.encode_frame_b(
                                 fb, prev_anchor_recon, self._last_recon,
-                                avg_dist=self.avg_dist)
+                                avg_dist=self.avg_dist, qp=qb)
                     else:
                         from homerhevc_tpu.golden.inter_frame import \
                             encode_b_frame_tree
@@ -588,29 +652,29 @@ class EncoderPipeline:
         # (the reference's diamond search roams +-128/64 instead)
         return 24 if self.cfg.gop_size >= 2 else 16
 
-    def _get_tpu_inter(self, qp: int):
-        if qp not in self._tpu_inter_by_qp:
+    def _get_tpu_inter(self):
+        if self._tpu_inter is None:
             from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
-            import dataclasses
-            cfgq = dataclasses.replace(self.cfg, qp=qp)
-            self._tpu_inter_by_qp[qp] = TpuInterEncoder(
-                self.ps, cfgq, search=self._inter_search_range())
-        return self._tpu_inter_by_qp[qp]
+            self._tpu_inter = TpuInterEncoder(
+                self.ps, self.cfg, search=self._inter_search_range())
+        return self._tpu_inter
 
     def _p_pipeline_ok(self) -> bool:
-        """The P-chain device/host overlap needs: device inter backend,
-        constant QP (RC feedback would need last frame's bits before the
-        next dispatch). SAO is compatible: the device program decides and
-        applies it in-loop (ops/sao_dev.py). Scene-change detection is
-        compatible: it reads only consecutive source frames."""
-        return (self._tpu_inter_ok()
-                and self.cfg.bitrate_mode == BitrateMode.FIXED_QP)
+        """The P-chain device/host overlap needs the device inter backend.
+        QP is a traced device input, so CBR/VBR run pipelined too: the RC
+        QP for frame i is computed from bits known at dispatch time, i.e.
+        the feedback lags by the in-flight depth (2 frames) — the same lag
+        the reference accepts across engines (hmr_encoder_lib.c:3268).
+        SAO is compatible: the device program decides and applies it
+        in-loop (ops/sao_dev.py). Scene-change detection is compatible:
+        it reads only consecutive source frames."""
+        return self._tpu_inter_ok()
 
     def _drain_p_pending(self, one: bool = False):
         while self._p_pendings:
             enc, out, src, qp, gpb = self._p_pendings.pop(0)
             with PROFILER.scope("fetch_inter"):
-                desc, ry, ru, rv = enc.fetch(out, bi=gpb)
+                desc, ry, ru, rv = enc.fetch(out, bi=gpb, ref_dists=(1, 2))
             if gpb:
                 p = self.gop_poc
                 yield self._emit(desc, ry, ru, rv, src=src,
@@ -630,14 +694,11 @@ class EncoderPipeline:
                 and self.cfg.cu_size == 32
                 and self.cfg.width % 32 == 0 and self.cfg.height % 16 == 0)
 
-    def _get_tpu(self, qp=None):
-        qp = self.cfg.qp if qp is None else qp
-        if qp not in self._tpu_by_qp:
+    def _get_tpu(self):
+        if self._tpu_intra is None:
             from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
-            import dataclasses
-            cfgq = dataclasses.replace(self.cfg, qp=qp)
-            self._tpu_by_qp[qp] = TpuIntraEncoder(self.ps, cfgq)
-        return self._tpu_by_qp[qp]
+            self._tpu_intra = TpuIntraEncoder(self.ps, self.cfg)
+        return self._tpu_intra
 
     def _pad_frame(self, y, u, v):
         dh = self.cfg.height - np.asarray(y).shape[0]

@@ -243,17 +243,27 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
     from homerhevc_tpu.hevc.syntax import MODE_INTRA
     intra = desc.pred_mode == MODE_INTRA
     mv = desc.mv
-    mv1 = desc.mv_l1   # all-bi B frames; lists pair by reference picture
+    mv1 = desc.mv_l1   # B frames; lists pair by reference picture
+    dirs = desc.inter_dir
+    if dirs is None:
+        dirs = np.full(intra.shape, 3 if mv1 is not None else 1, np.uint8)
 
     def bs_between(uy, ux, vy, vx):
         if intra[uy, ux] or intra[vy, vx]:
             return 2
         if nz[uy, ux] or nz[vy, vx]:
             return 1
-        if (abs(int(mv[uy, ux, 0]) - int(mv[vy, vx, 0])) >= 4
+        # spec 8.7.2.4 motion mismatch: different number of MVs -> 1;
+        # else compare per list (the two lists reference distinct
+        # pictures here, so vectors pair by list)
+        da, db = int(dirs[uy, ux]), int(dirs[vy, vx])
+        if bin(da).count("1") != bin(db).count("1") or da != db:
+            return 1
+        if (da & 1) and (
+                abs(int(mv[uy, ux, 0]) - int(mv[vy, vx, 0])) >= 4
                 or abs(int(mv[uy, ux, 1]) - int(mv[vy, vx, 1])) >= 4):
             return 1
-        if mv1 is not None and (
+        if (da & 2) and mv1 is not None and (
                 abs(int(mv1[uy, ux, 0]) - int(mv1[vy, vx, 0])) >= 4
                 or abs(int(mv1[uy, ux, 1]) - int(mv1[vy, vx, 1])) >= 4):
             return 1

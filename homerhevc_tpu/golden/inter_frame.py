@@ -553,35 +553,41 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
 
 
 def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
-                             is_b: bool = False) -> None:
+                             is_b: bool = False, dists=(1, 1)) -> None:
     """Skip/merge/AMVP selection for a mixed CU32/CU16 tree. Candidate
     derivation depends only on the final motion field + geometry (what a
-    decoder derives), so CUs can be visited in any order."""
+    decoder derives), so CUs can be visited in any order. dists feed the
+    AMVP POC-distance scaling of mixed-direction B slices."""
     ctu = ps.ctu_size
     for cy in range(-(-desc.height // ctu)):
         for cx in range(-(-desc.width // ctu)):
             x0, y0 = cx * ctu, cy * ctu
             if (desc.cu_depth[y0 // 8, x0 // 8] == 0
                     and x0 + ctu <= desc.width and y0 + ctu <= desc.height):
-                _select_cu_syntax(ps, desc, x0, y0, ctu, is_b)
+                _select_cu_syntax(ps, desc, x0, y0, ctu, is_b, dists)
                 continue
             half = ctu // 2
             for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
                 x1, y1 = x0 + dx, y0 + dy
                 if x1 < desc.width and y1 < desc.height:
-                    _select_cu_syntax(ps, desc, x1, y1, half, is_b)
+                    _select_cu_syntax(ps, desc, x1, y1, half, is_b, dists)
 
 
-def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
-    from homerhevc_tpu.hevc.inter import merge_candidates_bi
+def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
+    from homerhevc_tpu.hevc.inter import (amvp_candidates_2,
+                                          merge_candidates_b)
     w, h = desc.width, desc.height
-    bi = is_b and desc.mv_l1 is not None
+    bi_lists = is_b and desc.mv_l1 is not None
+    inter = desc.pred_mode == MODE_INTER
+    dirs = desc.inter_dir
+    if dirs is None:
+        dirs = np.full(inter.shape, 3 if bi_lists else 1, np.uint8)
     mf = MotionField(*desc.pred_mode.shape)
     mf.mv = desc.mv
-    mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
-    if bi:
+    mf.ref = np.where(inter & ((dirs & 1) != 0), 0, -1)
+    if bi_lists:
         mf.mv1 = desc.mv_l1
-        mf.ref1 = mf.ref
+        mf.ref1 = np.where(inter & ((dirs & 2) != 0), 0, -1)
     ux, uy = x0 // 8, y0 // 8
     if desc.pred_mode[uy, ux] != MODE_INTER:
         return
@@ -591,12 +597,16 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
                               x0 // 2:(x0 + n) // 2].any()
                or desc.coef_v[y0 // 2:(y0 + n) // 2,
                               x0 // 2:(x0 + n) // 2].any())
-    if bi:
-        mv1 = (int(desc.mv_l1[uy, ux, 0]), int(desc.mv_l1[uy, ux, 1]))
-        cands, _ = merge_candidates_bi(mf, x0, y0, n, ps.ctu_size, w, h)
+    if bi_lists:
+        cdir = int(dirs[uy, ux])
+        mv0t = mv if (cdir & 1) else None
+        mv1t = ((int(desc.mv_l1[uy, ux, 0]), int(desc.mv_l1[uy, ux, 1]))
+                if (cdir & 2) else None)
+        cands = merge_candidates_b(mf, x0, y0, n, ps.ctu_size, w, h, dists)
         merge_k = next((k for k, c in enumerate(cands)
-                        if c == (mv[0], mv[1], mv1[0], mv1[1])), None)
+                        if c == (cdir, mv0t, mv1t)), None)
     else:
+        cdir = 1
         cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
         limit = n_spatial if is_b else len(cands)
         merge_k = next((k for k, c in enumerate(cands[:limit])
@@ -612,18 +622,26 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b):
         desc.merge_idx[sl8] = merge_k
         desc.root_cbf[sl8] = 1
     else:
-        mvp = amvp_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
-        c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
-        c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
         desc.inter_mode[sl8] = 2
-        desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
         desc.root_cbf[sl8] = 1 if has_res else 0
-        if bi:
-            mvp1 = amvp_candidates(mf.l1_view(), x0, y0, n,
-                                   ps.ctu_size, w, h)
-            d0 = abs(mv1[0] - mvp1[0][0]) + abs(mv1[1] - mvp1[0][1])
-            d1 = abs(mv1[0] - mvp1[1][0]) + abs(mv1[1] - mvp1[1][1])
-            desc.mvp_flag_l1[sl8] = 0 if d0 <= d1 else 1
+        if bi_lists:
+            if cdir & 1:
+                mvp = amvp_candidates_2(mf, x0, y0, n, ps.ctu_size, w, h,
+                                        0, dists)
+                c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+                c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+                desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
+            if cdir & 2:
+                mvp1 = amvp_candidates_2(mf, x0, y0, n, ps.ctu_size, w, h,
+                                         1, dists)
+                d0 = abs(mv1t[0] - mvp1[0][0]) + abs(mv1t[1] - mvp1[0][1])
+                d1 = abs(mv1t[0] - mvp1[1][0]) + abs(mv1t[1] - mvp1[1][1])
+                desc.mvp_flag_l1[sl8] = 0 if d0 <= d1 else 1
+        else:
+            mvp = amvp_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+            c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+            c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+            desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
 
 
 def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
@@ -790,13 +808,16 @@ def _select_inter_syntax_loop(ps: ParamSets, desc: FrameDesc, cu_size: int,
                 desc.root_cbf[sl8] = 1 if has_res else 0
 
 def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
-                        qp: int, search: int = 16, avg_dist: float = 1000.0):
-    """All-bi B frame with the CU32/CU16 tree: every inter CU predicts from
-    BOTH reference lists with the normative 14-bit weighted average
+                        qp: int, search: int = 16, avg_dist: float = 1000.0,
+                        dists=(1, -1)):
+    """B frame with the CU32/CU16 tree and PER-CU uni/bi selection: each
+    inter CU codes whichever of {uni-L0, uni-L1, bi} wins SSD+lambda*rate.
+    Bi prediction uses the normative 14-bit weighted average
     (spec 8.5.4.2.3.2; reference analog hmr_bi_motion_estimation_HM
-    hmr_motion_inter.c:1279 + weighted average :2903). Keeping every CU
-    bi-predicted means per-list AMVP never needs the cross-list POC
-    scaling branch — see hevc/inter.py. Returns (desc, ry, ru, rv)."""
+    hmr_motion_inter.c:1279 + weighted average :2903, per-CU uni/bi choice
+    :2471-2880). Mixed directions make AMVP hit the spec 8.5.3.2.6
+    POC-distance scaling branch — dists = (POC(cur)-POC(ref L0),
+    POC(cur)-POC(ref L1)) feeds it. Returns (desc, ry, ru, rv)."""
     from homerhevc_tpu.golden.interp import (bi_average, mc_chroma_14,
                                              mc_luma_14)
     assert ps.ctu_size == 32
@@ -812,11 +833,16 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     me_prec = int(ps.cfg.motion_estimation_precision)
     f16_0, p16_0, f32_0, p32_0 = hier_pel_fields(sy, r0[0], search, lam16,
                                                  want32=True)
+    # uni-L1 candidate motion: matched to the SOURCE (unlike the bi list-1
+    # field below, which is matched to the bi target 2*src - pred0)
+    f16_1s, p16_1s, f32_1s, p32_1s = hier_pel_fields(sy, r1[0], search,
+                                                     lam16, want32=True)
     desc = FrameDesc.alloc(w, h)
     desc.pred_mode[:] = MODE_INTER
     desc.cu_depth[:] = 1
     desc.mv_l1 = np.zeros_like(desc.mv)
     desc.mvp_flag_l1 = np.zeros_like(desc.mvp_flag)
+    desc.inter_dir = np.zeros(desc.pred_mode.shape, np.uint8)
     recon_y = np.zeros_like(sy)
     recon_u = np.zeros_like(su)
     recon_v = np.zeros_like(sv)
@@ -830,13 +856,10 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             mv = subpel_refine(src_blk, ref_y, x0, y0, mv, 1, prior, lam16)
         return mv
 
-    # ---- list-0 motion first, then list-1 by BI-TARGET matching: the
+    # ---- list-0 motion first, then bi list-1 by BI-TARGET matching: the
     # second list searches 2*src - pred0 so the weighted average lands on
     # the source (reference analog: hmr_bi_motion_estimation_HM,
-    # hmr_motion_inter.c:1279). With asymmetric reference distances a
-    # per-list independent match would average a good and a bad
-    # prediction and LOSE to uni-prediction; target matching keeps every
-    # CU bi-predicted (AMVP stays scaling-free) at uni-or-better quality.
+    # hmr_motion_inter.c:1279) ----
     gh, gw = h // 16, w // 16
     mv0_16 = {}
     pred0_plane = np.zeros((gh * 16, gw * 16), np.int32)
@@ -852,7 +875,7 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     f16_1, p16_1, f32_1, p32_1 = hier_pel_fields(target, r1[0], search,
                                                  lam16, want32=True)
 
-    def code_cu(x0, y0, n, mv0, mv1):
+    def code_bi_cu(x0, y0, n, mv0, mv1):
         """Bi MC + TU coding for one n x n CU; returns
         (lvl, rec, lvl_u, rec_u, lvl_v, rec_v)."""
         v0 = mc_luma_14(r0[0], x0, y0, n, mv0[0], mv0[1])
@@ -869,37 +892,93 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             c1 = mc_chroma_14(rp1, cx0, cy0, nc, mv1[0], mv1[1])
             cpred = bi_average(c0, c1)
             cres = sp[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
-            clvl, crr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult, lam)
+            clvl, crr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult,
+                                 lam)
             outs += [clvl, np.clip(cpred + crr, 0, 255)]
         return outs
 
-    def cost_bi(x0, y0, n, mv0, mv1, lvl, rec):
+    def code_uni_cu(x0, y0, n, mv, rr_):
+        """Uni MC (normatively rounded) + TU coding for one CU."""
+        pred = mc_luma(rr_[0], x0, y0, n, mv[0], mv[1])
+        resid = sy[y0:y0 + n, x0:x0 + n] - pred
+        lvl, rres = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult, lam)
+        rec = np.clip(pred + rres, 0, 255)
+        outs = [lvl, rec]
+        nc = n // 2
+        cx0, cy0 = x0 // 2, y0 // 2
+        for sp, rp in ((su, rr_[1]), (sv, rr_[2])):
+            cpred = mc_chroma(rp, cx0, cy0, nc, mv[0], mv[1])
+            cres = sp[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
+            clvl, crr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult,
+                                 lam)
+            outs += [clvl, np.clip(cpred + crr, 0, 255)]
+        return outs
+
+    def cost_cu(x0, y0, n, rec, lvl, mv_bits):
         d = (sy[y0:y0 + n, x0:x0 + n] - rec).astype(np.float32)
         bits = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl)) + 6.0
-                + float(mv_rate(mv0[0], mv0[1], p16_0))
-                + float(mv_rate(mv1[0], mv1[1], p16_1)))
+                + float(mv_bits))
         return float(np.sum(d * d)) + float(lam) * bits
 
+    def store_cu(x0, y0, n, cdir, mv0, mv1, outs):
+        lvl, rec, lu_, ru_, lv_, rv_ = outs
+        r8 = n // 8
+        s8 = (slice(y0 // 8, y0 // 8 + r8), slice(x0 // 8, x0 // 8 + r8))
+        desc.inter_dir[s8] = cdir
+        if cdir & 1:
+            desc.mv[s8[0], s8[1], 0] = mv0[0]
+            desc.mv[s8[0], s8[1], 1] = mv0[1]
+        else:
+            desc.mv[s8[0], s8[1], :] = 0
+        if cdir & 2:
+            desc.mv_l1[s8[0], s8[1], 0] = mv1[0]
+            desc.mv_l1[s8[0], s8[1], 1] = mv1[1]
+        else:
+            desc.mv_l1[s8[0], s8[1], :] = 0
+        nc = n // 2
+        cy0, cx0 = y0 // 2, x0 // 2
+        desc.coef_y[y0:y0 + n, x0:x0 + n] = lvl.astype(np.int16)
+        recon_y[y0:y0 + n, x0:x0 + n] = rec
+        desc.coef_u[cy0:cy0 + nc, cx0:cx0 + nc] = lu_.astype(np.int16)
+        recon_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru_
+        desc.coef_v[cy0:cy0 + nc, cx0:cx0 + nc] = lv_.astype(np.int16)
+        recon_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv_
+
+    def choose(cands):
+        """cands: [(cost, dir, mv0, mv1, outs), ...] in (bi, uni0, uni1)
+        order; bi wins ties against both unis, uni0 against uni1 — the
+        device twin mirrors this exact tie-break."""
+        cbi, c0, c1 = cands[0][0], cands[1][0], cands[2][0]
+        if cbi <= c0 and cbi <= c1:
+            return cands[0]
+        return cands[1] if c0 <= c1 else cands[2]
+
+    cost16 = np.zeros((gh, gw), np.float32)
     for gy in range(gh):
         for gx in range(gw):
             x0, y0 = gx * 16, gy * 16
             mv0 = mv0_16[(gy, gx)]
-            mv1 = refine_list(x0, y0, 16, f16_1[gy, gx], p16_1, r1[0],
-                              tgt=target)
-            lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 16, mv0, mv1)
-            s8 = (slice(y0 // 8, y0 // 8 + 2), slice(x0 // 8, x0 // 8 + 2))
-            desc.mv[s8[0], s8[1], 0] = mv0[0]
-            desc.mv[s8[0], s8[1], 1] = mv0[1]
-            desc.mv_l1[s8[0], s8[1], 0] = mv1[0]
-            desc.mv_l1[s8[0], s8[1], 1] = mv1[1]
-            desc.coef_y[y0:y0 + 16, x0:x0 + 16] = lvl.astype(np.int16)
-            recon_y[y0:y0 + 16, x0:x0 + 16] = rec
-            cy0, cx0 = y0 // 2, x0 // 2
-            desc.coef_u[cy0:cy0 + 8, cx0:cx0 + 8] = lu_.astype(np.int16)
-            recon_u[cy0:cy0 + 8, cx0:cx0 + 8] = ru_
-            desc.coef_v[cy0:cy0 + 8, cx0:cx0 + 8] = lv_.astype(np.int16)
-            recon_v[cy0:cy0 + 8, cx0:cx0 + 8] = rv_
-    # CU32 layer
+            mv1t = refine_list(x0, y0, 16, f16_1[gy, gx], p16_1, r1[0],
+                               tgt=target)
+            outs_bi = code_bi_cu(x0, y0, 16, mv0, mv1t)
+            cbi = cost_cu(x0, y0, 16, outs_bi[1], outs_bi[0],
+                          mv_rate(mv0[0], mv0[1], p16_0)
+                          + mv_rate(mv1t[0], mv1t[1], p16_1))
+            outs_u0 = code_uni_cu(x0, y0, 16, mv0, r0)
+            cu0 = cost_cu(x0, y0, 16, outs_u0[1], outs_u0[0],
+                          mv_rate(mv0[0], mv0[1], p16_0))
+            mv1s = refine_list(x0, y0, 16, f16_1s[gy, gx], p16_1s, r1[0])
+            outs_u1 = code_uni_cu(x0, y0, 16, mv1s, r1)
+            cu1 = cost_cu(x0, y0, 16, outs_u1[1], outs_u1[0],
+                          mv_rate(mv1s[0], mv1s[1], p16_1s))
+            best = choose([(cbi, 3, mv0, mv1t, outs_bi),
+                           (cu0, 1, mv0, None, outs_u0),
+                           (cu1, 2, None, mv1s, outs_u1)])
+            cost16[gy, gx] = best[0]
+            store_cu(x0, y0, 16, best[1], best[2], best[3], best[4])
+
+    # ---- CU32 layer (same three-way choice; keep CTB32 iff it beats the
+    # sum of its four chosen CU16 codings) ----
     for gy in range(h // 32):
         for gx in range(w // 32):
             x0, y0 = gx * 32, gy * 32
@@ -909,37 +988,28 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             t32[y0:y0 + 32, x0:x0 + 32] = \
                 2 * sy[y0:y0 + 32, x0:x0 + 32] \
                 - np.clip((v0_32 + 32) >> 6, 0, 255)
-            mv1 = refine_list(x0, y0, 32, f32_1[gy, gx], p32_1, r1[0],
-                              tgt=t32)
-            lvl, rec, lu_, ru_, lv_, rv_ = code_cu(x0, y0, 32, mv0, mv1)
-            c32 = cost_bi(x0, y0, 32, mv0, mv1, lvl, rec)
-            c16 = 0.0
-            for sy16 in (y0, y0 + 16):
-                for sx16 in (x0, x0 + 16):
-                    u8y, u8x = sy16 // 8, sx16 // 8
-                    m0 = (int(desc.mv[u8y, u8x, 0]), int(desc.mv[u8y, u8x, 1]))
-                    m1 = (int(desc.mv_l1[u8y, u8x, 0]),
-                          int(desc.mv_l1[u8y, u8x, 1]))
-                    c16 += cost_bi(
-                        sx16, sy16, 16, m0, m1,
-                        desc.coef_y[sy16:sy16 + 16, sx16:sx16 + 16],
-                        recon_y[sy16:sy16 + 16, sx16:sx16 + 16])
-            if not (c32 <= c16):
+            mv1t = refine_list(x0, y0, 32, f32_1[gy, gx], p32_1, r1[0],
+                               tgt=t32)
+            outs_bi = code_bi_cu(x0, y0, 32, mv0, mv1t)
+            cbi = cost_cu(x0, y0, 32, outs_bi[1], outs_bi[0],
+                          mv_rate(mv0[0], mv0[1], p32_0)
+                          + mv_rate(mv1t[0], mv1t[1], p32_1))
+            outs_u0 = code_uni_cu(x0, y0, 32, mv0, r0)
+            cu0 = cost_cu(x0, y0, 32, outs_u0[1], outs_u0[0],
+                          mv_rate(mv0[0], mv0[1], p32_0))
+            mv1s = refine_list(x0, y0, 32, f32_1s[gy, gx], p32_1s, r1[0])
+            outs_u1 = code_uni_cu(x0, y0, 32, mv1s, r1)
+            cu1 = cost_cu(x0, y0, 32, outs_u1[1], outs_u1[0],
+                          mv_rate(mv1s[0], mv1s[1], p32_1s))
+            best = choose([(cbi, 3, mv0, mv1t, outs_bi),
+                           (cu0, 1, mv0, None, outs_u0),
+                           (cu1, 2, None, mv1s, outs_u1)])
+            c16 = float(cost16[2 * gy:2 * gy + 2, 2 * gx:2 * gx + 2].sum())
+            if not (best[0] <= c16):
                 continue
-            sl8 = (slice(y0 // 8, y0 // 8 + 4), slice(x0 // 8, x0 // 8 + 4))
-            desc.cu_depth[sl8] = 0
-            desc.mv[sl8[0], sl8[1], 0] = mv0[0]
-            desc.mv[sl8[0], sl8[1], 1] = mv0[1]
-            desc.mv_l1[sl8[0], sl8[1], 0] = mv1[0]
-            desc.mv_l1[sl8[0], sl8[1], 1] = mv1[1]
-            desc.coef_y[y0:y0 + 32, x0:x0 + 32] = lvl.astype(np.int16)
-            recon_y[y0:y0 + 32, x0:x0 + 32] = rec
-            cy0, cx0 = y0 // 2, x0 // 2
-            desc.coef_u[cy0:cy0 + 16, cx0:cx0 + 16] = lu_.astype(np.int16)
-            recon_u[cy0:cy0 + 16, cx0:cx0 + 16] = ru_
-            desc.coef_v[cy0:cy0 + 16, cx0:cx0 + 16] = lv_.astype(np.int16)
-            recon_v[cy0:cy0 + 16, cx0:cx0 + 16] = rv_
-    select_inter_syntax_tree(ps, desc, is_b=True)
+            desc.cu_depth[y0 // 8:y0 // 8 + 4, x0 // 8:x0 // 8 + 4] = 0
+            store_cu(x0, y0, 32, best[1], best[2], best[3], best[4])
+    select_inter_syntax_tree(ps, desc, is_b=True, dists=dists)
     if ps.deblocking_enabled:
         recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
     return desc, recon_y, recon_u, recon_v

@@ -155,6 +155,176 @@ def merge_candidates_bi(mf: MotionField, x0: int, y0: int, n: int,
     return cands, len(cands)
 
 
+def scale_mv(mvx: int, mvy: int, tb: int, td: int):
+    """Spec 8.5.3.2.6 / 8.5.3.2.8 POC-distance MV scaling.
+
+    tb = POC(cur) - POC(target ref), td = POC(cur) - POC(neighbour ref);
+    exact integer arithmetic of the spec (tx division truncates toward
+    zero like C; >> is arithmetic). Twin implementations: native
+    hevcenc.cpp scale_mv and hevc/parse.py."""
+    if tb == td:
+        return (mvx, mvy)
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // -td)
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+    def one(v):
+        p = dsf * v
+        s = ((abs(p) + 127) >> 8)
+        return max(-32768, min(32767, s if p >= 0 else -s))
+    return (one(mvx), one(mvy))
+
+
+def lists_at(mf: MotionField, x: int, y: int):
+    """(has0, mv0, has1, mv1) of the 8x8 unit at luma pixel (x, y), or
+    None when outside / intra / not coded. Mixed-direction aware: a list
+    is present iff its ref index is >= 0."""
+    h8, w8 = mf.ref.shape
+    ux, uy = x >> 3, y >> 3
+    if x < 0 or y < 0 or ux >= w8 or uy >= h8:
+        return None
+    h0 = mf.ref[uy, ux] >= 0
+    r1 = mf.ref1 if mf.ref1 is not None else None
+    h1 = (r1 is not None and r1[uy, ux] >= 0 and mf.mv1 is not None)
+    if not (h0 or h1):
+        return None
+    mv0 = (int(mf.mv[uy, ux, 0]), int(mf.mv[uy, ux, 1])) if h0 else None
+    mv1 = (int(mf.mv1[uy, ux, 0]), int(mf.mv1[uy, ux, 1])) if h1 else None
+    return (h0, mv0, h1, mv1)
+
+
+def amvp_candidates_2(mf: MotionField, x0: int, y0: int, n: int,
+                      ctu: int, pic_w: int, pic_h: int,
+                      lx: int, dists) -> list:
+    """Two-list spatial AMVP with POC-distance scaling (spec 8.5.3.2.6,
+    HM xEstimateMvPredAMVP order). Returns the 2-entry list for list
+    `lx`; dists = (POC(cur)-POC(ref L0), POC(cur)-POC(ref L1)), one
+    reference per list (refidx 0).
+
+    Neighbour priority: A = first same-POC hit over (A0, A1) in (LX, LY)
+    order; if none and any A neighbour is coded inter, the first motion
+    over (A0, A1) scaled by distance ratio. B = same-POC over (B0, B1,
+    B2); the scaled B pass runs only when NO A neighbour exists
+    (isScaledFlagLX == 0). Reference analog: POC scaling at
+    hmr_motion_inter.c:2218."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return lists_at(mf, x, y)
+
+    A = [nb(x0 - 1, y0 + n), nb(x0 - 1, y0 + n - 1)]
+    Bc = [nb(x0 + n, y0 - 1), nb(x0 + n - 1, y0 - 1), nb(x0 - 1, y0 - 1)]
+    ly = 1 - lx
+
+    def get(c, l):
+        has = (c[0], c[2])[l]
+        mv = (c[1], c[3])[l]
+        return has, mv
+
+    def same_poc(c):
+        if c is None:
+            return None
+        hx, mx = get(c, lx)
+        if hx:
+            return mx                      # same list, refidx 0: same pic
+        hy, my = get(c, ly)
+        if hy and dists[ly] == dists[lx]:
+            return my
+        return None
+
+    def scaled(c):
+        if c is None:
+            return None
+        hx, mx = get(c, lx)
+        if hx:
+            return mx
+        hy, my = get(c, ly)
+        if hy:
+            return scale_mv(my[0], my[1], dists[lx], dists[ly])
+        return None
+
+    mv_a = next((r for r in map(same_poc, A) if r is not None), None)
+    avail_a = any(c is not None for c in A)
+    if mv_a is None and avail_a:
+        mv_a = next((r for r in map(scaled, A) if r is not None), None)
+    mv_b = next((r for r in map(same_poc, Bc) if r is not None), None)
+    if mv_b is None and not avail_a:
+        mv_b = next((r for r in map(scaled, Bc) if r is not None), None)
+
+    lst = []
+    if mv_a is not None:
+        lst.append(mv_a)
+    if mv_b is not None and (mv_a is None or mv_b != mv_a):
+        lst.append(mv_b)
+    while len(lst) < 2:
+        lst.append((0, 0))
+    return lst[:2]
+
+
+def merge_candidates_b(mf: MotionField, x0: int, y0: int, n: int,
+                       ctu: int, pic_w: int, pic_h: int, dists,
+                       max_cand: int = MERGE_MAX) -> list:
+    """Full B-slice merge list with mixed prediction directions (spec
+    8.5.3.2.3 spatial + 8.5.3.2.4 combined bi + zero fill). Entries are
+    (dir, mv0, mv1) with dir a bitmask (1 = L0, 2 = L1, 3 = BI) and mvN
+    an (x, y) tuple or None. Pruning compares the FULL motion. The
+    encoder may select any index: the list is exactly what a conformant
+    decoder derives (refidx 0 per list, no TMVP)."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        c = lists_at(mf, x, y)
+        if c is None:
+            return None
+        d = (1 if c[0] else 0) | (2 if c[2] else 0)
+        return (d, c[1], c[3])
+
+    a1 = nb(x0 - 1, y0 + n - 1)
+    b1 = nb(x0 + n - 1, y0 - 1)
+    b0 = nb(x0 + n, y0 - 1)
+    a0 = nb(x0 - 1, y0 + n)
+    b2 = nb(x0 - 1, y0 - 1)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    cands = cands[:max_cand]
+    # combined bi-predictive candidates (spec 8.5.3.2.4 l0/l1CandIdx)
+    comb = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+            (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+    nc = len(cands)
+    for i0, i1 in comb:
+        if len(cands) >= max_cand:
+            break
+        if i0 >= nc or i1 >= nc:
+            continue
+        c0, c1 = cands[i0], cands[i1]
+        if not (c0[0] & 1) or not (c1[0] & 2):
+            continue
+        m0, m1 = c0[1], c1[2]
+        # valid iff the two halves differ (different ref pic or mv)
+        if dists[0] == dists[1] and m0 == m1:
+            continue
+        cand = (3, m0, m1)
+        cands.append(cand)
+    while len(cands) < max_cand:
+        cands.append((3, (0, 0), (0, 0)))
+    return cands[:max_cand]
+
+
 def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,
                     ctu: int, pic_w: int, pic_h: int):
     """AMVP list (2 entries) for ref 0 (spec 8.5.3.2.5-8). Single-ref

@@ -25,9 +25,16 @@ class SliceDataParser:
     def __init__(self, ps: ParamSets, width: int, height: int,
                  dec: CabacDecoder, slice_type: int = SLICE_I,
                  slice_qp: int = 32, trace: bool = False,
-                 sao_enabled: bool = False, mvd_l1_zero: bool = False):
+                 sao_enabled: bool = False, mvd_l1_zero: bool = False,
+                 ref_dists=(1, 1)):
         self.ps = ps
         self.d = FrameDesc.alloc(width, height)
+        # POC distances of each list's first ref (AMVP scaling, B slices)
+        self.ref_dists = tuple(ref_dists)
+        if slice_type == SLICE_B:
+            self.d.mv_l1 = np.zeros_like(self.d.mv)
+            self.d.mvp_flag_l1 = np.zeros_like(self.d.mvp_flag)
+            self.d.inter_dir = np.zeros(self.d.pred_mode.shape, np.uint8)
         self.e = dec
         self.slice_type = slice_type
         self.slice_qp = slice_qp
@@ -240,19 +247,43 @@ class SliceDataParser:
         import numpy as np
         mf = MotionField(*self.d.pred_mode.shape)
         mf.mv = self.d.mv
-        mf.ref = np.where((self.d.pred_mode == MODE_INTER)
-                          & self._coded_mask, 0, -1)
+        coded_inter = (self.d.pred_mode == MODE_INTER) & self._coded_mask
+        if self.d.inter_dir is not None:
+            mf.ref = np.where(coded_inter & ((self.d.inter_dir & 1) != 0),
+                              0, -1)
+            mf.mv1 = self.d.mv_l1
+            mf.ref1 = np.where(coded_inter & ((self.d.inter_dir & 2) != 0),
+                               0, -1)
+        else:
+            mf.ref = np.where(coded_inter, 0, -1)
         return mf
 
     def _apply_merge(self, x0, y0, size, idx, sl8):
-        from homerhevc_tpu.hevc.inter import merge_candidates
+        from homerhevc_tpu.hevc.inter import (merge_candidates,
+                                              merge_candidates_b)
         mf = self._motion_field()
+        self.d.merge_idx[sl8] = idx
+        if self.slice_type == SLICE_B and self.d.inter_dir is not None:
+            cands = merge_candidates_b(mf, x0, y0, size, self.ps.ctu_size,
+                                       self.d.width, self.d.height,
+                                       self.ref_dists)
+            cdir, m0, m1 = cands[idx]
+            self.d.inter_dir[sl8] = cdir
+            if cdir & 1:
+                self.d.mv[sl8[0], sl8[1], 0] = m0[0]
+                self.d.mv[sl8[0], sl8[1], 1] = m0[1]
+            if cdir & 2:
+                self.d.mv_l1[sl8[0], sl8[1], 0] = m1[0]
+                self.d.mv_l1[sl8[0], sl8[1], 1] = m1[1]
+            self._mark_coded(sl8)
+            return
         cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
                                     self.d.width, self.d.height)
         mv = cands[idx]
-        self.d.merge_idx[sl8] = idx
         self.d.mv[sl8[0], sl8[1], 0] = mv[0]
         self.d.mv[sl8[0], sl8[1], 1] = mv[1]
+        if self.d.inter_dir is not None:
+            self.d.inter_dir[sl8] = 1
         self._mark_coded(sl8)
 
     def _mark_coded(self, sl8):
@@ -320,6 +351,10 @@ class SliceDataParser:
             if not bi:
                 lst = e.decode_bin(OFF["inter_dir"] + 4)
         self.pu_stats["bi" if bi else ("l1" if lst else "l0")] += 1
+        from homerhevc_tpu.hevc.inter import (amvp_candidates,
+                                              amvp_candidates_2)
+        two_list = d.inter_dir is not None and self.slice_type == SLICE_B
+        cdir = 3 if bi else (2 if lst else 1)
         mv = None
         for ref_list in ((0, 1) if bi else (lst,)):
             if bi and ref_list == 1 and self.mvd_l1_zero:
@@ -327,14 +362,27 @@ class SliceDataParser:
             else:
                 mvd_x, mvd_y = self._parse_mvd()
             f = e.decode_bin(OFF["mvp_idx"])
-            from homerhevc_tpu.hevc.inter import amvp_candidates
-            mvp = amvp_candidates(self._motion_field(), x0, y0, max(pw, ph),
-                                  ps.ctu_size, d.width, d.height)
-            if mv is None:  # keep L0 (or the single list) in the map
-                mv = (mvp[f][0] + mvd_x, mvp[f][1] + mvd_y)
+            if two_list:
+                mvp = amvp_candidates_2(self._motion_field(), x0, y0,
+                                        max(pw, ph), ps.ctu_size, d.width,
+                                        d.height, ref_list, self.ref_dists)
+            else:
+                mvp = amvp_candidates(self._motion_field(), x0, y0,
+                                      max(pw, ph), ps.ctu_size, d.width,
+                                      d.height)
+            mvv = (mvp[f][0] + mvd_x, mvp[f][1] + mvd_y)
+            if two_list and ref_list == 1:
+                d.mv_l1[sl8[0], sl8[1], 0] = mvv[0]
+                d.mv_l1[sl8[0], sl8[1], 1] = mvv[1]
+                d.mvp_flag_l1[sl8] = f
+            elif mv is None:
+                mv = mvv
                 d.mvp_flag[sl8] = f
-        d.mv[sl8[0], sl8[1], 0] = mv[0]
-        d.mv[sl8[0], sl8[1], 1] = mv[1]
+        if mv is not None:
+            d.mv[sl8[0], sl8[1], 0] = mv[0]
+            d.mv[sl8[0], sl8[1], 1] = mv[1]
+        if d.inter_dir is not None:
+            d.inter_dir[sl8] = cdir if self.slice_type == SLICE_B else 1
         d.inter_mode[sl8] = 2
         self._mark_coded(sl8)
         return False

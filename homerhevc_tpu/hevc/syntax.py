@@ -73,10 +73,12 @@ class FrameDesc:
     mvp_flag: Optional[np.ndarray] = None
     mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel (L0)
     root_cbf: Optional[np.ndarray] = None
-    # B slices: list-1 motion + mvp flag; this build codes every inter CU
-    # of a B frame bi-predicted (see hevc/inter.py MotionField docstring)
+    # B slices: list-1 motion + mvp flag
     mv_l1: Optional[np.ndarray] = None       # (h8,w8,2) quarter-pel (L1)
     mvp_flag_l1: Optional[np.ndarray] = None
+    # per-unit prediction direction bitmask (1=L0, 2=L1, 3=BI); None means
+    # all-BI when mv_l1 is present, else all-L0 (backward compatible)
+    inter_dir: Optional[np.ndarray] = None
     # analysis side-channel: exact per-row luma SSD vs source (int32),
     # computed on device so the host never pulls recon just for the
     # avg_dist zero-forcing feedback
@@ -146,7 +148,7 @@ class SliceDataEncoder:
 
     def __init__(self, ps: ParamSets, desc: FrameDesc, enc: CabacEncoder,
                  slice_type: int = SLICE_I, slice_qp: int = 32,
-                 sao_params=None):
+                 sao_params=None, ref_dists=(1, 1)):
         self.ps = ps
         self.d = desc
         self.e = enc
@@ -155,6 +157,9 @@ class SliceDataEncoder:
         self.sao = sao_params  # SaoFrameParams (slice sao flags on) or None
         self.ctu_size = ps.ctu_size
         self.min_cb = 1 << ps.log2_min_cb
+        # POC distances (cur - ref) of the first entry of each list; feeds
+        # the AMVP spatial-scaling branch (spec 8.5.3.2.6)
+        self.ref_dists = tuple(ref_dists)
         # cu_qp_delta state
         self.qp_pred = slice_qp
         self.cu_qp_delta_coded = False
@@ -164,10 +169,16 @@ class SliceDataEncoder:
             from homerhevc_tpu.hevc.inter import MotionField
             mf = MotionField(*desc.pred_mode.shape)
             mf.mv = desc.mv
-            mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)
+            inter = desc.pred_mode == MODE_INTER
+            dirs = desc.inter_dir
+            if dirs is None:
+                dirs = np.full(desc.pred_mode.shape,
+                               3 if desc.mv_l1 is not None else 1, np.uint8)
+            self.dirs = dirs
+            mf.ref = np.where(inter & ((dirs & 1) != 0), 0, -1)
             if desc.mv_l1 is not None:
                 mf.mv1 = desc.mv_l1
-                mf.ref1 = mf.ref
+                mf.ref1 = np.where(inter & ((dirs & 2) != 0), 0, -1)
             self.motion_field = mf
 
     # ---- neighbor helpers --------------------------------------------------
@@ -348,27 +359,39 @@ class SliceDataEncoder:
         if mode == 1:
             self._encode_merge_idx(int(d.merge_idx[uy, ux]))
         else:
-            from homerhevc_tpu.hevc.inter import amvp_candidates
-            bi = self.slice_type == SLICE_B and d.mv_l1 is not None
+            from homerhevc_tpu.hevc.inter import (amvp_candidates,
+                                                  amvp_candidates_2)
+            n = 1 << log2_size
+            if self.slice_type == SLICE_B and d.mv_l1 is not None:
+                cdir = int(self.dirs[uy, ux])
+            else:
+                cdir = 1
             if self.slice_type == SLICE_B:
                 # inter_pred_idc (9.3.3.7): bin0 = BI (ctx by CU depth);
-                # uni adds bin1 = L1 (ctx 4). This build's B CUs are all
-                # bi-predicted when mv_l1 is present.
+                # uni adds bin1 = L1 (ctx 4)
                 depth = int(d.cu_depth[uy, ux])
-                e.encode_bin(OFF["inter_dir"] + depth, int(bi))
-                if not bi:
-                    e.encode_bin(OFF["inter_dir"] + 4, 0)  # PRED_L0
-            mvp = amvp_candidates(self.motion_field, x0, y0, 1 << log2_size,
-                                  ps.ctu_size, d.width, d.height)
-            f = int(d.mvp_flag[uy, ux])
-            mvd_x = int(d.mv[uy, ux, 0]) - mvp[f][0]
-            mvd_y = int(d.mv[uy, ux, 1]) - mvp[f][1]
-            self._encode_mvd(mvd_x, mvd_y)
-            e.encode_bin(OFF["mvp_idx"], f)
-            if bi:
-                mvp1 = amvp_candidates(self.motion_field.l1_view(), x0, y0,
-                                       1 << log2_size, ps.ctu_size,
-                                       d.width, d.height)
+                e.encode_bin(OFF["inter_dir"] + depth, int(cdir == 3))
+                if cdir != 3:
+                    e.encode_bin(OFF["inter_dir"] + 4, int(cdir == 2))
+            if self.slice_type == SLICE_B and d.mv_l1 is not None:
+                # mixed-direction neighbours: per-list AMVP with the
+                # spec 8.5.3.2.6 POC-distance scaling branch
+                def mvp_list(lx):
+                    return amvp_candidates_2(
+                        self.motion_field, x0, y0, n, ps.ctu_size,
+                        d.width, d.height, lx, self.ref_dists)
+            else:
+                def mvp_list(lx):
+                    return amvp_candidates(self.motion_field, x0, y0, n,
+                                           ps.ctu_size, d.width, d.height)
+            if cdir & 1:
+                mvp = mvp_list(0)
+                f = int(d.mvp_flag[uy, ux])
+                self._encode_mvd(int(d.mv[uy, ux, 0]) - mvp[f][0],
+                                 int(d.mv[uy, ux, 1]) - mvp[f][1])
+                e.encode_bin(OFF["mvp_idx"], f)
+            if cdir & 2:
+                mvp1 = mvp_list(1)
                 f1 = int(d.mvp_flag_l1[uy, ux])
                 self._encode_mvd(int(d.mv_l1[uy, ux, 0]) - mvp1[f1][0],
                                  int(d.mv_l1[uy, ux, 1]) - mvp1[f1][1])

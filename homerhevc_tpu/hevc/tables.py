@@ -81,6 +81,11 @@ def chroma_qp(qp_y_plus_offset: int) -> int:
     return _CHROMA_QP_TAB[q - 30]
 
 
+# Lookup-table twins for traced (device-input) QP: indexing these with a
+# traced scalar replaces the Python branches above inside jit.
+CHROMA_QP_MAP = np.asarray([chroma_qp(q) for q in range(58)], np.int32)
+
+
 # --- RD lambda (HM-style; reference hmr_tables.c:315-374) -------------------
 
 def rd_lambda(qp: int, slice_type: str = "I") -> float:
@@ -114,6 +119,14 @@ def _mvd_bits_one(v: int) -> int:
 
 # mvd rate table (quarter-pel units). Indexed by |mvd| clamped to the end.
 MVD_BITS = np.asarray([_mvd_bits_one(v) for v in range(2048)], np.int32)
+
+# per-QP lambda tables for traced-QP device programs (index with qp 0..51)
+LAMBDA_ME_X16_TAB = np.asarray([lambda_me_x16(q) for q in range(52)],
+                               np.int32)
+RD_LAMBDA_P_TAB = np.asarray([rd_lambda(q, "P") for q in range(52)],
+                             np.float32)
+RD_LAMBDA_I_TAB = np.asarray([rd_lambda(q, "I") for q in range(52)],
+                             np.float32)
 
 
 # --- Scan orders (spec 6.5.3 up-right diagonal, 6.5.4 hor/ver) --------------

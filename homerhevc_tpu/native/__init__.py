@@ -62,11 +62,12 @@ def get_lib():
     lib.hevcenc_encode_slice2.restype = ctypes.c_long
     lib.hevcenc_encode_slice2.argtypes = (
         [ctypes.c_char_p]
-        + [ctypes.c_int] * 11
+        + [ctypes.c_int] * 13            # geometry/flags + dist0/dist1
         + [ctypes.c_char_p] * 6          # cu_depth..pred_mode
         + [_I32P] * 3                    # coef planes (int16)
         + [ctypes.c_char_p] * 5 + [_I32P]  # inter maps + mv
-        + [_I32P, ctypes.c_char_p]       # mv_l1 + mvp_flag_l1 (B, all-bi)
+        + [_I32P, ctypes.c_char_p]       # mv_l1 + mvp_flag_l1 (B)
+        + [ctypes.c_char_p]              # inter_dir (B, mixed uni/bi)
         + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
         + [_I32P, ctypes.c_long, _I32P])
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
@@ -101,9 +102,10 @@ def unpack_sparse8_native(bitmap, vals8, esc_idx, esc_val, n_total: int,
 
 def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
                         slice_type: int = 2, sao_params=None,
-                        wpp: bool = False):
+                        wpp: bool = False, ref_dists=(1, 1)):
     """Run the C++ serializer. Returns payload bytes, or (payload,
-    row_sizes) when wpp. None if the library is unavailable."""
+    row_sizes) when wpp. None if the library is unavailable.
+    ref_dists: POC(cur) - POC(first ref) per list (AMVP scaling)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -128,6 +130,7 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         mvp1 = b(desc.mvp_flag_l1)
     else:
         pmv1, mvp1 = None, None
+    idir = b(desc.inter_dir) if desc.inter_dir is not None else None
     if sao_params is not None:
         sp = sao_params
         sml = b(sp.merge_left.astype(np.uint8))
@@ -148,13 +151,14 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         ps.log2_min_tb, ps.log2_max_tb,
         ps.max_tr_depth_intra, ps.max_tr_depth_inter,
         int(sign_hiding), slice_type, int(wpp),
+        int(ref_dists[0]), int(ref_dists[1]),
         b(desc.cu_depth), b(desc.part_nxn.astype(np.uint8)),
         b(desc.luma_mode), b(desc.chroma_mode), b(desc.tr_depth),
         b(desc.pred_mode),
         py_, pu_, pv_,
         b(desc.skip), b(desc.inter_mode), b(desc.merge_idx),
         b(desc.mvp_flag), b(desc.root_cbf), pmv,
-        pmv1, mvp1,
+        pmv1, mvp1, idir,
         sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
         out.ctypes.data_as(ctypes.c_void_p), cap,
         row_sizes.ctypes.data_as(ctypes.c_void_p))

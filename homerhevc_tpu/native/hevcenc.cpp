@@ -12,6 +12,7 @@
 // Build: g++ -O3 -shared -fPIC -o libhevcenc.so hevcenc.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -222,8 +223,9 @@ struct Params {
   int sign_hiding;      // SBH_THRESHOLD gate uses quant-adjusted levels
   int cu_qp_delta;      // not supported yet (must be 0)
   int slice_qp;
-  int slice_type;       // 2 = I, 1 = P
+  int slice_type;       // 2 = I, 1 = P, 0 = B
   int wpp;              // entropy_coding_sync substreams
+  int dist0, dist1;     // POC(cur) - POC(first ref) per list (AMVP scaling)
 };
 
 struct Desc {
@@ -232,9 +234,12 @@ struct Desc {
   // inter maps (P slices; may be null for I)
   const uint8_t *skip, *inter_mode, *merge_idx, *mvp_flag, *root_cbf;
   const int32_t *mv;     // (h8, w8, 2)
-  // B slices, all-bi coding (null for P / L0-uni B)
+  // B slices: list-1 motion (null for P / L0-uni B)
   const int32_t *mv_l1;
   const uint8_t *mvp_flag_l1;
+  // per-unit prediction direction bitmask (1=L0, 2=L1, 3=BI); null = all
+  // BI when mv_l1 is set, else all L0 (twin of FrameDesc.inter_dir)
+  const uint8_t *inter_dir;
   const uint8_t *pred_mode;  // 0 = inter, 1 = intra
   // SAO per-CTU params (may be null)
   const uint8_t *sao_merge_left, *sao_merge_up;
@@ -566,6 +571,92 @@ struct Enc {
     while (cnt < 5) out[cnt++] = MV{0, 0, 0};
     return 5;
   }
+  int dir_at(int x, int y) const {
+    // direction bitmask of an inter unit (1=L0, 2=L1, 3=BI)
+    if (d.inter_dir) return d.inter_dir[(y >> 3) * d.w8 + (x >> 3)];
+    return d.mv_l1 ? 3 : 1;
+  }
+  // spec 8.5.3.2.6 / 8.5.3.2.8 POC-distance MV scaling (twin of
+  // hevc/inter.py scale_mv)
+  static int scale_one(int v, int tb, int td) {
+    if (td < -128) td = -128; if (td > 127) td = 127;
+    if (tb < -128) tb = -128; if (tb > 127) tb = 127;
+    int q = 16384 + (std::abs(td) >> 1);
+    int tx = q / td;                       // C division: trunc toward zero
+    long dsf = ((long)tb * tx + 32) >> 6;
+    if (dsf < -4096) dsf = -4096; if (dsf > 4095) dsf = 4095;
+    long p = dsf * v;
+    long s = (std::labs(p) + 127) >> 8;
+    long r = p >= 0 ? s : -s;
+    if (r < -32768) r = -32768; if (r > 32767) r = 32767;
+    return (int)r;
+  }
+  struct Lists { bool h0, h1; MV m0, m1; };
+  bool lists_at(int x, int y, int cx0, int cy0, Lists* out) const {
+    if (x < 0 || y < 0 || x >= p.width || y >= p.height) return false;
+    if (!coded_before(x, y, cx0, cy0)) return false;
+    int u = (y >> 3) * d.w8 + (x >> 3);
+    if (d.pred_mode && d.pred_mode[u] != 0) return false;  // intra
+    int dir = d.inter_dir ? d.inter_dir[u] : (d.mv_l1 ? 3 : 1);
+    out->h0 = (dir & 1) != 0;
+    out->h1 = (dir & 2) != 0 && d.mv_l1 != nullptr;
+    if (out->h0) out->m0 = MV{d.mv[2 * u], d.mv[2 * u + 1], 0};
+    if (out->h1) out->m1 = MV{d.mv_l1[2 * u], d.mv_l1[2 * u + 1], 0};
+    return out->h0 || out->h1;
+  }
+  // two-list spatial AMVP with scaling (twin of hevc/inter.py
+  // amvp_candidates_2; HM xEstimateMvPredAMVP order)
+  void amvp_list_2(int x0, int y0, int n, int lx, MV out[2]) const {
+    int dists[2] = {p.dist0, p.dist1};
+    int ly = 1 - lx;
+    Lists A[2], B[3];
+    bool hA[2], hB[3];
+    hA[0] = lists_at(x0 - 1, y0 + n, x0, y0, &A[0]);
+    hA[1] = lists_at(x0 - 1, y0 + n - 1, x0, y0, &A[1]);
+    hB[0] = lists_at(x0 + n, y0 - 1, x0, y0, &B[0]);
+    hB[1] = lists_at(x0 + n - 1, y0 - 1, x0, y0, &B[1]);
+    hB[2] = lists_at(x0 - 1, y0 - 1, x0, y0, &B[2]);
+    auto same_poc = [&](const Lists& c, MV* mv) {
+      bool hx = lx == 0 ? c.h0 : c.h1;
+      const MV& mx = lx == 0 ? c.m0 : c.m1;
+      if (hx) { *mv = mx; return true; }
+      bool hy = lx == 0 ? c.h1 : c.h0;
+      const MV& my = lx == 0 ? c.m1 : c.m0;
+      if (hy && dists[ly] == dists[lx]) { *mv = my; return true; }
+      return false;
+    };
+    auto scaled = [&](const Lists& c, MV* mv) {
+      bool hx = lx == 0 ? c.h0 : c.h1;
+      const MV& mx = lx == 0 ? c.m0 : c.m1;
+      if (hx) { *mv = mx; return true; }
+      bool hy = lx == 0 ? c.h1 : c.h0;
+      const MV& my = lx == 0 ? c.m1 : c.m0;
+      if (hy) {
+        *mv = MV{scale_one(my.x, dists[lx], dists[ly]),
+                 scale_one(my.y, dists[lx], dists[ly]), 0};
+        return true;
+      }
+      return false;
+    };
+    bool have_a = false, have_b = false;
+    MV mva{0, 0, 0}, mvb{0, 0, 0};
+    for (int k = 0; k < 2 && !have_a; k++)
+      if (hA[k] && same_poc(A[k], &mva)) have_a = true;
+    bool avail_a = hA[0] || hA[1];
+    if (!have_a && avail_a)
+      for (int k = 0; k < 2 && !have_a; k++)
+        if (hA[k] && scaled(A[k], &mva)) have_a = true;
+    for (int k = 0; k < 3 && !have_b; k++)
+      if (hB[k] && same_poc(B[k], &mvb)) have_b = true;
+    if (!have_b && !avail_a)
+      for (int k = 0; k < 3 && !have_b; k++)
+        if (hB[k] && scaled(B[k], &mvb)) have_b = true;
+    int cnt = 0;
+    if (have_a) out[cnt++] = mva;
+    if (have_b && (!have_a || mvb.x != mva.x || mvb.y != mva.y))
+      out[cnt++] = mvb;
+    while (cnt < 2) out[cnt++] = MV{0, 0, 0};
+  }
   void amvp_list_of(const int32_t* mvarr, int x0, int y0, int n,
                     MV out[2]) const {
     MV a0, a1, b0, b1, b2, mva, mvb;
@@ -615,22 +706,26 @@ struct Enc {
     if (mode == 1) {
       encode_merge_idx(d.merge_idx[u]);
     } else {
-      bool bi = p.slice_type == 0 && d.mv_l1 != nullptr;
+      bool b_lists = p.slice_type == 0 && d.mv_l1 != nullptr;
+      int cdir = b_lists ? dir_at(x0, y0) : 1;
       if (p.slice_type == 0) {
         // inter_pred_idc (9.3.3.7): bin0 = BI (ctx by depth); uni adds
-        // bin1 = L1. All-bi B coding when mv_l1 is provided.
+        // bin1 = L1 (ctx 4)
         int depth = d.cu_depth[u];
-        c.bin(INTER_DIR + depth, bi ? 1 : 0);
-        if (!bi) c.bin(INTER_DIR + 4, 0);
+        c.bin(INTER_DIR + depth, cdir == 3 ? 1 : 0);
+        if (cdir != 3) c.bin(INTER_DIR + 4, cdir == 2 ? 1 : 0);
       }
-      MV mvp[2];
-      amvp_list(x0, y0, 1 << log2, mvp);
-      int f = d.mvp_flag[u];
-      encode_mvd(d.mv[2 * u] - mvp[f].x, d.mv[2 * u + 1] - mvp[f].y);
-      c.bin(MVP_IDX, f);
-      if (bi) {
+      if (cdir & 1) {
+        MV mvp[2];
+        if (b_lists) amvp_list_2(x0, y0, 1 << log2, 0, mvp);
+        else amvp_list(x0, y0, 1 << log2, mvp);
+        int f = d.mvp_flag[u];
+        encode_mvd(d.mv[2 * u] - mvp[f].x, d.mv[2 * u + 1] - mvp[f].y);
+        c.bin(MVP_IDX, f);
+      }
+      if (cdir & 2) {
         MV mvp1[2];
-        amvp_list_of(d.mv_l1, x0, y0, 1 << log2, mvp1);
+        amvp_list_2(x0, y0, 1 << log2, 1, mvp1);
         int f1 = d.mvp_flag_l1[u];
         encode_mvd(d.mv_l1[2 * u] - mvp1[f1].x,
                    d.mv_l1[2 * u + 1] - mvp1[f1].y);
@@ -786,7 +881,7 @@ long hevcenc_encode_slice2(
     int width, int height, int log2_ctu, int log2_min_cb,
     int log2_min_tb, int log2_max_tb,
     int max_tr_depth_intra, int max_tr_depth_inter,
-    int sign_hiding, int slice_type, int wpp,
+    int sign_hiding, int slice_type, int wpp, int dist0, int dist1,
     const uint8_t* cu_depth, const uint8_t* part_nxn,
     const uint8_t* luma_mode, const uint8_t* chroma_mode,
     const uint8_t* tr_depth, const uint8_t* pred_mode,
@@ -794,6 +889,7 @@ long hevcenc_encode_slice2(
     const uint8_t* skip, const uint8_t* inter_mode, const uint8_t* merge_idx,
     const uint8_t* mvp_flag, const uint8_t* root_cbf, const int32_t* mv,
     const int32_t* mv_l1, const uint8_t* mvp_flag_l1,
+    const uint8_t* inter_dir,
     const uint8_t* sao_merge_left, const uint8_t* sao_merge_up,
     const int32_t* sao_type_l, const int32_t* sao_type_c,
     const int32_t* sao_eo_l, const int32_t* sao_eo_c,
@@ -802,7 +898,7 @@ long hevcenc_encode_slice2(
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
                log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
-               sign_hiding, 0, 0, slice_type, wpp};
+               sign_hiding, 0, 0, slice_type, wpp, dist0, dist1};
   e.d.cu_depth = cu_depth; e.d.part_nxn = part_nxn;
   e.d.luma_mode = luma_mode; e.d.chroma_mode = chroma_mode;
   e.d.tr_depth = tr_depth; e.d.pred_mode = pred_mode;
@@ -810,6 +906,7 @@ long hevcenc_encode_slice2(
   e.d.skip = skip; e.d.inter_mode = inter_mode; e.d.merge_idx = merge_idx;
   e.d.mvp_flag = mvp_flag; e.d.root_cbf = root_cbf; e.d.mv = mv;
   e.d.mv_l1 = mv_l1; e.d.mvp_flag_l1 = mvp_flag_l1;
+  e.d.inter_dir = inter_dir;
   e.d.sao_merge_left = sao_merge_left; e.d.sao_merge_up = sao_merge_up;
   e.d.sao_type_l = sao_type_l; e.d.sao_type_c = sao_type_c;
   e.d.sao_eo_l = sao_eo_l; e.d.sao_eo_c = sao_eo_c;

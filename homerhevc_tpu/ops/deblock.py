@@ -93,11 +93,18 @@ def _luma_vertical_pass(x, bsize, beta, tc):
     return x.at[:, cols].set(ns)
 
 
-def deblock_luma_uniform(plane: jnp.ndarray, bsize: int, qp: int,
+def deblock_luma_uniform(plane: jnp.ndarray, bsize: int, qp,
                          beta_offset: int = 0, tc_offset: int = 0):
-    """plane: (H, W) int32, uniform TU grid of `bsize`, BS=2 everywhere."""
-    beta = int(BETA_TABLE[min(max(0, qp + beta_offset * 2), 51)])
-    tc = int(TC_TABLE[min(max(0, qp + 2 + tc_offset * 2), 53)])
+    """plane: (H, W) int32, uniform TU grid of `bsize`, BS=2 everywhere.
+    qp may be a Python int or a traced int32 scalar."""
+    if isinstance(qp, (int, np.integer)):
+        beta = int(BETA_TABLE[min(max(0, qp + beta_offset * 2), 51)])
+        tc = int(TC_TABLE[min(max(0, qp + 2 + tc_offset * 2), 53)])
+    else:
+        beta = jnp.asarray(BETA_TABLE, jnp.int32)[
+            jnp.clip(qp + beta_offset * 2, 0, 51)]
+        tc = jnp.asarray(TC_TABLE, jnp.int32)[
+            jnp.clip(qp + 2 + tc_offset * 2, 0, 53)]
     out = _luma_vertical_pass(plane, bsize, beta, tc)
     out = _luma_vertical_pass(out.T, bsize, beta, tc).T
     return out
@@ -119,16 +126,23 @@ def _chroma_pass(x, step, tc):
     return x.at[:, cols].set(ns)
 
 
-def deblock_chroma_uniform(plane: jnp.ndarray, bsize_luma: int, qp: int,
+def deblock_chroma_uniform(plane: jnp.ndarray, bsize_luma: int, qp,
                            chroma_qp_off: int = 0, tc_offset: int = 0):
     """Chroma plane; edges on the chroma 8-grid at TU boundaries (intra
     BS=2). For uniform luma grid `bsize_luma`, chroma edges are every
-    max(8, bsize_luma/2) chroma samples."""
+    max(8, bsize_luma/2) chroma samples. qp may be traced (tc == 0 then
+    no-ops naturally: the filter delta clips to zero)."""
     step = max(8, bsize_luma // 2)
-    qpc = chroma_qp(qp + chroma_qp_off)
-    tc = int(TC_TABLE[min(max(0, qpc + 2 + tc_offset * 2), 53)])
-    if tc == 0:
-        return plane
+    if isinstance(qp, (int, np.integer)):
+        qpc = chroma_qp(qp + chroma_qp_off)
+        tc = int(TC_TABLE[min(max(0, qpc + 2 + tc_offset * 2), 53)])
+        if tc == 0:
+            return plane
+    else:
+        from homerhevc_tpu.hevc.tables import CHROMA_QP_MAP
+        qpc = jnp.asarray(CHROMA_QP_MAP)[jnp.clip(qp + chroma_qp_off, 0, 57)]
+        tc = jnp.asarray(TC_TABLE, jnp.int32)[
+            jnp.clip(qpc + 2 + tc_offset * 2, 0, 53)]
     out = _chroma_pass(plane, step, tc)
     out = _chroma_pass(out.T, step, tc).T
     return out
@@ -150,7 +164,7 @@ def _bs_pass(x, bs, qp, boff, toff):
     q = g[..., 4:]
     bsa = bs[:, 1:].T                                # (ne, h8)
     bsg = jnp.repeat(bsa, 2, axis=1)                 # (ne, h4)
-    beta = jnp.int32(BETA_TABLE[min(max(0, qp + boff * 2), 51)])
+    beta = jnp.asarray(BETA_TABLE, jnp.int32)[jnp.clip(qp + boff * 2, 0, 51)]
     tcv = jnp.asarray(TC_TABLE)[jnp.clip(qp + 2 * (bsg - 1) + toff * 2,
                                          0, 53)].astype(jnp.int32)
     op, oq = _luma_filter_groups(p, q, beta, tcv)

@@ -36,28 +36,80 @@ def dequant_params(size: int, qp: int, is_intra: bool, scaling_lists: bool):
     return np.asarray(dq, np.int32), shift, per
 
 
-def quantize(coef: jnp.ndarray, size: int, qp: int, is_intra: bool,
+def _static_qp(qp) -> bool:
+    return isinstance(qp, (int, np.integer))
+
+
+def _qc6(size: int, is_intra: bool, scaling_lists: bool) -> np.ndarray:
+    """Forward scale tables for all six qp%6 classes: (6, N, N) int32."""
+    sl = T.scaling_list(size, is_intra, flat=not scaling_lists)
+    return np.stack([(int(T.QUANT_SCALE[r]) << 4) // sl for r in range(6)]) \
+        .astype(np.int32)
+
+
+def _dq6(size: int, is_intra: bool, scaling_lists: bool) -> np.ndarray:
+    sl = T.scaling_list(size, is_intra, flat=not scaling_lists)
+    return np.stack([int(T.INV_QUANT_SCALE[r]) * sl for r in range(6)]) \
+        .astype(np.int32)
+
+
+def quantize(coef: jnp.ndarray, size: int, qp, is_intra: bool,
              scaling_lists: bool = False) -> jnp.ndarray:
-    """coef: (..., N, N) int32. Product |coef|*qc < 2^31 (see golden)."""
-    qc, qbits, add = quant_params(size, qp, is_intra, scaling_lists)
+    """coef: (..., N, N) int32. Product |coef|*qc < 2^31 (see golden).
+
+    qp may be a Python int (static tables baked into the program) or a
+    traced int32 scalar (QP becomes a device input: the 6-periodic scale
+    table is indexed with qp%6 and the shift uses qp//6, so one compiled
+    program serves every QP — the requirement for device-path CBR/VBR and
+    per-CTU QP)."""
+    if _static_qp(qp):
+        qc, qbits, add = quant_params(size, qp, is_intra, scaling_lists)
+        a = jnp.abs(coef)
+        level = (a * jnp.asarray(qc) + add) >> qbits
+        return jnp.clip(level * jnp.sign(coef), -32768, 32767) \
+            .astype(jnp.int32)
+    log2n = size.bit_length() - 1
+    tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n
+    per, rem = qp // 6, qp % 6
+    qc = jnp.asarray(_qc6(size, is_intra, scaling_lists))[rem]
+    qbits = (T.QUANT_SHIFT + tshift + per).astype(jnp.int32)
+    add = jnp.left_shift(jnp.int32(171), qbits - 9)
     a = jnp.abs(coef)
-    level = (a * jnp.asarray(qc) + add) >> qbits
+    level = jnp.right_shift(a * qc + add, qbits)
     return jnp.clip(level * jnp.sign(coef), -32768, 32767).astype(jnp.int32)
 
 
-def dequantize(level: jnp.ndarray, size: int, qp: int, is_intra: bool,
+def dequantize(level: jnp.ndarray, size: int, qp, is_intra: bool,
                scaling_lists: bool = False) -> jnp.ndarray:
-    dq, shift, per = dequant_params(size, qp, is_intra, scaling_lists)
+    if _static_qp(qp):
+        dq, shift, per = dequant_params(size, qp, is_intra, scaling_lists)
+        lv = level.astype(jnp.int32)
+        prod = lv * jnp.asarray(dq)
+        if shift > per:
+            s = shift - per
+            out = (prod + (1 << (s - 1))) >> s
+        else:
+            # left shift with saturation-equivalent pre-clip (exact: final
+            # value is clipped to int16 anyway, and -32768/32767 are
+            # >>s-invariant)
+            s = per - shift
+            out = jnp.clip(prod, -(32768 >> s), 32767 >> s) << s
+        return jnp.clip(out, -32768, 32767).astype(jnp.int32)
+    log2n = size.bit_length() - 1
+    tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n
+    shift = T.QUANT_IQUANT_SHIFT - T.QUANT_SHIFT - tshift + 4
+    per, rem = qp // 6, qp % 6
+    dq = jnp.asarray(_dq6(size, is_intra, scaling_lists))[rem]
     lv = level.astype(jnp.int32)
-    prod = lv * jnp.asarray(dq)
-    if shift > per:
-        s = shift - per
-        out = (prod + (1 << (s - 1))) >> s
-    else:
-        # left shift with saturation-equivalent pre-clip (exact: final value
-        # is clipped to int16 anyway, and -32768/32767 are >>s-invariant)
-        s = per - shift
-        out = jnp.clip(prod, -(32768 >> s), 32767 >> s) << s
+    prod = lv * dq
+    # both shift directions computed branchless, selected on per<shift
+    s1 = jnp.maximum(shift - per, 1).astype(jnp.int32)
+    out_r = jnp.right_shift(prod + jnp.left_shift(jnp.int32(1), s1 - 1), s1)
+    s2 = jnp.maximum(per - shift, 0).astype(jnp.int32)
+    hi = jnp.right_shift(jnp.int32(32767), s2)
+    lo = -jnp.right_shift(jnp.int32(32768), s2)
+    out_l = jnp.left_shift(jnp.clip(prod, lo, hi), s2)
+    out = jnp.where(per < shift, out_r, out_l)
     return jnp.clip(out, -32768, 32767).astype(jnp.int32)
 
 
@@ -81,8 +133,18 @@ def sign_bit_hiding(level: jnp.ndarray, coef: jnp.ndarray, size: int, qp: int,
     cg_l = flat_l.reshape(batch + (ncg, 16))
     cg_c = flat_c.reshape(batch + (ncg, 16))
 
-    qc, qbits, _ = quant_params(n, qp, is_intra, scaling_lists)
-    qc_scan = np.asarray(qc, np.int64).reshape(-1)[scan].reshape(ncg, 16)
+    if _static_qp(qp):
+        qc, qbits, _ = quant_params(n, qp, is_intra, scaling_lists)
+        qc_scan = jnp.asarray(
+            np.asarray(qc, np.int64).reshape(-1)[scan].reshape(ncg, 16)
+            .astype(np.int32))
+    else:
+        log2n_ = n.bit_length() - 1
+        tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n_
+        qbits = (T.QUANT_SHIFT + tshift + qp // 6).astype(jnp.int32)
+        qc6 = _qc6(n, is_intra, scaling_lists)
+        qc_scan6 = qc6.reshape(6, -1)[:, scan].reshape(6, ncg, 16)
+        qc_scan = jnp.asarray(qc_scan6)[qp % 6]
     abs_c = jnp.abs(cg_c)
     abs_l = jnp.abs(cg_l)
     # delta_u = (|c|*qc - |l|<<qbits) >> (qbits-8); |c|*qc can reach 2^31 —
@@ -93,8 +155,9 @@ def sign_bit_hiding(level: jnp.ndarray, coef: jnp.ndarray, size: int, qp: int,
     # delta = ((a*qc) - (|l|<<qbits)) >> (qbits-8). a*qc < 2^31 (as in quant);
     # |l|<<qbits can overflow for large l — but then l is huge and the CG is
     # ineligible in practice; clamp the shifted term.
-    shifted_l = jnp.clip(abs_l, 0, (1 << 30) >> qbits) << qbits
-    delta_u = (abs_c * jnp.asarray(qc_scan, jnp.int32) - shifted_l) >> (qbits - 8)
+    cap = jnp.right_shift(jnp.int32(1 << 30), qbits)
+    shifted_l = jnp.left_shift(jnp.clip(abs_l, 0, cap), qbits)
+    delta_u = jnp.right_shift(abs_c * qc_scan - shifted_l, qbits - 8)
 
     nz = cg_l != 0
     idx = jnp.arange(16)

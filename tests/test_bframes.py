@@ -66,7 +66,8 @@ def test_e2e_ibp_ctb32(tmp_path, rng):
         for ef in enc.flush():
             f.write(ef.annex_b())
             efs.append(ef)
-    assert [e.frame_type for e in efs] == ["I", "P", "B", "P", "B", "P"]
+    # anchor 4 is a generalized-B slice (bi from anchors 2 and 0)
+    assert [e.frame_type for e in efs] == ["I", "P", "B", "B", "B", "P"]
     dec = decode_annexb(path)
     assert len(dec) == 6
     for ef, dp in zip(efs, [0, 2, 1, 4, 3, 5]):
