@@ -848,14 +848,14 @@ class TpuInterEncoder:
         int32, feeds the avg_dist zero-forcing feedback without pulling
         recon to host) ride in one uint8 buffer fetched in a single link
         round trip."""
-        from homerhevc_tpu.ops.pack import pack_sparse8
+        from homerhevc_tpu.ops.pack import pack_sparse2
         recon_y = recon_y.astype(jnp.uint8)
         recon_u = recon_u.astype(jnp.uint8)
         recon_v = recon_v.astype(jnp.uint8)
         d = recon_y.astype(jnp.int32) - sy
         row_ssd = jnp.sum(d * d, axis=1).astype(jnp.int32)   # exact per row
-        bitmap, vals8, esc_idx, esc_val, count, esc_count = \
-            pack_sparse8([ly, lu, lv], self.pack_C)
+        bitmap, vals2, esc_idx, esc_val, count, esc_count = \
+            pack_sparse2([ly, lu, lv], self.pack_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
@@ -865,8 +865,8 @@ class TpuInterEncoder:
             [u8(x) for x in extra]
             + [u8(row_ssd), bitmap, u8(esc_idx), u8(esc_val),
                u8(count.reshape(1)), u8(esc_count.reshape(1))])
-        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals8,
-                vals8[:self.pack_head])
+        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals2,
+                vals2[:-(-self.pack_head // 4)])
 
     def _zero_force(self, resid, lvl, rres, zf_mult):
         """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
@@ -929,7 +929,7 @@ class TpuInterEncoder:
         bi: the output came from _impl_b (two-list motion + per-CU
         direction maps in the meta); ref_dists feed the AMVP scaling of
         the mixed-direction syntax selection."""
-        from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
+        from homerhevc_tpu.ops.pack import esc_capacity
         recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
         meta_np = np.asarray(meta)
         gh, gw = self.gh, self.gw
@@ -972,25 +972,29 @@ class TpuInterEncoder:
         esc_count = int(take(4, np.int32)[0])
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
+        nb = -(-count // 4)          # 2-bit wire: code bytes used
         if count <= self.pack_head:
-            v8 = np.asarray(vals_head)[:count]
+            v2 = np.asarray(vals_head)[:nb]
         elif count <= self.pack_C:
-            v8 = np.asarray(vals[:count])
+            v2 = np.asarray(vals[:nb])
         else:  # capacity overflow: full device planes
-            v8 = None
+            v2 = None
             py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
-        if v8 is not None and esc_count > E:
-            v8 = None
+        if v2 is not None and esc_count > E:
+            v2 = None
             py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
-        if v8 is not None:
+        if v2 is not None:
             from homerhevc_tpu.engine.intra_encoder import _split_planes
-            from homerhevc_tpu.native import unpack_sparse8_native
+            from homerhevc_tpu.native import unpack_sparse2_native
             buf = np.empty(n_tot, np.int16)
-            if unpack_sparse8_native(bitmap, v8, esc_idx[:esc_count],
+            if unpack_sparse2_native(bitmap, v2, count,
+                                     esc_idx[:esc_count],
                                      esc_val[:esc_count], n_tot, buf):
                 py, pu, pv = _split_planes(buf, shapes)
             else:
-                py, pu, pv = unpack_sparse8(bitmap, v8, esc_idx[:esc_count],
+                from homerhevc_tpu.ops.pack import unpack_sparse2
+                py, pu, pv = unpack_sparse2(bitmap, v2, count,
+                                            esc_idx[:esc_count],
                                             esc_val[:esc_count], shapes)
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)

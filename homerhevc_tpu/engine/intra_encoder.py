@@ -115,6 +115,20 @@ class TpuIntraEncoder:
         # the reference's frame-level "encoder engines". QP is vmapped too:
         # each frame in a batch may carry its own QP (VBR/CBR).
         self._encode_batch_jit = jax.jit(jax.vmap(self._encode_frame_impl))
+        # packed-upload variant: the whole batch arrives as ONE (F, n_tot)
+        # uint8 buffer and is split into planes on device. The tunnel is
+        # latency-bound per transfer (~50 ms/op), so one 33 MB upload beats
+        # 3*F small ones by an order of magnitude.
+        wh = self.w * self.h
+
+        def _packed(batch_u8, qps):
+            y = batch_u8[:, :wh].reshape(-1, self.h, self.w)
+            u = batch_u8[:, wh:wh + wh // 4].reshape(
+                -1, self.h // 2, self.w // 2)
+            v = batch_u8[:, wh + wh // 4:].reshape(
+                -1, self.h // 2, self.w // 2)
+            return jax.vmap(self._encode_frame_impl)(y, u, v, qps)
+        self._encode_packed_jit = jax.jit(_packed)
 
     # -- static geometry -----------------------------------------------------
 
@@ -389,13 +403,14 @@ class TpuIntraEncoder:
         lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         # compact wire format for the host CABAC handoff; the full planes
         # are still returned as a device-resident fallback (only fetched
-        # when the packed capacity overflows). Levels ship as int8 plus a
-        # small escape list (ops/pack.py); mode grid + bitmap + escapes +
-        # counts ride in ONE uint8 buffer: each link round trip costs
-        # ~66 ms on the tunnel, so all per-batch metadata is one fetch.
-        from homerhevc_tpu.ops.pack import pack_sparse8
-        bitmap, vals8, esc_idx, esc_val, count, esc_count = \
-            pack_sparse8([ly, lu, lv], self.pack_C)
+        # when the packed capacity overflows). Levels ship as 2-bit codes
+        # (~96%% of nonzeros are +-1 at working QPs) plus a small escape
+        # list (ops/pack.py); mode grid + bitmap + escapes + counts ride
+        # in ONE uint8 buffer — the link is latency-bound per transfer,
+        # so all per-batch metadata is one fetch.
+        from homerhevc_tpu.ops.pack import pack_sparse2
+        bitmap, vals2, esc_idx, esc_val, count, esc_count = \
+            pack_sparse2([ly, lu, lv], self.pack_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
@@ -405,7 +420,7 @@ class TpuIntraEncoder:
             [mode_grid.astype(jnp.uint8).reshape(-1), bitmap,
              u8(esc_idx), u8(esc_val),
              u8(count.reshape(1)), u8(esc_count.reshape(1))])
-        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals8
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals2
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         """qp may be static or traced (forwarded to sign_bit_hiding)."""
@@ -451,25 +466,45 @@ class TpuIntraEncoder:
         immediately (jax dispatch is non-blocking). Pair with fetch_frames
         to overlap host serialization with device compute.
 
-        Frames may arrive as device arrays (uploaded at push() time so the
-        host->device copy overlaps the previous batch's host work).
+        The batch ships as ONE packed (F, w*h*3/2) uint8 upload split into
+        planes on device: the link is latency-bound per transfer, so a
+        single large copy beats per-plane uploads by ~10x.
         qps: per-frame QP list (defaults to cfg.qp); QP is a device input,
         so mixed-QP batches reuse the same compiled program."""
-        def stack(fs):
-            if fs and isinstance(fs[0], jax.Array):
-                return jnp.stack(fs)
-            return jnp.asarray(np.asarray(fs, np.uint8))
         if qps is None:
             qps = [self.cfg.qp] * len(ys)
+        handle = ys if isinstance(ys, jax.Array) \
+            else self.pack_upload(list(zip(ys, us, vs)))
+        out = self.dispatch_packed(handle, qps)
+        return out
+
+    def pack_upload(self, frames):
+        """Pack a batch into one (F, w*h*3/2) uint8 buffer and start the
+        host->device transfer (async: returns in ~30 ms while the copy
+        streams). Call this FIRST in a drain cycle so the upload hides
+        under the previous batch's fetch + serialization."""
+        F = len(frames)
+        n_tot = self.w * self.h * 3 // 2
+        packed = np.empty((F, n_tot), np.uint8)
+        wh = self.w * self.h
+        for i, (y, u, v) in enumerate(frames):
+            packed[i, :wh] = np.asarray(y, np.uint8).reshape(-1)
+            packed[i, wh:wh + wh // 4] = np.asarray(u, np.uint8).reshape(-1)
+            packed[i, wh + wh // 4:] = np.asarray(v, np.uint8).reshape(-1)
+        return jax.device_put(packed)
+
+    def dispatch_packed(self, handle, qps):
         qp_arr = jnp.asarray(np.asarray(qps, np.int32))
-        out = self._encode_batch_jit(stack(ys), stack(us), stack(vs), qp_arr)
+        out = self._encode_packed_jit(handle, qp_arr)
         # kick the metadata + values downloads early: by the time
         # fetch_frames runs (after the next batch's dispatch and the
         # previous batch's serialization) they are already on host. The
-        # values head is sized adaptively from recent nonzero counts so
-        # quiet content doesn't pay full-capacity transfers.
-        head = min(self.pack_C, getattr(self, "_head_hint", self.pack_C))
-        vals_head = out[7] if head >= self.pack_C else out[7][:, :head]
+        # values head (in CODE BYTES, 4 levels/byte) is sized adaptively
+        # from recent nonzero counts so quiet content doesn't pay
+        # full-capacity transfers.
+        cap_b = self.pack_C // 4
+        head = min(cap_b, getattr(self, "_head_hint", cap_b))
+        vals_head = out[7] if head >= cap_b else out[7][:, :head]
         try:
             out[6].copy_to_host_async()
             vals_head.copy_to_host_async()
@@ -482,7 +517,7 @@ class TpuIntraEncoder:
         prefix of the packed values) and rebuild FrameDescs;
         reconstruction planes are returned DEVICE-RESIDENT (consumers
         materialize them lazily)."""
-        from homerhevc_tpu.ops.pack import esc_capacity, unpack_sparse8
+        from homerhevc_tpu.ops.pack import esc_capacity
         from homerhevc_tpu.utils.profiler import PROFILER
         ry, ru, rv, ly, lu, lv, meta, vals, vals_head, head = out
         with PROFILER.scope("fetch_meta"):
@@ -500,39 +535,41 @@ class TpuIntraEncoder:
         counts, esc_counts = tail[:, 0], tail[:, 1]
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
+        nbytes = -(-counts // 4)        # code bytes per frame
         ok = (counts <= self.pack_C) & (esc_counts <= E)
-        in_head = ok & (counts <= head)
+        in_head = ok & (nbytes <= head)
         vals_np = None
         if in_head.any():
             with PROFILER.scope("fetch_vals"):
                 vals_np = np.asarray(vals_head)     # transfer 2 (async'd)
         # adapt the async head to observed content (x1.25 headroom)
         if ok.any():
-            want = int(counts[ok].max() * 1.25) + 8
-            self._head_hint = min(self.pack_C, -(-want // 8) * 8)
-        from homerhevc_tpu.native import unpack_sparse8_native
+            want = int(nbytes[ok].max() * 1.25) + 8
+            self._head_hint = min(self.pack_C // 4, -(-want // 8) * 8)
+        from homerhevc_tpu.native import unpack_sparse2_native
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
                 if in_head[i]:
-                    v8 = vals_np[i, :counts[i]]
+                    v2 = vals_np[i, :nbytes[i]]
                 elif ok[i]:   # head undersized: one extra (rare) transfer
                     with PROFILER.scope("fetch_vals_miss"):
-                        v8 = np.asarray(vals[i, :counts[i]])
+                        v2 = np.asarray(vals[i, :nbytes[i]])
                 else:         # capacity overflow: full device planes
                     py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
                                   np.asarray(lv[i]))
-                    v8 = None
-                if v8 is not None:
+                    v2 = None
+                if v2 is not None:
                     ec = esc_counts[i]
                     buf = np.empty(n_tot, np.int16)
-                    if unpack_sparse8_native(bitmaps[i], v8,
+                    if unpack_sparse2_native(bitmaps[i], v2, counts[i],
                                              esc_idx[i, :ec],
                                              esc_val[i, :ec], n_tot, buf):
                         py, pu, pv = _split_planes(buf, shapes)
                     else:
-                        py, pu, pv = unpack_sparse8(
-                            bitmaps[i], v8, esc_idx[i, :ec],
+                        from homerhevc_tpu.ops.pack import unpack_sparse2
+                        py, pu, pv = unpack_sparse2(
+                            bitmaps[i], v2, counts[i], esc_idx[i, :ec],
                             esc_val[i, :ec], shapes)
                 desc = self._build_desc(modes[i], py, pu, pv)
                 results.append((desc, _DeviceSlice(ry, i),

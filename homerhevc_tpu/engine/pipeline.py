@@ -70,7 +70,7 @@ class EncoderPipeline:
         # dependency, hmr_encoder_lib.c:2386)
         self.batch = max(1, cfg.num_frames_in_flight) if cfg.gop_size == 0 else 1
         self._queue: list = []
-        self._queue_dev: list = []  # device twins uploaded at push() time
+        self._upload_q: list = []   # packed source batches in transfer
         self._pending_q: list = []  # in-flight device batches (depth 2)
         self._p_pendings: list = []  # in-flight P frames (depth 2)
         self._last_recon = None  # filtered recon planes of previous frame
@@ -375,36 +375,25 @@ class EncoderPipeline:
         analog of the reference's engine pipelining)."""
         frames = self._queue
         self._queue = []
-        frames_dev = self._queue_dev
-        self._queue_dev = []
         if frames and len(frames) > 1 and self._tpu_ok():
             # depth-2 batch pipeline: two batches stay in flight so the
             # link never idles between the upload / execute / download
             # phases (the single-chip analog of the reference's multiple
             # encoder engines, hmr_encoder_lib.c:1646)
-            prev_results = None
-            if len(self._pending_q) >= 2:
-                out, pframes, pqp = self._pending_q.pop(0)
-                with PROFILER.scope("fetch_intra"):
-                    prev_results = (self._get_tpu().fetch_frames(
-                        out, len(pframes)), pframes, pqp)
-            qp = self.rc.pic_qp(True)
             enc = self._get_tpu()
-            src = (frames_dev if len(frames_dev) == len(frames) else frames)
-            with PROFILER.scope("dispatch_intra"):
-                self._pending_q.append(
-                    (enc.dispatch_frames([f[0] for f in src],
-                                         [f[1] for f in src],
-                                         [f[2] for f in src],
-                                         qps=[qp] * len(frames)),
-                     frames, qp))
-            if prev_results is not None:
-                results, pframes, pqp = prev_results
-                for (desc, ry, ru, rv), src in zip(results, pframes):
-                    yield self._emit(desc, ry, ru, rv, src=src, qp=pqp)
+            # start this batch's (large) source upload first: device_put
+            # returns quickly while the 33 MB copy streams over the link,
+            # hiding under this drain's fetch + serialization. (A deeper
+            # upload-ahead pipeline was tried and measured SLOWER — the
+            # tunnel client throttles with too many outstanding transfers.)
+            with PROFILER.scope("pack_upload"):
+                self._upload_q.append((enc.pack_upload(frames), frames))
+            yield from self._dispatch_upload(enc)
         else:
-            # in-order output: finish in-flight device batches before any
-            # inline-analyzed frame is emitted
+            # in-order output: finish uploaded + in-flight device batches
+            # before any inline-analyzed frame is emitted
+            while self._upload_q:
+                yield from self._dispatch_upload(self._get_tpu())
             while self._pending_q:
                 yield from self._fetch_emit(self._pending_q.pop(0))
             for fr in frames:
@@ -486,8 +475,30 @@ class EncoderPipeline:
         if final and self.cfg.gop_size >= 2:
             yield from self._encode_gop2(None, final=True)
         if final:
+            while self._upload_q:
+                yield from self._dispatch_upload(self._get_tpu())
             while self._pending_q:
                 yield from self._fetch_emit(self._pending_q.pop(0))
+
+    def _dispatch_upload(self, enc) -> Iterator:
+        """Dispatch the oldest uploaded batch; first fetch + serialize the
+        batch finishing two cycles ago (device/host overlap)."""
+        handle, frames = self._upload_q.pop(0)
+        prev_results = None
+        if len(self._pending_q) >= 2:
+            out, pframes, pqp = self._pending_q.pop(0)
+            with PROFILER.scope("fetch_intra"):
+                prev_results = (enc.fetch_frames(out, len(pframes)),
+                                pframes, pqp)
+        qp = self.rc.pic_qp(True)
+        with PROFILER.scope("dispatch_intra"):
+            self._pending_q.append(
+                (enc.dispatch_packed(handle, [qp] * len(frames)),
+                 frames, qp))
+        if prev_results is not None:
+            results, pframes, pqp = prev_results
+            for (desc, ry, ru, rv), src in zip(results, pframes):
+                yield self._emit(desc, ry, ru, rv, src=src, qp=pqp)
 
     def _fetch_emit(self, pending) -> Iterator:
         out, pframes, qp = pending
@@ -714,12 +725,6 @@ class EncoderPipeline:
     def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> Iterator:
         fr = self._pad_frame(y, u, v)
         self._queue.append(fr)
-        if self.batch > 1 and self._tpu_ok():
-            # start the host->device copy now: it overlaps the previous
-            # batch's fetch/serialize instead of serializing at drain time
-            import jax.numpy as jnp
-            self._queue_dev.append(tuple(
-                jnp.asarray(np.ascontiguousarray(p, np.uint8)) for p in fr))
         if len(self._queue) >= self.batch:
             yield from self._drain_queue()
 

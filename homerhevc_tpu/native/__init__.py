@@ -74,6 +74,10 @@ def get_lib():
     lib.hevcenc_unpack_sparse8.argtypes = [
         _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
         ctypes.c_long, _I32P]
+    lib.hevcenc_unpack_sparse2.restype = ctypes.c_long
+    lib.hevcenc_unpack_sparse2.argtypes = [
+        _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
+        ctypes.c_long, _I32P]
     _lib = lib
     return lib
 
@@ -96,6 +100,28 @@ def unpack_sparse8_native(bitmap, vals8, esc_idx, esc_val, n_total: int,
     assert out.dtype == np.int16 and out.flags.c_contiguous
     n = lib.hevcenc_unpack_sparse8(
         p_bm, p_v8, len(v8), p_ei, p_ev, len(ei), n_total,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return n >= 0
+
+
+def unpack_sparse2_native(bitmap, codes, count: int, esc_idx, esc_val,
+                          n_total: int, out: np.ndarray):
+    """Expand the 2-bit wire format into `out` (int16, n_total). Returns
+    False when the native library is unavailable or the data mismatches."""
+    lib = get_lib()
+    if lib is None:
+        return False
+
+    def p(a, dt):
+        arr = np.ascontiguousarray(a, dt)
+        return arr, arr.ctypes.data_as(ctypes.c_void_p)
+    bm, p_bm = p(bitmap, np.uint8)
+    cd, p_cd = p(codes, np.uint8)
+    ei, p_ei = p(esc_idx, np.int32)
+    ev, p_ev = p(esc_val, np.int16)
+    assert out.dtype == np.int16 and out.flags.c_contiguous
+    n = lib.hevcenc_unpack_sparse2(
+        p_bm, p_cd, int(count), p_ei, p_ev, len(ei), n_total,
         out.ctypes.data_as(ctypes.c_void_p))
     return n >= 0
 

@@ -213,6 +213,50 @@ struct Scans {
 };
 static Scans g_scans;
 
+// Precomputed significance-context increments: [log2-2][scan][cidx][prev]
+// [scan_pos] -> ctx inc (twin of sig_ctx below, which stays as the oracle
+// for the table builder). Removes the per-coefficient branch chain from
+// the hottest serializer loop.
+struct SigCtxLut {
+  std::vector<uint8_t> t[4][3][2][4];
+  SigCtxLut();
+};
+static int sig_ctx_ref(int px, int py, int log2, int cidx, int scan_sel,
+                       int prev) {
+  static const int8_t kMap4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+  if (log2 == 2) return kMap4[4 * py + px];
+  if (px == 0 && py == 0) return 0;
+  int xi = px & 3, yi = py & 3, cnt;
+  if (prev == 0) cnt = (xi + yi == 0) ? 2 : (xi + yi <= 2 ? 1 : 0);
+  else if (prev == 1) cnt = yi == 0 ? 2 : (yi == 1 ? 1 : 0);
+  else if (prev == 2) cnt = xi == 0 ? 2 : (xi == 1 ? 1 : 0);
+  else cnt = 2;
+  int off;
+  if (log2 == 3) off = (cidx == 0 && scan_sel != 0) ? 15 : 9;
+  else off = cidx == 0 ? 21 : 12;
+  int extra = (cidx == 0 && ((px >> 2) + (py >> 2)) > 0) ? 3 : 0;
+  return off + extra + cnt;
+}
+SigCtxLut::SigCtxLut() {
+  for (int lg = 2; lg <= 5; lg++) {
+    int n = 1 << lg;
+    for (int s = 0; s < 3; s++) {
+      const std::vector<int>& scan = g_scans.coeff[lg][s];
+      for (int cidx = 0; cidx < 2; cidx++)
+        for (int prev = 0; prev < 4; prev++) {
+          auto& v = t[lg - 2][s][cidx][prev];
+          v.resize(n * n);
+          for (int pos = 0; pos < n * n; pos++) {
+            int r = scan[pos];
+            v[pos] = (uint8_t)sig_ctx_ref(r & (n - 1), r >> lg, lg, cidx,
+                                          s, prev);
+          }
+        }
+    }
+  }
+}
+static SigCtxLut g_sigctx;
+
 // ---- frame description + params ---------------------------------------------
 
 struct Params {
@@ -330,15 +374,15 @@ struct Enc {
       int start_n = in_last ? (last_pos - cg_start < 15 ? last_pos - cg_start : 15) : 15;
       int pos_list[16]; int n_nz = 0;
       int num_found = 0;
+      const uint8_t* ctx_lut =
+          g_sigctx.t[log2 - 2][scan_sel][cidx ? 1 : 0][prev_csbf].data();
+      int sig_base = SIG + (cidx ? 27 : 0);
       for (int n = start_n; n >= 0; n--) {
         int pos = cg_start + n;
         int sig = sc[pos] != 0;
         if (in_last && pos == last_pos) { pos_list[n_nz++] = pos; num_found++; continue; }
         if (n == 0 && infer_dc && num_found == 0) { pos_list[n_nz++] = pos; continue; }
-        int r = scan[pos];
-        int px = r & szmask, py = r >> log2;
-        int ctxinc = sig_ctx(px, py, log2, cidx, scan_sel, prev_csbf);
-        c.bin(SIG + (cidx ? 27 : 0) + ctxinc, sig);
+        c.bin(sig_base + ctx_lut[pos], sig);
         if (sig) { pos_list[n_nz++] = pos; num_found++; }
       }
       if (!n_nz) continue;
@@ -420,21 +464,6 @@ struct Enc {
         c.bypass_bins(vals[k] - ((2 + (pre & 1)) << sl), sl);
       }
     }
-  }
-
-  static int sig_ctx(int px, int py, int log2, int cidx, int scan_sel, int prev) {
-    if (log2 == 2) return kCtxMap4x4[4 * py + px];
-    if (px == 0 && py == 0) return 0;
-    int xi = px & 3, yi = py & 3, cnt;
-    if (prev == 0) cnt = (xi + yi == 0) ? 2 : (xi + yi <= 2 ? 1 : 0);
-    else if (prev == 1) cnt = yi == 0 ? 2 : (yi == 1 ? 1 : 0);
-    else if (prev == 2) cnt = xi == 0 ? 2 : (xi == 1 ? 1 : 0);
-    else cnt = 2;
-    int off;
-    if (log2 == 3) off = (cidx == 0 && scan_sel != 0) ? 15 : 9;
-    else off = cidx == 0 ? 21 : 12;
-    int extra = (cidx == 0 && ((px >> 2) + (py >> 2)) > 0) ? 3 : 0;
-    return off + extra + cnt;
   }
 
   // ---- MPM ------------------------------------------------------------------
@@ -926,6 +955,7 @@ long hevcenc_encode_slice2(
 
   if (!wpp) {
     std::vector<uint8_t> out;
+    out.reserve(out_cap < (1 << 20) ? out_cap : (1 << 20));
     e.c.out = &out;
     e.c.ctx = ctx;
     int n = cw * ch;
@@ -943,6 +973,7 @@ long hevcenc_encode_slice2(
 
   for (int cy = 0; cy < ch; cy++) {
     std::vector<uint8_t> out;
+    out.reserve(64 << 10);
     uint8_t rowctx[NUM_CTX];
     if (cy == 0 || !have_saved) memcpy(rowctx, ctx_init, NUM_CTX);
     else memcpy(rowctx, saved, NUM_CTX);
@@ -985,6 +1016,42 @@ long hevcenc_unpack_sparse8(
     for (int k = 0; k < 8; k++) {
       if ((b >> k) & 1) {
         int16_t v = (int16_t)vals8[vi];
+        if (vi == next_esc) {
+          v = esc_val[e];
+          e++;
+          next_esc = e < esc_count ? esc_idx[e] : -1;
+        }
+        out[i + k] = v;
+        vi++;
+      } else {
+        out[i + k] = 0;
+      }
+    }
+  }
+  if (vi != count) return -1;
+  return vi;
+}
+
+// Expand the 2-bit wire format (see ops/pack.py pack_sparse2): each
+// nonzero is a 2-bit code {0:+1, 1:-1, 2:+2, 3:-2}, packed 4 per byte in
+// compaction order; esc_idx/esc_val override the rare |level| > 2 cases.
+// Returns consumed value count, or -1 on a bitmap/count mismatch.
+long hevcenc_unpack_sparse2(
+    const uint8_t* bitmap, const uint8_t* codes, long count,
+    const int32_t* esc_idx, const int16_t* esc_val, long esc_count,
+    long n_total, int16_t* out) {
+  static const int16_t lut[4] = {1, -1, 2, -2};
+  long vi = 0, e = 0;
+  long next_esc = esc_count > 0 ? esc_idx[0] : -1;
+  for (long i = 0; i < n_total; i += 8) {
+    uint8_t b = bitmap[i >> 3];
+    if (!b) {
+      memset(out + i, 0, 8 * sizeof(int16_t));
+      continue;
+    }
+    for (int k = 0; k < 8; k++) {
+      if ((b >> k) & 1) {
+        int16_t v = lut[(codes[vi >> 2] >> ((vi & 3) * 2)) & 3];
         if (vi == next_esc) {
           v = esc_val[e];
           e++;

@@ -128,3 +128,40 @@ def test_pack_sparse8_roundtrip(rng):
     np.testing.assert_array_equal(py, y)
     np.testing.assert_array_equal(pu, u)
     np.testing.assert_array_equal(pv, v)
+
+
+def test_pack_sparse2_roundtrip(rng):
+    """2-bit wire format: +-1/+-2 codes plus escapes round-trip exactly
+    through both the numpy and the native C unpack."""
+    from homerhevc_tpu.ops.pack import (esc_capacity, pack_capacity,
+                                        pack_sparse2, unpack_sparse2)
+    from homerhevc_tpu.native import unpack_sparse2_native
+    h, w = 32, 64
+    n_tot = h * w * 3 // 2
+    y = np.zeros((h, w), np.int16)
+    u = np.zeros((h // 2, w // 2), np.int16)
+    v = np.zeros((h // 2, w // 2), np.int16)
+    ys = rng.choice(h * w, 60, replace=False)
+    y.reshape(-1)[ys] = rng.choice([1, -1, 1, -1, 2, -2, 5, -300],
+                                   60).astype(np.int16)
+    u[3, 5], v[7, 9] = 1000, -3
+    C = pack_capacity(n_tot, 32)
+    import jax.numpy as jnp
+    bm, v2, ei, ev, cnt, ecnt = pack_sparse2(
+        [jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)], C)
+    cnt, ecnt = int(cnt), int(ecnt)
+    assert ecnt <= esc_capacity(n_tot, C)
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    nb = -(-cnt // 4)
+    py, pu, pv = unpack_sparse2(np.asarray(bm), np.asarray(v2)[:nb], cnt,
+                                np.asarray(ei)[:ecnt], np.asarray(ev)[:ecnt],
+                                shapes)
+    np.testing.assert_array_equal(py, y)
+    np.testing.assert_array_equal(pu, u)
+    np.testing.assert_array_equal(pv, v)
+    buf = np.empty(n_tot, np.int16)
+    assert unpack_sparse2_native(np.asarray(bm), np.asarray(v2)[:nb], cnt,
+                                 np.asarray(ei)[:ecnt],
+                                 np.asarray(ev)[:ecnt], n_tot, buf)
+    flat = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+    np.testing.assert_array_equal(buf, flat)
