@@ -63,6 +63,9 @@ class EncoderConfig:
     deblocking: bool = True
     scaling_lists: bool = False       # default lists on/off (flat when off)
     rd_mode: RDMode = RDMode.RD_FAST
+    # intra CU-tree RDO (two-pass: open-loop batched decision + closed-loop
+    # wavefront encode; golden/intra_tree.py). Needs cu_size >= 32.
+    intra_rdo: bool = False
     performance_mode: PerformanceMode = PerformanceMode.UFAST
     reinit_gop_on_scene_change: bool = True
     # generalized-B "P" frames (gop_size 1): once two references exist, P

@@ -107,8 +107,16 @@ class EncoderPipeline:
 
     def _analyze_intra_golden(self, y, u, v, qp):
         from homerhevc_tpu.golden.intra_frame import encode_intra_frame
-        desc, ry, ru, rv = encode_intra_frame(
-            self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
+        if self.cfg.intra_rdo and self.ps.ctu_size >= 32:
+            from homerhevc_tpu.golden.intra_tree import (
+                decide_intra_tree, encode_intra_tree_frame)
+            dec = decide_intra_tree(self.ps, y, u, v, qp,
+                                    ctb=min(self.ps.ctu_size, 32))
+            desc, ry, ru, rv = encode_intra_tree_frame(
+                self.ps, y, u, v, qp, dec, ctb=min(self.ps.ctu_size, 32))
+        else:
+            desc, ry, ru, rv = encode_intra_frame(
+                self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)

@@ -1,0 +1,273 @@
+"""Golden (numpy) intra CU-tree RDO: TPU-first two-pass design.
+
+The reference walks a sequential CU quadtree with closed-loop RDO
+(hmr_motion_intra.c:1759-1979, encode_intra_cu :973-1071, consolidation
+hmr_motion_inter.c:3372): every node's mode search uses reconstructed
+neighbors, which serializes the whole CTB. A TPU build wants the
+opposite split:
+
+  pass 1 (decide):  OPEN-LOOP — reference samples come from the SOURCE
+                    frame (with the same z-scan availability mask the
+                    decoder enforces, so estimates stay faithful). Every
+                    block at every depth is independent => on device this
+                    is one fully-batched pass, no wavefront.
+  pass 2 (encode):  CLOSED-LOOP — the decided tree + modes are fixed, so
+                    the wavefront encode does ONE prediction per block
+                    (no 35-mode search inside the sequential scan).
+
+Quality loss vs closed-loop decisions is the quant noise difference
+between source and recon neighbors — small at working QPs; the encoded
+stream itself stays exactly conformant (pass 2 is fully closed-loop).
+
+Cost model (reference analog: fast-RD cost_fast, hmr_common.h:55-59 and
+the 1.25*(cost+45*sum) consolidation bias at :1497): per candidate CU
+  cost = SSD(recon, src) + lambda * (coef_bits_est + mode_bits + overhead)
+with coef_bits_est = A*nnz + B*sum|lvl| calibrated against the real CABAC
+bit counter (hevc/cabac.py CabacCounter; see tests/test_intra_tree.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from homerhevc_tpu.golden import intra_pred as ip
+from homerhevc_tpu.golden.quantize import dequantize, quantize, sign_bit_hiding
+from homerhevc_tpu.golden.transform import forward_transform, inverse_transform
+from homerhevc_tpu.hevc import tables as T
+from homerhevc_tpu.hevc.headers import ParamSets
+from homerhevc_tpu.hevc.syntax import FrameDesc, mpm_candidates
+
+# coefficient-rate model bits(nnz, sum|lvl|) ~= A*nnz + B*sum + C per TU
+# with nonzero coefficients; fitted against CabacCounter-measured residual
+# bits on textured content at QP 27-37 (tests/test_intra_tree.py keeps the
+# fit honest within a stated tolerance).
+COEF_BITS_NNZ = 2.0
+COEF_BITS_SUM = 1.0
+COEF_BITS_TU = 4.0
+# per-CU overhead bins: cbf luma + 2x chroma cbf + part/split context
+CU_OVERHEAD_BITS = 5.0
+MODE_BITS_MPM = 2.0
+MODE_BITS_REM = 6.0
+
+
+@dataclasses.dataclass
+class TreeDecision:
+    """Chosen CU quadtree + per-CU modes at 8x8-unit granularity."""
+    depth8: np.ndarray       # (H/8, W/8) uint8: quadtree depth of the CU
+    mode8: np.ndarray        # (H/8, W/8) uint8: luma mode of the CU
+    chroma8: np.ndarray      # (H/8, W/8) uint8: chroma mode of the CU
+
+
+def _coef_cost_bits(lvl: np.ndarray) -> float:
+    nnz = int(np.count_nonzero(lvl))
+    if nnz == 0:
+        return 0.0
+    return (COEF_BITS_NNZ * nnz + COEF_BITS_SUM * float(np.abs(lvl).sum())
+            + COEF_BITS_TU)
+
+
+def _tu_rd(src_blk, pred, qp, sl, sign_hiding, scan_idx, is_dst):
+    """T->Q->(SBH)->IQ->IT->recon; returns (ssd, coef_bits, lvl, rec)."""
+    resid = src_blk - pred
+    coef = forward_transform(resid, is_dst)
+    lvl = quantize(coef, qp, True, sl)
+    if sign_hiding and np.any(lvl):
+        lvl = sign_bit_hiding(lvl, coef, qp, True, scan_idx, sl)
+    if np.any(lvl):
+        deq = dequantize(lvl, qp, True, sl)
+        rec = np.clip(pred + inverse_transform(deq, is_dst), 0, 255)
+    else:
+        rec = pred
+    d = (rec - src_blk).astype(np.int64)
+    return float((d * d).sum()), _coef_cost_bits(lvl), lvl, rec
+
+
+def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
+                      src_v: np.ndarray, qp: int, ctb: int = 32,
+                      min_cu: int = 8) -> TreeDecision:
+    """Open-loop decision pass. All reference samples come from the source
+    planes (masked by real decoder availability), so every block at every
+    depth is independent — the device twin batches this wholesale."""
+    h, w = src_y.shape
+    avail = ip.Availability(w, h, ps.ctu_size)
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    lam = T.rd_lambda(qp, "I")
+    lam_sqrt = float(np.sqrt(lam))
+    sl = ps.scaling_list_enabled
+    h8, w8 = h // 8, w // 8
+    depth_levels = []
+    s = ctb
+    while s >= min_cu:
+        depth_levels.append(s)
+        s //= 2
+    base_depth = ps.log2_ctu - (ctb.bit_length() - 1)
+
+    # ---- per-depth mode choice + RD cost (open loop) ----------------------
+    # pre-modes by pure SAD feed the MPM of the final mode decision (both
+    # passes batch on device; sequential here only for clarity)
+    costs = []       # per depth: (gh, gw) float
+    modes = []       # per depth: (gh, gw) uint8
+    for size in depth_levels:
+        gh, gw = h // size, w // size
+        cost_d = np.full((gh, gw), np.inf)
+        mode_d = np.zeros((gh, gw), np.uint8)
+        sad_all = np.zeros((gh, gw, 35), np.int64)
+        pre = np.zeros((gh, gw), np.int32)
+        for gy in range(gh):
+            for gx in range(gw):
+                x0, y0 = gx * size, gy * size
+                top, left = ip.build_reference_samples(
+                    src_y, x0, y0, size, avail)
+                src_blk = src_y[y0:y0 + size, x0:x0 + size].astype(np.int32)
+                for mode in range(35):
+                    ft, fl = ip.filter_reference_samples(
+                        top, left, size, mode, True)
+                    pred = ip.predict(ft, fl, size, mode, True)
+                    sad_all[gy, gx, mode] = np.abs(src_blk - pred).sum()
+                pre[gy, gx] = int(np.argmin(sad_all[gy, gx]))
+        for gy in range(gh):
+            for gx in range(gw):
+                x0, y0 = gx * size, gy * size
+                lmode = int(pre[gy, gx - 1]) if gx > 0 else 1
+                amode = int(pre[gy - 1, gx]) \
+                    if (gy > 0 and (y0 % ps.ctu_size) != 0) else 1
+                mpm = mpm_candidates(lmode, amode)
+                mbits = np.where(np.isin(np.arange(35), mpm),
+                                 MODE_BITS_MPM, MODE_BITS_REM)
+                mode = int(np.argmin(sad_all[gy, gx] + lam_sqrt * mbits))
+                mode_d[gy, gx] = mode
+                # RD cost of this CU at this depth (open-loop recon)
+                top, left = ip.build_reference_samples(
+                    src_y, x0, y0, size, avail)
+                ft, fl = ip.filter_reference_samples(top, left, size, mode,
+                                                     True)
+                pred = ip.predict(ft, fl, size, mode, True)
+                src_blk = src_y[y0:y0 + size, x0:x0 + size].astype(np.int32)
+                scan_idx = T.intra_scan_idx(mode, size.bit_length() - 1, True)
+                ssd, cbits, _, _ = _tu_rd(src_blk, pred, qp, sl,
+                                          ps.sign_hiding, scan_idx,
+                                          size == 4)
+                # chroma at DM mode rides along (decision-level estimate)
+                csz = size // 2
+                cx, cy = x0 // 2, y0 // 2
+                for plane in (src_u, src_v):
+                    ct, cl = ip.build_reference_samples(
+                        plane, cx, cy, csz, avail, comp_shift=1)
+                    cpred = ip.predict(ct, cl, csz, mode, False)
+                    cblk = plane[cy:cy + csz, cx:cx + csz].astype(np.int32)
+                    cscan = T.intra_scan_idx(mode, csz.bit_length() - 1,
+                                             False)
+                    cssd, ccbits, _, _ = _tu_rd(cblk, cpred, qp_c, sl,
+                                                ps.sign_hiding, cscan, False)
+                    ssd += cssd
+                    cbits += ccbits
+                mode_bits = MODE_BITS_MPM if mode in mpm else MODE_BITS_REM
+                cost_d[gy, gx] = ssd + lam * (cbits + mode_bits
+                                              + CU_OVERHEAD_BITS)
+        costs.append(cost_d)
+        modes.append(mode_d)
+
+    # ---- bottom-up consolidation (parent vs 4 children + split bits) ------
+    # reference analog: consolidate_prediction_info (hmr_motion_inter.c:3372)
+    nd = len(depth_levels)
+    # default to the deepest level so any area not covered by a full CTB
+    # (padded geometries only) still has a valid mode
+    min_sz = depth_levels[-1]
+    r = min_sz // 8
+    depth8 = np.full((h8, w8), base_depth + nd - 1, np.uint8)
+    mode8 = np.repeat(np.repeat(modes[-1], r, 0), r, 1)[:h8, :w8].copy()
+    # best[d] = (gh, gw) best achievable cost for the subtree rooted at a
+    # depth-d block, filled leaf-up
+    best = [None] * nd
+    best[nd - 1] = costs[nd - 1].copy()
+    for d in range(nd - 2, -1, -1):
+        ch = best[d + 1]
+        csum = (ch[0::2, 0::2] + ch[0::2, 1::2]
+                + ch[1::2, 0::2] + ch[1::2, 1::2]) + lam * 4.0
+        best[d] = np.minimum(costs[d], csum)
+    # top-down realization of the argmin tree
+    def realize(d, gy, gx):
+        size = depth_levels[d]
+        y0, x0 = gy * size, gx * size
+        ch_cost = np.inf
+        if d + 1 < nd:
+            ch = best[d + 1]
+            ch_cost = (ch[2 * gy, 2 * gx] + ch[2 * gy, 2 * gx + 1]
+                       + ch[2 * gy + 1, 2 * gx]
+                       + ch[2 * gy + 1, 2 * gx + 1]) + lam * 4.0
+        if costs[d][gy, gx] <= ch_cost:
+            u0, u1 = y0 // 8, (y0 + size) // 8
+            v0, v1 = x0 // 8, (x0 + size) // 8
+            depth8[u0:u1, v0:v1] = base_depth + d
+            mode8[u0:u1, v0:v1] = modes[d][gy, gx]
+        else:
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    realize(d + 1, 2 * gy + dy, 2 * gx + dx)
+    for gy in range(h // ctb):
+        for gx in range(w // ctb):
+            realize(0, gy, gx)
+    return TreeDecision(depth8=depth8, mode8=mode8, chroma8=mode8.copy())
+
+
+def encode_intra_tree_frame(ps: ParamSets, src_y, src_u, src_v, qp: int,
+                            dec: TreeDecision, ctb: int = 32):
+    """Closed-loop encode honoring a decided tree: the golden oracle the
+    device wavefront (pass 2) must match bit-exactly. Structure follows
+    golden/intra_frame.py but sizes/modes are read from the decision."""
+    h, w = src_y.shape
+    desc = FrameDesc.alloc(w, h)
+    recon_y = np.zeros((h, w), np.int32)
+    recon_u = np.zeros((h // 2, w // 2), np.int32)
+    recon_v = np.zeros((h // 2, w // 2), np.int32)
+    avail = ip.Availability(w, h, ps.ctu_size)
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    sl = ps.scaling_list_enabled
+    base_depth = ps.log2_ctu - (ctb.bit_length() - 1)
+
+    def encode_cu(x0, y0, size, depth):
+        if x0 >= w or y0 >= h:
+            return
+        want_depth = int(dec.depth8[y0 // 8, x0 // 8])
+        if x0 + size > w or y0 + size > h or depth < want_depth:
+            half = size // 2
+            for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                encode_cu(x0 + dx, y0 + dy, half, depth + 1)
+            return
+        mode = int(dec.mode8[y0 // 8, x0 // 8])
+        top, left = ip.build_reference_samples(recon_y, x0, y0, size, avail)
+        ft, fl = ip.filter_reference_samples(top, left, size, mode, True)
+        pred = ip.predict(ft, fl, size, mode, True)
+        src_blk = src_y[y0:y0 + size, x0:x0 + size].astype(np.int32)
+        scan_idx = T.intra_scan_idx(mode, size.bit_length() - 1, True)
+        _, _, lvl, rec = _tu_rd(src_blk, pred, qp, sl, ps.sign_hiding,
+                                scan_idx, size == 4)
+        recon_y[y0:y0 + size, x0:x0 + size] = rec
+        cmode = int(dec.chroma8[y0 // 8, x0 // 8])
+        cx, cy, csz = x0 // 2, y0 // 2, size // 2
+        for plane_src, plane_rec, plane_coef in (
+                (src_u, recon_u, desc.coef_u), (src_v, recon_v, desc.coef_v)):
+            ct, cl = ip.build_reference_samples(plane_rec, cx, cy, csz,
+                                                avail, comp_shift=1)
+            cpred = ip.predict(ct, cl, csz, cmode, False)
+            cblk = plane_src[cy:cy + csz, cx:cx + csz].astype(np.int32)
+            cscan = T.intra_scan_idx(cmode, csz.bit_length() - 1, False)
+            _, _, clvl, crec = _tu_rd(cblk, cpred, qp_c, sl, ps.sign_hiding,
+                                      cscan, False)
+            plane_rec[cy:cy + csz, cx:cx + csz] = crec
+            plane_coef[cy:cy + csz, cx:cx + csz] = clvl.astype(np.int16)
+        u0, u1 = y0 // 8, (y0 + size) // 8
+        v0, v1 = x0 // 8, (x0 + size) // 8
+        desc.cu_depth[u0:u1, v0:v1] = ps.log2_ctu - (size.bit_length() - 1)
+        desc.tr_depth[u0:u1, v0:v1] = 0
+        desc.luma_mode[y0 // 4:(y0 + size) // 4,
+                       x0 // 4:(x0 + size) // 4] = mode
+        desc.chroma_mode[u0:u1, v0:v1] = cmode
+        desc.coef_y[y0:y0 + size, x0:x0 + size] = lvl.astype(np.int16)
+
+    for cy in range(0, h, ps.ctu_size):
+        for cx in range(0, w, ps.ctu_size):
+            encode_cu(cx, cy, ps.ctu_size, 0)
+    return desc, recon_y, recon_u, recon_v
