@@ -42,14 +42,16 @@ from homerhevc_tpu.hevc.syntax import FrameDesc, mpm_candidates
 # coefficient-rate model bits(nnz, sum|lvl|) ~= A*nnz + B*sum + C per TU
 # with nonzero coefficients; fitted against CabacCounter-measured residual
 # bits on textured content at QP 27-37 (tests/test_intra_tree.py keeps the
-# fit honest within a stated tolerance).
-COEF_BITS_NNZ = 2.0
-COEF_BITS_SUM = 1.0
-COEF_BITS_TU = 4.0
+# fit honest within a stated tolerance). All INTEGER so golden and device
+# cost arithmetic are bit-identical (device runs int32).
+COEF_BITS_NNZ = 2
+COEF_BITS_SUM = 1
+COEF_BITS_TU = 4
 # per-CU overhead bins: cbf luma + 2x chroma cbf + part/split context
-CU_OVERHEAD_BITS = 5.0
-MODE_BITS_MPM = 2.0
-MODE_BITS_REM = 6.0
+CU_OVERHEAD_BITS = 5
+MODE_BITS_MPM = 2
+MODE_BITS_REM = 6
+SPLIT_BITS = 4
 
 
 @dataclasses.dataclass
@@ -60,11 +62,11 @@ class TreeDecision:
     chroma8: np.ndarray      # (H/8, W/8) uint8: chroma mode of the CU
 
 
-def _coef_cost_bits(lvl: np.ndarray) -> float:
+def _coef_cost_bits(lvl: np.ndarray) -> int:
     nnz = int(np.count_nonzero(lvl))
     if nnz == 0:
-        return 0.0
-    return (COEF_BITS_NNZ * nnz + COEF_BITS_SUM * float(np.abs(lvl).sum())
+        return 0
+    return (COEF_BITS_NNZ * nnz + COEF_BITS_SUM * int(np.abs(lvl).sum())
             + COEF_BITS_TU)
 
 
@@ -81,7 +83,7 @@ def _tu_rd(src_blk, pred, qp, sl, sign_hiding, scan_idx, is_dst):
     else:
         rec = pred
     d = (rec - src_blk).astype(np.int64)
-    return float((d * d).sum()), _coef_cost_bits(lvl), lvl, rec
+    return int((d * d).sum()), _coef_cost_bits(lvl), lvl, rec
 
 
 def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
@@ -93,8 +95,8 @@ def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
     h, w = src_y.shape
     avail = ip.Availability(w, h, ps.ctu_size)
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
-    lam = T.rd_lambda(qp, "I")
-    lam_sqrt = float(np.sqrt(lam))
+    lam = T.lambda_int(qp, "I")
+    bits_mpm, bits_rem = T.intra_mode_bits(qp)
     sl = ps.scaling_list_enabled
     h8, w8 = h // 8, w // 8
     depth_levels = []
@@ -111,7 +113,7 @@ def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
     modes = []       # per depth: (gh, gw) uint8
     for size in depth_levels:
         gh, gw = h // size, w // size
-        cost_d = np.full((gh, gw), np.inf)
+        cost_d = np.zeros((gh, gw), np.int64)
         mode_d = np.zeros((gh, gw), np.uint8)
         sad_all = np.zeros((gh, gw, 35), np.int64)
         pre = np.zeros((gh, gw), np.int32)
@@ -135,8 +137,8 @@ def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
                     if (gy > 0 and (y0 % ps.ctu_size) != 0) else 1
                 mpm = mpm_candidates(lmode, amode)
                 mbits = np.where(np.isin(np.arange(35), mpm),
-                                 MODE_BITS_MPM, MODE_BITS_REM)
-                mode = int(np.argmin(sad_all[gy, gx] + lam_sqrt * mbits))
+                                 bits_mpm, bits_rem).astype(np.int64)
+                mode = int(np.argmin(sad_all[gy, gx] + mbits))
                 mode_d[gy, gx] = mode
                 # RD cost of this CU at this depth (open-loop recon)
                 top, left = ip.build_reference_samples(
@@ -166,6 +168,7 @@ def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
                 mode_bits = MODE_BITS_MPM if mode in mpm else MODE_BITS_REM
                 cost_d[gy, gx] = ssd + lam * (cbits + mode_bits
                                               + CU_OVERHEAD_BITS)
+                assert cost_d[gy, gx] < (1 << 31), "int32 cost overflow"
         costs.append(cost_d)
         modes.append(mode_d)
 
@@ -185,18 +188,18 @@ def decide_intra_tree(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
     for d in range(nd - 2, -1, -1):
         ch = best[d + 1]
         csum = (ch[0::2, 0::2] + ch[0::2, 1::2]
-                + ch[1::2, 0::2] + ch[1::2, 1::2]) + lam * 4.0
+                + ch[1::2, 0::2] + ch[1::2, 1::2]) + lam * SPLIT_BITS
         best[d] = np.minimum(costs[d], csum)
     # top-down realization of the argmin tree
     def realize(d, gy, gx):
         size = depth_levels[d]
         y0, x0 = gy * size, gx * size
-        ch_cost = np.inf
+        ch_cost = 1 << 62
         if d + 1 < nd:
             ch = best[d + 1]
             ch_cost = (ch[2 * gy, 2 * gx] + ch[2 * gy, 2 * gx + 1]
                        + ch[2 * gy + 1, 2 * gx]
-                       + ch[2 * gy + 1, 2 * gx + 1]) + lam * 4.0
+                       + ch[2 * gy + 1, 2 * gx + 1]) + lam * SPLIT_BITS
         if costs[d][gy, gx] <= ch_cost:
             u0, u1 = y0 // 8, (y0 + size) // 8
             v0, v1 = x0 // 8, (x0 + size) // 8

@@ -93,6 +93,21 @@ def rd_lambda(qp: int, slice_type: str = "I") -> float:
     return qp_factor * (2.0 ** ((qp - 12) / 3.0))
 
 
+def lambda_int(qp: int, slice_type: str = "I") -> int:
+    """SSD-domain lambda rounded to int, shared by the golden and device
+    intra-tree RDO so their integer cost arithmetic is bit-identical."""
+    return int(rd_lambda(qp, slice_type) + 0.5)
+
+
+def intra_mode_bits(qp: int) -> tuple[int, int]:
+    """(mpm, non-mpm) integer mode-cost addends in the SAD domain for the
+    intra mode decision (sqrt-lambda scaled, as the wavefront encoder's
+    _BITS_MPM/_BITS_REM tables)."""
+    import math
+    s = math.sqrt(rd_lambda(qp, "I"))
+    return int(s * 2), int(s * 6)
+
+
 def lambda_me_x16(qp: int) -> int:
     """Motion-search lambda in the SAD domain (sqrt of the SSD-domain
     lambda, HM-style), as a x16 fixed-point integer so golden (numpy) and

@@ -173,6 +173,104 @@ def edge_fixes(pred: jnp.ndarray, top_u, left_u, n: int, is_luma: bool):
     return pred
 
 
+@lru_cache(maxsize=None)
+def _mode_tables(n: int, is_luma: bool):
+    """Static per-mode lookup tables for predict_mode: (uses_filtered[35],
+    angle[35], inv_angle[35])."""
+    uses = np.zeros(35, bool)
+    ang = np.zeros(35, np.int32)
+    inv = np.zeros(35, np.int32)
+    for m in range(35):
+        uses[m] = mode_uses_filtered(m, n, is_luma)
+        if m >= 2:
+            ang[m] = int(PRED_ANGLE[m - 2])
+        if 11 <= m <= 25:
+            inv[m] = int(INV_ANGLE[m - 11])
+    return uses, ang, inv
+
+
+def predict_mode(top_u, left_u, n: int, mode, is_luma: bool):
+    """Single-mode batched intra prediction with a TRACED per-block mode.
+
+    top_u/left_u: (B, 2n+1) int32 corner-first refs; mode: (B,) int32.
+    Returns (B, n, n) int32, bit-exact to golden ip.predict (incl. the
+    [1 2 1] filter rule, DC edge smoothing and mode 10/26 gradient fixes).
+    Used by the tree encode wavefront where the mode is already decided —
+    one prediction instead of 35 inside the sequential scan."""
+    B = top_u.shape[0]
+    mode = mode.astype(jnp.int32)
+    uses_t, ang_t, inv_t = _mode_tables(n, is_luma)
+    use_f = jnp.asarray(uses_t)[mode]
+    top_f, left_f = filter_refs(top_u, left_u)
+    top = jnp.where(use_f[:, None], top_f, top_u)
+    left = jnp.where(use_f[:, None], left_f, left_u)
+    log2n = n.bit_length() - 1
+    x = jnp.arange(n)
+    y = jnp.arange(n)
+
+    # ---- planar (spec 8.4.4.2.4) — filtered refs per the distance rule
+    t_row = top[:, 1:n + 1]
+    l_col = left[:, 1:n + 1]
+    tr = top[:, n + 1]
+    bl = left[:, n + 1]
+    planar = ((n - 1 - x)[None, None, :] * l_col[:, :, None]
+              + (x + 1)[None, None, :] * tr[:, None, None]
+              + (n - 1 - y)[None, :, None] * t_row[:, None, :]
+              + (y + 1)[None, :, None] * bl[:, None, None]
+              + n) >> (log2n + 1)
+
+    # ---- DC (unfiltered refs always)
+    tu = top_u[:, 1:n + 1]
+    lu = left_u[:, 1:n + 1]
+    dc = (jnp.sum(tu, axis=1) + jnp.sum(lu, axis=1) + n) >> (log2n + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (B, n, n))
+    if is_luma and n < 32:
+        row0 = (tu + 3 * dc[:, None] + 2) >> 2
+        col0 = (lu + 3 * dc[:, None] + 2) >> 2
+        c00 = (lu[:, 0] + 2 * dc + tu[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0)
+        dcp = dcp.at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(c00)
+
+    # ---- angular (spec 8.4.4.2.6), both orientations via main/side swap
+    angle = jnp.asarray(ang_t)[mode]                    # (B,)
+    inv = jnp.asarray(inv_t)[mode]
+    vertical = mode >= 18
+    main = jnp.where(vertical[:, None], top, left)      # (B, 2n+1)
+    side = jnp.where(vertical[:, None], left, top)
+    # extended ref ext[k+n] for k in [-n, 2n]
+    kk_neg = jnp.arange(-n, 0)                          # (n,)
+    j = (kk_neg[None, :] * inv[:, None] + 128) >> 8     # (B, n)
+    ext_neg = jnp.take_along_axis(side, jnp.clip(j, 0, 2 * n), axis=1)
+    ext = jnp.concatenate([ext_neg, main], axis=1)      # (B, 3n+1)
+    pos = (y + 1)[None, :] * angle[:, None]             # (B, n) per main row
+    i_idx = pos >> 5
+    frac = pos & 31
+    base = n + 1 + i_idx[:, :, None] + x[None, None, :]  # (B, n, n)
+    bidx = base.reshape(B, n * n)
+    a = jnp.take_along_axis(ext, jnp.clip(bidx, 0, 3 * n), axis=1)
+    b = jnp.take_along_axis(ext, jnp.clip(bidx + 1, 0, 3 * n), axis=1)
+    a = a.reshape(B, n, n)
+    b = b.reshape(B, n, n)
+    pr = ((32 - frac[:, :, None]) * a + frac[:, :, None] * b + 16) >> 5
+    angp = jnp.where(vertical[:, None, None], pr,
+                     jnp.swapaxes(pr, 1, 2))
+    if is_luma and n < 32:
+        # mode 26 (vertical) first-column / mode 10 first-row gradient fix
+        corner = top_u[:, 0]
+        v26 = jnp.clip(tu[:, 0:1] + ((lu - corner[:, None]) >> 1), 0, 255)
+        h10 = jnp.clip(lu[:, 0:1] + ((tu - corner[:, None]) >> 1), 0, 255)
+        is26 = (mode == 26)[:, None]
+        is10 = (mode == 10)[:, None]
+        angp = angp.at[:, :, 0].set(
+            jnp.where(is26, v26, angp[:, :, 0]))
+        angp = angp.at[:, 0, :].set(
+            jnp.where(is10, h10, angp[:, 0, :]))
+    out = jnp.where((mode == 0)[:, None, None], planar,
+                    jnp.where((mode == 1)[:, None, None], dcp, angp))
+    return out.astype(jnp.int32)
+
+
 def substitute_refs(vals: jnp.ndarray, avail: jnp.ndarray):
     """Reference sample substitution (spec 8.4.4.2.2), batched.
 

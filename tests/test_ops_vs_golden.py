@@ -165,3 +165,23 @@ def test_pack_sparse2_roundtrip(rng):
                                  np.asarray(ev)[:ecnt], n_tot, buf)
     flat = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
     np.testing.assert_array_equal(buf, flat)
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+@pytest.mark.parametrize("is_luma", [True, False])
+def test_predict_mode_matches_golden(n, is_luma, rng):
+    """Single-mode prediction with TRACED mode (tree encode pass) must be
+    bit-exact to golden predict incl. filtering + edge fixes."""
+    if n == 32 and not is_luma:
+        return
+    B = 35
+    top = rng.randint(0, 256, (B, 2 * n + 1)).astype(np.int32)
+    left = rng.randint(0, 256, (B, 2 * n + 1)).astype(np.int32)
+    left[:, 0] = top[:, 0]  # shared corner
+    modes = np.arange(35, dtype=np.int32)
+    out = np.asarray(dip.predict_mode(
+        jnp.asarray(top), jnp.asarray(left), n, jnp.asarray(modes), is_luma))
+    for m in range(35):
+        ft, fl = gip.filter_reference_samples(top[m], left[m], n, m, is_luma)
+        ref = gip.predict(ft, fl, n, m, is_luma)
+        assert np.array_equal(out[m], ref), f"mode {m} n {n} luma {is_luma}"
