@@ -91,11 +91,9 @@ class EncoderPipeline:
         qp = self.cfg.qp if qp is None else qp
         backend = self.backend
         if backend == "auto":
-            # device wavefront v1 requires raster coding order (CTB == CU == 16)
-            # and dims divisible by 16; otherwise use the golden path
-            ok = (self.cfg.cu_size == 16
-                  and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
-            backend = "tpu" if ok else "golden"
+            # device wavefront needs a supported geometry (uniform CTB16 or
+            # the CTB32 tree path); otherwise use the golden path
+            backend = "tpu" if self._tpu_ok() else "golden"
         self._last_recon_dev = None   # intra breaks the device ref chain
         self._last_recon_dev2 = None
         if backend == "golden":
@@ -660,8 +658,18 @@ class EncoderPipeline:
                                    - prev)))
         return mad > 30.0
 
+    def _tpu_tree_ok(self) -> bool:
+        """Device intra CU-tree path (decide + CTB32 wavefront encode)."""
+        return (self.backend in ("auto", "tpu") and self.cfg.intra_rdo
+                and self.cfg.cu_size in (32, 64)
+                and not self.ps.deblocking_enabled
+                and self.cfg.width % 32 == 0 and self.cfg.height % 32 == 0)
+
     def _tpu_ok(self) -> bool:
+        if self._tpu_tree_ok():
+            return True
         return (self.backend in ("auto", "tpu")
+                and not self.cfg.intra_rdo
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
 
@@ -715,8 +723,13 @@ class EncoderPipeline:
 
     def _get_tpu(self):
         if self._tpu_intra is None:
-            from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
-            self._tpu_intra = TpuIntraEncoder(self.ps, self.cfg)
+            if self._tpu_tree_ok():
+                from homerhevc_tpu.engine.intra_tree_encoder import \
+                    TpuIntraTreeEncoder
+                self._tpu_intra = TpuIntraTreeEncoder(self.ps, self.cfg)
+            else:
+                from homerhevc_tpu.engine.intra_encoder import TpuIntraEncoder
+                self._tpu_intra = TpuIntraEncoder(self.ps, self.cfg)
         return self._tpu_intra
 
     def _pad_frame(self, y, u, v):

@@ -128,3 +128,69 @@ def test_coef_bits_model_vs_cabac_counter(rng):
     assert len(est) >= 20
     r = np.corrcoef(est, real)[0, 1]
     assert r > 0.9, f"coef-bit model decorrelated from CABAC counter: r={r}"
+
+
+def _tree_cfg(w, h, qp=32, **kw):
+    return EncoderConfig(width=w, height=h, qp=qp, gop_size=0, cu_size=32,
+                         sao=False, deblocking=False, sign_hiding=True,
+                         intra_rdo=True, **kw)
+
+
+def test_device_decision_matches_golden(rng):
+    w, h = 96, 64
+    cfg = _tree_cfg(w, h)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = _mixed_frame(rng, w, h)
+    from homerhevc_tpu.golden.intra_tree import decide_intra_tree
+    from homerhevc_tpu.engine.intra_tree_encoder import TpuIntraTreeEncoder
+    gold = decide_intra_tree(ps, y, u, v, cfg.qp, ctb=32)
+    enc = TpuIntraTreeEncoder(ps, cfg)
+    dev = enc.decide(y, u, v, cfg.qp)
+    assert np.array_equal(dev.depth8, gold.depth8), \
+        (dev.depth8, gold.depth8)
+    assert np.array_equal(dev.mode8, gold.mode8)
+
+
+def test_device_tree_encode_matches_golden(rng):
+    """Device CTB32 wavefront encode (21-node hypothesis set) must be
+    bit-exact to the golden closed-loop tree encode: recon + coefficient
+    planes + maps."""
+    w, h = 96, 64
+    for qp, seed in ((32, 0), (27, 1)):
+        r2 = np.random.RandomState(seed)
+        cfg = _tree_cfg(w, h, qp=qp)
+        ps = ParamSets.from_config(cfg)
+        y, u, v = (_mixed_frame(r2, w, h) if seed == 0
+                   else make_yuv(r2, w, h))
+        from homerhevc_tpu.golden.intra_tree import (decide_intra_tree,
+                                                     encode_intra_tree_frame)
+        from homerhevc_tpu.engine.intra_tree_encoder import \
+            TpuIntraTreeEncoder
+        gdec = decide_intra_tree(ps, y, u, v, qp, ctb=32)
+        gdesc, gy_, gu_, gv_ = encode_intra_tree_frame(ps, y, u, v, qp, gdec,
+                                                       ctb=32)
+        enc = TpuIntraTreeEncoder(ps, cfg)
+        desc, ry, ru, rv = enc.encode_frame(y, u, v, qp)
+        assert np.array_equal(desc.cu_depth, gdesc.cu_depth)
+        assert np.array_equal(desc.luma_mode, gdesc.luma_mode)
+        assert np.array_equal(np.asarray(ry), gy_.astype(np.uint8)), qp
+        assert np.array_equal(np.asarray(ru), gu_.astype(np.uint8))
+        assert np.array_equal(np.asarray(rv), gv_.astype(np.uint8))
+        assert np.array_equal(desc.coef_y, gdesc.coef_y)
+        assert np.array_equal(desc.coef_u, gdesc.coef_u)
+        assert np.array_equal(desc.coef_v, gdesc.coef_v)
+
+
+def test_device_tree_pipeline_e2e(rng, tmp_path):
+    """Full pipeline with the device tree backend (batched, packed wire):
+    stream must FFmpeg-decode bit-exact to recon across a 3-frame batch."""
+    w, h = 96, 64
+    cfg = _tree_cfg(w, h, num_frames_in_flight=3)
+    frames = [_mixed_frame(rng, w, h) for _ in range(3)]
+    bits, nals, recons = _encode_bits(cfg, frames)
+    path = tmp_path / "tree_dev.265"
+    path.write_bytes(nals)
+    decoded = decode_annexb(path)
+    assert len(decoded) == 3
+    for i in range(3):
+        assert np.array_equal(decoded[i], recons[i]["y"]), f"frame {i}"
