@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sign_hiding", type=int, default=1)
     p.add_argument("-sao", type=int, default=0)
     p.add_argument("-deblocking", type=int, default=1)
+    p.add_argument("-intra_rdo", type=int, default=0,
+                   help="intra CU-tree RDO (cu_size >= 32)")
+    p.add_argument("-intra_in_p", type=int, default=0,
+                   help="per-CU intra fallback inside P frames")
     p.add_argument("-bitrate_mode", type=int, default=0,
                    help="0=FIXED_QP 1=CBR 2=VBR")
     p.add_argument("-bitrate", type=int, default=1250, help="kbps")
@@ -72,7 +76,8 @@ def main(argv=None) -> int:
         motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
         chroma_qp_offset=args.chroma_qp_offset,
         sign_hiding=bool(args.sign_hiding), sao=bool(args.sao),
-        deblocking=bool(args.deblocking),
+        deblocking=bool(args.deblocking), intra_rdo=bool(args.intra_rdo),
+        intra_in_p=bool(args.intra_in_p),
         bitrate_mode=BitrateMode(args.bitrate_mode),
         bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
         vbv_init=args.vbv_init,

@@ -66,6 +66,11 @@ class EncoderConfig:
     # intra CU-tree RDO (two-pass: open-loop batched decision + closed-loop
     # wavefront encode; golden/intra_tree.py). Needs cu_size >= 32.
     intra_rdo: bool = False
+    # per-CU16 intra fallback inside P frames: post-pass over the all-inter
+    # coding flips a king-graph-independent subset of CUs to intra where
+    # intra wins RD (golden/inter_frame.py intra_fallback_p; reference
+    # analog hmr_motion_inter.c:4008-4038).
+    intra_in_p: bool = False
     performance_mode: PerformanceMode = PerformanceMode.UFAST
     reinit_gop_on_scene_change: bool = True
     # generalized-B "P" frames (gop_size 1): once two references exist, P

@@ -21,6 +21,22 @@ from homerhevc_tpu.ops.quant import dequantize, quantize, sign_bit_hiding
 from homerhevc_tpu.ops.transform import forward_transform, inverse_transform
 
 
+def select_intra_independent_j(want: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of golden select_intra_independent (king-graph 4-class
+    sweep; identical arithmetic)."""
+    gh, gw = want.shape
+    gy = (jnp.arange(gh) & 1)[:, None]
+    gx = (jnp.arange(gw) & 1)[None, :]
+    sel = jnp.zeros_like(want)
+    for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        p = jnp.pad(sel, 1)
+        blocked = (p[:-2, :-2] | p[:-2, 1:-1] | p[:-2, 2:]
+                   | p[1:-1, :-2] | p[1:-1, 2:]
+                   | p[2:, :-2] | p[2:, 1:-1] | p[2:, 2:])
+        sel = sel | (want & (gy == cy) & (gx == cx) & ~blocked)
+    return sel
+
+
 class TpuInterEncoder:
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16,
                  search: int = 16):
@@ -44,6 +60,17 @@ class TpuInterEncoder:
         # a small fixed head covers typical frames and is async-copied at
         # dispatch, avoiding a per-frame slice round trip on the link
         self.pack_head = min(self.pack_C, -(-n_tot // 32))
+        if cfg.intra_in_p:
+            # static z-scan ADI availability for the CU16 fallback grid
+            from homerhevc_tpu.ops.intra import avail_masks
+            gxs = np.arange(self.w // 16) * 16
+            gys = np.arange(self.h // 16) * 16
+            self.if_mask = avail_masks(self.w, self.h, ps.ctu_size, 16, 0,
+                                       gxs[None, :], gys[:, None])
+            cxs = np.arange(self.w // 16) * 8
+            cys = np.arange(self.h // 16) * 8
+            self.if_mask_c = avail_masks(self.w, self.h, ps.ctu_size, 8, 1,
+                                         cxs[None, :], cys[:, None])
         self._jit = jax.jit(self._impl)
 
     def _hier_me(self, sy, ry, lam16):
@@ -333,9 +360,11 @@ class TpuInterEncoder:
         def rep2(a):
             return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
 
-        def deblock_inter(plane_y, nz8, mv8, ts8):
-            """BS maps (spec 8.7.2.4, pure-inter frames: no BS=2) + device
-            luma deblock. Chroma is untouched at BS<2 (8.7.2.5.5)."""
+        def deblock_inter(plane_y, nz8, mv8, ts8, intra8=None):
+            """BS maps (spec 8.7.2.4) + device luma deblock. Either side
+            intra -> BS=2 (intra-fallback CUs); else nz/mv mismatch -> 1.
+            Chroma is untouched at BS<2 (8.7.2.5.5) — the BS2 chroma pass
+            runs separately when intra CUs are present."""
             from homerhevc_tpu.ops.deblock import deblock_luma_bs
             h8, w8 = nz8.shape
             ux = jnp.arange(w8)[None, :]
@@ -350,16 +379,64 @@ class TpuInterEncoder:
             dt = jnp.any(jnp.abs(mv8 - mvt) >= 4, axis=-1)
             bs_v = (vv & (nz8 | nzl | dl)).astype(jnp.int32)
             bs_h = (vh & (nz8 | nzt | dt)).astype(jnp.int32)
+            if intra8 is not None:
+                il = jnp.pad(intra8, ((0, 0), (1, 0)))[:, :-1]
+                it = jnp.pad(intra8, ((1, 0), (0, 0)))[:-1, :]
+                bs_v = jnp.where(vv & (intra8 | il), 2, bs_v)
+                bs_h = jnp.where(vh & (intra8 | it), 2, bs_h)
             return deblock_luma_bs(plane_y, bs_v, bs_h, qp)
 
+        def deblock_chroma_intra(ru_, rv_, intra8):
+            """BS2 chroma pass over intra-fallback CU edges (chroma-8 grid
+            = even luma 8-units)."""
+            from homerhevc_tpu.ops.deblock import deblock_chroma_bs
+            h8, w8 = intra8.shape
+            ux = jnp.arange(w8)[None, :]
+            uy = jnp.arange(h8)[:, None]
+            il = jnp.pad(intra8, ((0, 0), (1, 0)))[:, :-1]
+            it = jnp.pad(intra8, ((1, 0), (0, 0)))[:-1, :]
+            bs2_v = (ux > 0) & ((ux & 1) == 0) & (intra8 | il)
+            bs2_h = (uy > 0) & ((uy & 1) == 0) & (intra8 | it)
+            ru_ = deblock_chroma_bs(ru_, bs2_v, bs2_h, qp,
+                                    self.ps.cb_qp_offset)
+            rv_ = deblock_chroma_bs(rv_, bs2_v, bs2_h, qp,
+                                    self.ps.cr_qp_offset)
+            return ru_, rv_
+
+        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
+
         if not self.tree:
+            extra = [mvs16]
+            intra8 = None
+            if self.cfg.intra_in_p:
+                def cu_cost16(src_b, rec_b, lvl_b, mv_b):
+                    dd = (src_b - rec_b).astype(jnp.float32)
+                    ssd = jnp.sum(dd * dd, axis=(-1, -2))
+                    nnzf = jnp.sum((lvl_b != 0),
+                                   axis=(-1, -2)).astype(jnp.float32)
+                    lsum = jnp.sum(jnp.abs(lvl_b),
+                                   axis=(-1, -2)).astype(jnp.float32)
+                    rt = (mvd_bits[jnp.abs(mv_b[:, 0] - prior[0])]
+                          + mvd_bits[jnp.abs(mv_b[:, 1] - prior[1])]) \
+                        .astype(jnp.float32)
+                    return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
+                c16 = cu_cost16(src_blk, rec, lvl, mvs).reshape(gh, gw)
+                (recon_y, recon_u, recon_v, ly, lu, lv, intra16,
+                 imode16) = self._intra_fallback(
+                    sy, su, sv, recon_y, recon_u, recon_v, ly, lu, lv,
+                    qp, qp_c, c16, lam, None)
+                extra += [intra16.astype(jnp.uint8),
+                          imode16.astype(jnp.uint8)]
+                intra8 = rep2(intra16)
             if self.ps.deblocking_enabled:
                 nz8 = rep2(nz.reshape(gh, gw))
                 mv8 = jnp.repeat(jnp.repeat(mvs.reshape(gh, gw, 2), 2, 0),
                                  2, 1)
                 ts8 = jnp.full(nz8.shape, 16, jnp.int32)
-                recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
-            extra = [mvs16]
+                recon_y = deblock_inter(recon_y, nz8, mv8, ts8, intra8)
+                if intra8 is not None:
+                    recon_u, recon_v = deblock_chroma_intra(
+                        recon_u, recon_v, intra8)
             if self.ps.sao_enabled:
                 recon_y, recon_u, recon_v, sao_p = self._sao(
                     sy, su, sv, recon_y, recon_u, recon_v, qp)
@@ -372,7 +449,6 @@ class TpuInterEncoder:
         # mv32/prior2 come from the shared 16/32 shortlist refine above.
         gh2, gw2 = self.gh2, self.gw2
         B2 = gh2 * gw2
-        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
         x0s2 = (jnp.arange(B2) % gw2) * 32
         y0s2 = (jnp.arange(B2) // gw2) * 32
         src32 = sy[:gh2 * 32].reshape(gh2, 32, gw2, 32) \
@@ -452,6 +528,24 @@ class TpuInterEncoder:
 
         recon_y = combine(recon_y, rec32, 32, recon_y.dtype)
         ly = combine(ly, lvl32.astype(jnp.int16), 32, jnp.int16)
+        recon_u = combine(recon_u, rec_u32, 16, recon_u.dtype)
+        recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
+        lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
+        lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
+        extra = [mvs16, choose.astype(jnp.uint8),
+                 mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
+        intra8 = None
+        if self.cfg.intra_in_p:
+            # CU16 cells covered by an adopted CU32 are excluded (golden
+            # twin skips cu_depth == 0 nodes)
+            ch16 = jnp.repeat(jnp.repeat(choose, 2, 0), 2, 1)
+            excl16 = jnp.pad(ch16, ((0, gh - ch16.shape[0]), (0, 0)))
+            (recon_y, recon_u, recon_v, ly, lu, lv, intra16,
+             imode16) = self._intra_fallback(
+                sy, su, sv, recon_y, recon_u, recon_v, ly, lu, lv,
+                qp, qp_c, c16, lam, excl16)
+            extra += [intra16.astype(jnp.uint8), imode16.astype(jnp.uint8)]
+            intra8 = rep2(intra16)
         if self.ps.deblocking_enabled:
             ch4 = jnp.repeat(jnp.repeat(choose, 4, 0), 4, 1)
             pad_rows = self.h // 8 - ch4.shape[0]
@@ -467,13 +561,10 @@ class TpuInterEncoder:
                 ((0, pad_rows), (0, 0), (0, 0)))
             mv8 = jnp.where(chf[..., None], mv32_8, mv8)
             ts8 = jnp.where(chf, 32, 16).astype(jnp.int32)
-            recon_y = deblock_inter(recon_y, nz8, mv8, ts8)
-        recon_u = combine(recon_u, rec_u32, 16, recon_u.dtype)
-        recon_v = combine(recon_v, rec_v32, 16, recon_v.dtype)
-        lu = combine(lu, lvl_u32.astype(jnp.int16), 16, jnp.int16)
-        lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
-        extra = [mvs16, choose.astype(jnp.uint8),
-                 mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
+            recon_y = deblock_inter(recon_y, nz8, mv8, ts8, intra8)
+            if intra8 is not None:
+                recon_u, recon_v = deblock_chroma_intra(
+                    recon_u, recon_v, intra8)
         if self.ps.sao_enabled:
             recon_y, recon_u, recon_v, sao_p = self._sao(
                 sy, su, sv, recon_y, recon_u, recon_v, qp)
@@ -830,6 +921,118 @@ class TpuInterEncoder:
             extra.append(sao_p)
         return self._wire(recon_y, recon_u, recon_v, sy, extra, ly, lu, lv)
 
+    def _intra_fallback(self, sy, su, sv, ry, ru, rv, ly, lu, lv,
+                        qp, qp_c, cost_p, lam, excl16):
+        """Device twin of golden intra_fallback_p: INTRA_P_ROUNDS batched
+        rounds of {35-mode search from the current recon ADI -> TU16 RD ->
+        king-graph independent-set commit}. Bit-exact to the golden loop
+        (tests/test_tpu_inter.py). Returns updated planes/levels + the
+        committed (gh, gw) intra mask and mode map."""
+        from homerhevc_tpu.golden.inter_frame import (
+            INTRA_P_MODE_BITS_MPM, INTRA_P_MODE_BITS_REM, INTRA_P_ROUNDS)
+        from homerhevc_tpu.ops import intra as dip
+        gh, gw = self.h // 16, self.w // 16
+        B = gh * gw
+        sl = self.ps.scaling_list_enabled
+        bits_tab = np.asarray([T.intra_mode_bits(q) for q in range(52)],
+                              np.int32)
+        bits_mpm = jnp.asarray(bits_tab[:, 0])[qp]
+        bits_rem = jnp.asarray(bits_tab[:, 1])[qp]
+        # independence => every intra CU's neighbors are inter, so the
+        # decoder-side MPM list is the constant mpm_candidates(DC, DC)
+        in_mpm = np.isin(np.arange(35), (0, 1, 26))
+        mode_sad_bits = jnp.where(jnp.asarray(in_mpm), bits_mpm, bits_rem)
+        mb_f = jnp.where(jnp.asarray(in_mpm),
+                         jnp.float32(INTRA_P_MODE_BITS_MPM),
+                         jnp.float32(INTRA_P_MODE_BITS_REM))
+        mask65 = jnp.asarray(self.if_mask).reshape(B, 65)
+        mask33 = jnp.asarray(self.if_mask_c).reshape(B, 33)
+
+        def blockify(p, n):
+            hh, ww = p.shape
+            return p.reshape(hh // n, n, ww // n, n).transpose(0, 2, 1, 3) \
+                .reshape(-1, n, n)
+
+        def unblockify(b, n, hh, ww):
+            return b.reshape(hh // n, ww // n, n, n).transpose(0, 2, 1, 3) \
+                .reshape(hh, ww)
+
+        src16 = blockify(sy, 16)
+        srcu = blockify(su, 8)
+        srcv = blockify(sv, 8)
+        is_intra = jnp.zeros((gh, gw), bool)
+        mode16 = jnp.zeros((gh, gw), jnp.int32)
+        for _ in range(INTRA_P_ROUNDS):
+            # directional block: X may not be an ADI source of a committed
+            # intra CU (committed at X's {E, SE, S, SW, NE} blocks X)
+            p = jnp.pad(is_intra, 1)
+            blocked = (p[1:-1, 2:] | p[2:, 2:] | p[2:, 1:-1]
+                       | p[2:, :-2] | p[:-2, 2:])
+            seq = dip.gather_ref_seq(ry, 16).reshape(B, 65)
+            seq = dip.substitute_refs(seq, mask65)
+            top, left = dip.seq_to_refs(seq, 16)
+            preds = dip.predict_all_modes(top, left, 16, True)
+            preds = dip.edge_fixes(preds, top, left, 16, True)
+            sad = jnp.sum(jnp.abs(src16[:, None] - preds),
+                          axis=(-1, -2)).astype(jnp.int32)
+            mode = jnp.argmin(sad + mode_sad_bits[None, :],
+                              axis=-1).astype(jnp.int32)
+            pred = jnp.take_along_axis(
+                preds, mode[:, None, None, None], axis=1)[:, 0]
+            resid = src16 - pred
+            coef = forward_transform(resid, False)
+            lvl = quantize(coef, 16, qp, True, sl)
+            if self.ps.sign_hiding:
+                lvl = sign_bit_hiding(lvl, coef, 16, qp, True, 0, sl)
+            deq = dequantize(lvl, 16, qp, True, sl)
+            rres = inverse_transform(deq, False)
+            nz = jnp.any(lvl != 0, axis=(-1, -2))
+            rec = jnp.where(nz[:, None, None],
+                            jnp.clip(pred + rres, 0, 255), pred)
+            d = (src16 - rec).astype(jnp.float32)
+            ssd = jnp.sum(d * d, axis=(-1, -2))
+            nnzf = jnp.sum(lvl != 0, axis=(-1, -2)).astype(jnp.float32)
+            lsum = jnp.sum(jnp.abs(lvl), axis=(-1, -2)).astype(jnp.float32)
+            cost_i = ssd + lam * (3.0 * nnzf + lsum + 6.0 + mb_f[mode])
+            want = (cost_i.reshape(gh, gw) < cost_p) & ~is_intra & ~blocked
+            if excl16 is not None:
+                want = want & ~excl16
+            sel = select_intra_independent_j(want)
+            is_intra = is_intra | sel
+            mode16 = jnp.where(sel, mode.reshape(gh, gw), mode16)
+            selrep = jnp.repeat(jnp.repeat(sel, 16, 0), 16, 1)
+            ry = jnp.where(selrep, unblockify(rec, 16, self.h, self.w), ry)
+            ly = jnp.where(selrep,
+                           unblockify(lvl.astype(jnp.int16), 16, self.h,
+                                      self.w), ly)
+            selrep_c = jnp.repeat(jnp.repeat(sel, 8, 0), 8, 1)
+            outc = []
+            for plane, srcc, lev in ((ru, srcu, lu), (rv, srcv, lv)):
+                cseq = dip.gather_ref_seq(plane, 8).reshape(B, 33)
+                cseq = dip.substitute_refs(cseq, mask33)
+                ctop, cleft = dip.seq_to_refs(cseq, 8)
+                cpred = dip.predict_mode(ctop, cleft, 8, mode, False)
+                cres = srcc - cpred
+                ccoef = forward_transform(cres, False)
+                clvl = quantize(ccoef, 8, qp_c, True, sl)
+                if self.ps.sign_hiding:
+                    clvl = sign_bit_hiding(clvl, ccoef, 8, qp_c, True, 0,
+                                           sl)
+                cdeq = dequantize(clvl, 8, qp_c, True, sl)
+                crr = inverse_transform(cdeq, False)
+                cnz = jnp.any(clvl != 0, axis=(-1, -2))
+                crec = jnp.where(cnz[:, None, None],
+                                 jnp.clip(cpred + crr, 0, 255), cpred)
+                hh, ww = self.h // 2, self.w // 2
+                plane = jnp.where(selrep_c, unblockify(crec, 8, hh, ww),
+                                  plane)
+                lev = jnp.where(selrep_c,
+                                unblockify(clvl.astype(jnp.int16), 8, hh,
+                                           ww), lev)
+                outc.append((plane, lev))
+            (ru, lu), (rv, lv) = outc
+        return ry, ru, rv, ly, lu, lv, is_intra, mode16
+
     def _sao(self, sy, su, sv, recon_y, recon_u, recon_v, qp):
         """Device SAO decide+apply (ops/sao_dev.py); returns filtered
         planes + packed params for the wire meta. qp traced."""
@@ -954,6 +1157,11 @@ class TpuInterEncoder:
             if bi:
                 mv32_1 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
                 dir32 = take(gh2 * gw2, None, (gh2, gw2))
+        intra16 = imode16 = None
+        if self.cfg.intra_in_p and not bi:
+            gih, giw = self.h // 16, self.w // 16
+            intra16 = take(gih * giw, None, (gih, giw)).astype(bool)
+            imode16 = take(gih * giw, None, (gih, giw))
         sao_params = None
         if self.ps.sao_enabled:
             from homerhevc_tpu.ops.sao_dev import (params_nbytes,
@@ -1013,6 +1221,18 @@ class TpuInterEncoder:
         desc.coef_v = np.ascontiguousarray(pv, np.int16)
         desc.row_ssd_y = row_ssd     # exact luma SSD per row vs source
         desc.sao_params = sao_params  # device-decided (recon pre-filtered)
+        if intra16 is not None and intra16.any():
+            from homerhevc_tpu.hevc.syntax import MODE_INTRA
+            m8 = np.repeat(np.repeat(intra16, 2, 0), 2, 1)
+            desc.pred_mode[m8] = MODE_INTRA
+            desc.tr_depth[m8] = 0
+            desc.skip[m8] = 0
+            desc.mv[m8] = 0
+            m4 = np.repeat(np.repeat(intra16, 4, 0), 4, 1)
+            lm4 = np.repeat(np.repeat(imode16, 4, 0), 4, 1)
+            desc.luma_mode[m4] = lm4[m4]
+            cm8 = np.repeat(np.repeat(imode16, 2, 0), 2, 1)
+            desc.chroma_mode[m8] = cm8[m8]
         if self.tree:
             ch = np.repeat(np.repeat(choose.astype(bool), 4, 0), 4, 1)
             m32 = np.repeat(np.repeat(mv32.astype(np.int32), 4, 0), 4, 1)

@@ -45,45 +45,8 @@ from homerhevc_tpu.engine.intra_encoder import _mpm_jax
 _QOFF = ((0, 0), (1, 0), (0, 1), (1, 1))
 
 
-def _avail_masks(w: int, h: int, ctu: int, n: int, comp_shift: int,
-                 xs0: np.ndarray, ys0: np.ndarray) -> np.ndarray:
-    """Vectorized z-scan availability (spec 6.4.1) for the substitution
-    sequence [left bottom..top (2n), corner, top (2n)] of blocks whose
-    component-space top-left corners are xs0/ys0 (broadcastable arrays).
-    Coordinates are in component space; availability is evaluated in luma
-    space (<< comp_shift). Returns bool array xs0.shape + (4n+1,)."""
-    cs = comp_shift
-    n2 = 2 * n
-    # neighbor sample offsets in component space, substitution order
-    offx = np.concatenate([np.full(n2, -1),            # left col
-                           [-1],                        # corner
-                           np.arange(n2)])              # top row
-    offy = np.concatenate([n2 - 1 - np.arange(n2),      # bottom..top
-                           [-1],
-                           np.full(n2 + 1 - 1, -1)])
-    xs0 = np.asarray(xs0)[..., None]
-    ys0 = np.asarray(ys0)[..., None]
-    xn = (xs0 + offx) << cs
-    yn = (ys0 + offy) << cs
-    xc, yc = xs0 << cs, ys0 << cs
-    inside = (xn >= 0) & (yn >= 0) & (xn < w) & (yn < h)
-    ctus_x = -(-w // ctu)
-    ctu_c = (yc // ctu) * ctus_x + xc // ctu
-    ctu_n = (yn // ctu) * ctus_x + xn // ctu
-    z = _zorder_table(ctu.bit_length() - 1, 2)
-    zc = z[(yc % ctu) // 4, (xc % ctu) // 4]
-    zn = z[(np.clip(yn, 0, None) % ctu) // 4,
-           (np.clip(xn, 0, None) % ctu) // 4]
-    return inside & ((ctu_n < ctu_c) | ((ctu_n == ctu_c) & (zn < zc)))
-
-
-def _seq_to_refs(seq, n):
-    n2 = 2 * n
-    left = seq[:, :n2][:, ::-1]
-    corner = seq[:, n2:n2 + 1]
-    top = seq[:, n2 + 1:]
-    return (jnp.concatenate([corner, top], axis=1),
-            jnp.concatenate([corner, left], axis=1))
+from homerhevc_tpu.ops.intra import avail_masks as _avail_masks  # noqa: E402
+from homerhevc_tpu.ops.intra import seq_to_refs as _seq_to_refs  # noqa: E402
 
 
 def _sh1(a):
@@ -199,22 +162,8 @@ class TpuIntraTreeEncoder:
 
     def _gather_refs(self, plane, n):
         """(gh, gw, 4n+1) substitution-order raw samples for every n-block
-        of `plane` (pre-mask)."""
-        hh, ww = plane.shape
-        n2 = 2 * n
-        pp = jnp.pad(plane.astype(jnp.int32), ((1, n2), (1, n2)))
-        gys = jnp.arange(hh // n) * n
-        gxs = jnp.arange(ww // n) * n
-        lall = pp[:, gxs]                                   # (hh+n2+1, gw)
-        jidx = jnp.arange(n2)
-        rows = gys[:, None] + (n2 - jidx)[None, :]          # (gh, n2)
-        seq_left = lall[rows].transpose(0, 2, 1)            # (gh, gw, n2)
-        corner = pp[gys][:, gxs]                            # (gh, gw)
-        tall = pp[gys, :]                                   # (gh, ww+n2+1)
-        cols = gxs[:, None] + 1 + jidx[None, :]             # (gw, n2)
-        seq_top = tall[:, cols]                             # (gh, gw, n2)
-        return jnp.concatenate(
-            [seq_left, corner[..., None], seq_top], axis=-1)
+        of `plane` (pre-mask). Shared impl: ops/intra.py gather_ref_seq."""
+        return dip.gather_ref_seq(plane, n)
 
     def _tu_eval(self, src_blk, pred, n, qp, scan_sel, is_luma):
         """T->Q->(SBH)->IQ->IT; returns (ssd, coef_bits, lvl, rec),

@@ -326,9 +326,9 @@ def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
 
 
 def _deblock_inter_luma(ps, desc, recon_y, qp):
-    """In-loop luma deblock for a pure-inter frame (BS maps from final
-    coefficients + motion; chroma untouched at BS<2). Shared by the golden
-    path; the device engine computes the identical maps on device."""
+    """In-loop luma deblock for an inter frame (BS maps from final
+    coefficients + motion + intra map). Shared by the golden path; the
+    device engine computes the identical maps on device."""
     from homerhevc_tpu.golden import deblock as gdb
     cu_sz = (ps.ctu_size >> desc.cu_depth).astype(np.int32)
     tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
@@ -337,16 +337,42 @@ def _deblock_inter_luma(ps, desc, recon_y, qp):
     return gdb.deblock_plane_luma(recon_y, tu8, qp8, bs_v, bs_h)
 
 
+def _deblock_inter_chroma(ps, desc, recon_u, recon_v, qp):
+    """Chroma deblock for an inter frame: only BS==2 edges filter chroma
+    (spec 8.7.2.5.5), and BS==2 needs an intra side — a no-op unless the
+    frame carries intra-fallback CUs."""
+    from homerhevc_tpu.hevc.syntax import MODE_INTRA
+    if not (desc.pred_mode == MODE_INTRA).any():
+        return recon_u, recon_v
+    from homerhevc_tpu.golden import deblock as gdb
+    cu_sz = (ps.ctu_size >> desc.cu_depth).astype(np.int32)
+    tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
+    qp8 = np.full_like(tu8, qp)
+    bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
+    recon_u = gdb.deblock_plane_chroma(recon_u, qp8, bs_v, bs_h,
+                                       ps.cb_qp_offset)
+    recon_v = gdb.deblock_plane_chroma(recon_v, qp8, bs_v, bs_h,
+                                       ps.cr_qp_offset)
+    return recon_u, recon_v
+
+
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
                        is_b: bool = False, avg_dist: float = 1000.0):
-    """Encode one P frame (pure inter, 2Nx2N CUs). Returns
-    (FrameDesc, recon_y, recon_u, recon_v)."""
-    desc, recon_y, recon_u, recon_v = _encode_level16(
+    """Encode one P frame (2Nx2N CUs, optional per-CU intra fallback).
+    Returns (FrameDesc, recon_y, recon_u, recon_v)."""
+    desc, recon_y, recon_u, recon_v, prior_q = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
+    if ps.cfg.intra_in_p and cu_size == 16:
+        intra_fallback_p(ps, desc, np.asarray(src_planes[0], np.int32),
+                         np.asarray(src_planes[1], np.int32),
+                         np.asarray(src_planes[2], np.int32),
+                         recon_y, recon_u, recon_v, qp, prior_q)
     select_inter_syntax(ps, desc, cu_size, is_b=is_b)
     if ps.deblocking_enabled:
         recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
+        recon_u, recon_v = _deblock_inter_chroma(ps, desc, recon_u,
+                                                 recon_v, qp)
     return desc, recon_y, recon_u, recon_v
 
 
@@ -444,7 +470,7 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
         recon_y[:h16, w16:] = ry_ref[:h16, w16:]
         recon_u[:h16 // 2, w16 // 2:] = ru_ref[:h16 // 2, w16 // 2:]
         recon_v[:h16 // 2, w16 // 2:] = rv_ref[:h16 // 2, w16 // 2:]
-    return desc, recon_y, recon_u, recon_v
+    return desc, recon_y, recon_u, recon_v, prior_q
 
 
 def _code_tu(resid, qp, sl, sign_hiding, zf_mult, lam):
@@ -474,6 +500,191 @@ def _cu_cost(src_blk, rec_blk, lvl, mv, prior_q, lam):
     return ssd + np.float32(lam) * bits
 
 
+INTRA_P_MODE_BITS_MPM = np.float32(3.0)   # pred_mode bin + ~2 MPM bins
+INTRA_P_MODE_BITS_REM = np.float32(7.0)   # pred_mode bin + rem 6 bins
+
+
+def select_intra_independent(want: np.ndarray) -> np.ndarray:
+    """Deterministic parallel independent-set selection on the king graph
+    (8-neighborhood): an intra CU must never source ADI samples from
+    another CU that also flips to intra (left/top/corners), and must not
+    BE a source for one, so selected cells may not be 8-adjacent. Four
+    (gy%2, gx%2) classes are swept in fixed order; within a class cells
+    are >= 2 apart, so each sweep is conflict-free and fully vectorized.
+    Identical arithmetic on device (jnp twin in engine/inter_encoder)."""
+    gh, gw = want.shape
+    gy = np.arange(gh)[:, None] & 1
+    gx = np.arange(gw)[None, :] & 1
+    sel = np.zeros((gh, gw), bool)
+    for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        p = np.pad(sel, 1)
+        blocked = (p[:-2, :-2] | p[:-2, 1:-1] | p[:-2, 2:]
+                   | p[1:-1, :-2] | p[1:-1, 2:]
+                   | p[2:, :-2] | p[2:, 1:-1] | p[2:, 2:])
+        sel |= want & (gy == cy) & (gx == cx) & ~blocked
+    return sel
+
+
+INTRA_P_ROUNDS = 3
+
+
+def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
+                     recon_y, recon_u, recon_v, qp: int, prior_q,
+                     slice_type: str = "P",
+                     rounds: int = INTRA_P_ROUNDS) -> float:
+    """Per-CU16 intra fallback inside a P/B frame (reference analog:
+    intra-vs-inter comparison inside the CU walk, hmr_motion_inter.c
+    :4008-4038). TPU-first redesign: the reference compares sequentially
+    with closed-loop neighbors; here a POST-PASS evaluates an intra
+    candidate for every 16x16 CU against the pass-1 (all-inter) recon —
+    fully batched on device — and flips a king-graph-independent subset,
+    so every flipped CU's ADI sources keep their pass-1 reconstruction
+    and pass-1 recon values stay exact. Dense intra-preferring regions
+    converge to 1/4 intra density per frame; full scene changes are
+    handled by the scene-cut IDR instead.
+
+    Because no intra CU has an intra neighbor, the decoder-side MPM list
+    is always mpm_candidates(DC, DC) = [planar, DC, 26] — a constant.
+
+    CUs coded as intra use TU16 luma + TU8 chroma (diagonal scan only,
+    no DST: mode-dependent scans stop at 8x8 luma / 4x4 chroma), so the
+    residual serialization path is shared with inter TUs.
+
+    Runs `rounds` selection rounds: committed intra CUs are final, so a
+    later round may flip CUs bordering them (their ADI reads the committed
+    recon); only same-round picks need mutual independence. Dense
+    intra-preferring regions thus reach ~3/4 density at 3 rounds.
+
+    Modifies desc + recon planes in place; returns the fraction of CUs
+    that *wanted* intra in round 1 (scene-change statistic, reference
+    analog hmr_motion_inter.c:3791-3806)."""
+    from homerhevc_tpu.golden import intra_pred as ip
+    from homerhevc_tpu.hevc.syntax import MODE_INTRA
+    h, w = sy.shape
+    gh, gw = h // 16, w // 16
+    avail = ip.Availability(w, h, ps.ctu_size)
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    lam = np.float32(T.rd_lambda(qp, slice_type))
+    sl = ps.scaling_list_enabled
+    bits_mpm, bits_rem = T.intra_mode_bits(qp)
+    mpm = (0, 1, 26)
+    mode_sad_bits = np.asarray(
+        [bits_mpm if m in mpm else bits_rem for m in range(35)], np.int64)
+    is_intra16 = np.zeros((gh, gw), bool)
+    ratio = 0.0
+
+    for rnd in range(rounds):
+        # a CU may flip only while NOT an ADI source of a committed intra
+        # CU: committed C reads its {W, NW, N, NE, SW} neighbors, so X is
+        # blocked when a committed CU sits at X's {E, SE, S, SW, NE}
+        p = np.pad(is_intra16, 1)
+        blocked_dir = (p[1:-1, 2:] | p[2:, 2:] | p[2:, 1:-1]
+                       | p[2:, :-2] | p[:-2, 2:])
+        # ---- pass A: per-CU best-mode search + RD cost vs current coding --
+        want = np.zeros((gh, gw), bool)
+        cand = {}
+        for gy in range(gh):
+            for gx in range(gw):
+                x0, y0 = gx * 16, gy * 16
+                if desc.cu_depth[y0 // 8, x0 // 8] != ps.log2_ctu - 4:
+                    continue           # CTB adopted a larger CU here
+                if is_intra16[gy, gx] or blocked_dir[gy, gx]:
+                    continue
+                src_blk = sy[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+                top, left = ip.build_reference_samples(recon_y, x0, y0, 16,
+                                                       avail)
+                sads = np.empty(35, np.int64)
+                preds = []
+                for mode in range(35):
+                    ft, fl = ip.filter_reference_samples(top, left, 16,
+                                                         mode, True)
+                    pr = ip.predict(ft, fl, 16, mode, True)
+                    preds.append(pr)
+                    sads[mode] = np.abs(src_blk - pr).sum()
+                mode = int(np.argmin(sads + mode_sad_bits))
+                pred = preds[mode]
+                resid = src_blk - pred
+                coef = forward_transform(resid, False)
+                lvl = quantize(coef, qp, True, sl)
+                if ps.sign_hiding and np.any(lvl):
+                    lvl = sign_bit_hiding(lvl, coef, qp, True,
+                                          T.SCAN_DIAG, sl)
+                if np.any(lvl):
+                    r = inverse_transform(dequantize(lvl, qp, True, sl),
+                                          False)
+                    rec = np.clip(pred + r, 0, 255)
+                else:
+                    rec = pred
+                d = (src_blk - rec).astype(np.float32)
+                ssd = np.float32(np.sum(d * d))
+                nnz = np.float32(np.count_nonzero(lvl))
+                lsum = np.float32(np.sum(np.abs(lvl)))
+                mb = INTRA_P_MODE_BITS_MPM if mode in mpm \
+                    else INTRA_P_MODE_BITS_REM
+                cost_i = ssd + lam * (np.float32(3.0) * nnz + lsum
+                                      + np.float32(6.0) + mb)
+                mv = (int(desc.mv[y0 // 8, x0 // 8, 0]),
+                      int(desc.mv[y0 // 8, x0 // 8, 1]))
+                s16 = sy[y0:y0 + 16, x0:x0 + 16]
+                l16 = desc.coef_y[y0:y0 + 16, x0:x0 + 16]
+                r16 = recon_y[y0:y0 + 16, x0:x0 + 16]
+                cost_p = _cu_cost(s16, r16, l16, mv, prior_q, lam)
+                if cost_i < cost_p:
+                    want[gy, gx] = True
+                    cand[(gy, gx)] = (mode, lvl, rec)
+        if rnd == 0:
+            ratio = float(want.mean()) if want.size else 0.0
+        if not want.any():
+            break
+
+        # ---- pass B: independent-set selection + closed-loop commit ------
+        sel = select_intra_independent(want)
+        is_intra16 |= sel
+        for gy in range(gh):
+            for gx in range(gw):
+                if not sel[gy, gx]:
+                    continue
+                x0, y0 = gx * 16, gy * 16
+                mode, lvl, rec = cand[(gy, gx)]
+                recon_y[y0:y0 + 16, x0:x0 + 16] = rec
+                desc.coef_y[y0:y0 + 16, x0:x0 + 16] = lvl.astype(np.int16)
+                sl8 = (slice(y0 // 8, y0 // 8 + 2),
+                       slice(x0 // 8, x0 // 8 + 2))
+                desc.pred_mode[sl8] = MODE_INTRA
+                desc.tr_depth[sl8] = 0
+                desc.skip[sl8] = 0
+                desc.mv[sl8[0], sl8[1], :] = 0
+                if desc.mv_l1 is not None:
+                    desc.mv_l1[sl8[0], sl8[1], :] = 0
+                desc.luma_mode[y0 // 4:y0 // 4 + 4,
+                               x0 // 4:x0 // 4 + 4] = mode
+                desc.chroma_mode[sl8] = mode        # DM
+                # chroma TU8 at the DM mode (ADI sources are final: inter
+                # recon or an earlier-round intra commit)
+                cx0, cy0 = x0 // 2, y0 // 2
+                for splane, rplane, coefs in ((su, recon_u, desc.coef_u),
+                                              (sv, recon_v, desc.coef_v)):
+                    ct, cl = ip.build_reference_samples(rplane, cx0, cy0, 8,
+                                                        avail, comp_shift=1)
+                    cpred = ip.predict(ct, cl, 8, mode, False)
+                    cres = splane[cy0:cy0 + 8, cx0:cx0 + 8] \
+                        .astype(np.int32) - cpred
+                    ccoef = forward_transform(cres, False)
+                    clvl = quantize(ccoef, qp_c, True, sl)
+                    if ps.sign_hiding and np.any(clvl):
+                        clvl = sign_bit_hiding(clvl, ccoef, qp_c, True,
+                                               T.SCAN_DIAG, sl)
+                    if np.any(clvl):
+                        cr = inverse_transform(
+                            dequantize(clvl, qp_c, True, sl), False)
+                        crec = np.clip(cpred + cr, 0, 255)
+                    else:
+                        crec = cpred
+                    rplane[cy0:cy0 + 8, cx0:cx0 + 8] = crec
+                    coefs[cy0:cy0 + 8, cx0:cx0 + 8] = clvl.astype(np.int16)
+    return ratio
+
+
 def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                             search: int = 16, is_b: bool = False,
                             avg_dist: float = 1000.0):
@@ -489,7 +700,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     fp16_mv, pr16, fp32, prior_q = hier_pel_fields(
         sy0, ry0, search, lam16_, want32=True)
     # level-16 pass: reuse the flat encoder wholesale (fills desc at depth 1)
-    desc, recon_y, recon_u, recon_v = _encode_level16(
+    desc, recon_y, recon_u, recon_v, _ = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist,
         fp16=(fp16_mv, pr16))
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
@@ -546,9 +757,14 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
+    if ps.cfg.intra_in_p:
+        intra_fallback_p(ps, desc, sy, su, sv, recon_y, recon_u, recon_v,
+                         qp, prior_q)
     select_inter_syntax_tree(ps, desc, is_b=is_b)
     if ps.deblocking_enabled:
         recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
+        recon_u, recon_v = _deblock_inter_chroma(ps, desc, recon_u,
+                                                 recon_v, qp)
     return desc, recon_y, recon_u, recon_v
 
 

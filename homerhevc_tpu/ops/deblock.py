@@ -148,6 +148,55 @@ def deblock_chroma_uniform(plane: jnp.ndarray, bsize_luma: int, qp,
     return out
 
 
+def _chroma_bs_pass(x, m2, tc):
+    """One direction of BS2-masked chroma deblocking. x: (hc, wc) int32
+    chroma plane; edges every 8 chroma samples. m2: (ne, hc//4) bool —
+    filter line-group g of edge e (from the luma 8-unit BS maps)."""
+    hc, wc = x.shape
+    ne = wc // 8 - 1
+    if ne <= 0:
+        return x
+    xs = (np.arange(ne) + 1) * 8
+    cols = jnp.asarray(xs[:, None] + np.arange(-2, 2)[None, :])
+    s = x[:, cols].transpose(1, 0, 2)               # (E, hc, 4): p1 p0 q0 q1
+    p1, p0, q0, q1 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    delta = _clip3(-tc, tc, (((q0 - p0) * 4) + p1 - q1 + 4) >> 3)
+    on = jnp.repeat(m2, 4, axis=1)                  # (E, hc)
+    np0 = jnp.where(on, jnp.clip(p0 + delta, 0, 255), p0)
+    nq0 = jnp.where(on, jnp.clip(q0 - delta, 0, 255), q0)
+    ns = jnp.stack([p1, np0, nq0, q1], axis=-1).transpose(1, 0, 2)
+    return x.at[:, cols].set(ns)
+
+
+def deblock_chroma_bs(plane: jnp.ndarray, bs2_v: jnp.ndarray,
+                      bs2_h: jnp.ndarray, qp, chroma_qp_off: int = 0,
+                      tc_offset: int = 0):
+    """Chroma deblocking over BS==2 edges only (spec 8.7.2.5.5), for inter
+    frames carrying intra-fallback CUs. bs2_v/bs2_h: (h8, w8) bool luma
+    8-unit maps marking BS2 on the unit's LEFT/TOP edge (chroma filters
+    only where the luma coordinate is a multiple of 16, i.e. even units —
+    odd-unit entries are ignored). qp may be traced."""
+    from homerhevc_tpu.hevc.tables import CHROMA_QP_MAP
+    if isinstance(qp, (int, np.integer)):
+        qpc = chroma_qp(qp + chroma_qp_off)
+        tc = int(TC_TABLE[min(max(0, qpc + 2 + tc_offset * 2), 53)])
+    else:
+        qpc = jnp.asarray(CHROMA_QP_MAP)[jnp.clip(qp + chroma_qp_off, 0, 57)]
+        tc = jnp.asarray(TC_TABLE, jnp.int32)[
+            jnp.clip(qpc + 2 + tc_offset * 2, 0, 53)]
+    x = plane.astype(jnp.int32)
+    # vertical edges: chroma edge e at x=8(e+1) <-> luma unit ux=2(e+1);
+    # line group g (4 chroma rows) <-> luma unit row uy=g
+    h8, w8 = bs2_v.shape
+    ne_v = (x.shape[1] // 8) - 1
+    mv = bs2_v.T[2 * (np.arange(ne_v) + 1), :]       # (E, h8)
+    x = _chroma_bs_pass(x, mv, tc)
+    ne_h = (x.shape[0] // 8) - 1
+    mh = bs2_h[2 * (np.arange(ne_h) + 1), :]         # (E, w8)
+    x = _chroma_bs_pass(x.T, mh, tc).T
+    return x
+
+
 def _bs_pass(x, bs, qp, boff, toff):
     """One direction of bs-gated luma deblocking on the dense 8-grid.
     x: (H, W) int32. bs: (h8, w8) strength of each unit's LEFT edge."""

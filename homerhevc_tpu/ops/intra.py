@@ -271,6 +271,69 @@ def predict_mode(top_u, left_u, n: int, mode, is_luma: bool):
     return out.astype(jnp.int32)
 
 
+def avail_masks(w: int, h: int, ctu: int, n: int, comp_shift: int,
+                xs0: np.ndarray, ys0: np.ndarray) -> np.ndarray:
+    """Vectorized z-scan availability (spec 6.4.1) for the substitution
+    sequence [left bottom..top (2n), corner, top (2n)] of blocks whose
+    component-space top-left corners are xs0/ys0 (broadcastable arrays).
+    Coordinates are in component space; availability is evaluated in luma
+    space (<< comp_shift). Returns bool array xs0.shape + (4n+1,).
+    Static (numpy) — precomputed per geometry."""
+    from homerhevc_tpu.golden.intra_pred import _zorder_table
+    cs = comp_shift
+    n2 = 2 * n
+    offx = np.concatenate([np.full(n2, -1),            # left col
+                           [-1],                        # corner
+                           np.arange(n2)])              # top row
+    offy = np.concatenate([n2 - 1 - np.arange(n2),      # bottom..top
+                           [-1],
+                           np.full(n2 + 1 - 1, -1)])
+    xs0 = np.asarray(xs0)[..., None]
+    ys0 = np.asarray(ys0)[..., None]
+    xn = (xs0 + offx) << cs
+    yn = (ys0 + offy) << cs
+    xc, yc = xs0 << cs, ys0 << cs
+    inside = (xn >= 0) & (yn >= 0) & (xn < w) & (yn < h)
+    ctus_x = -(-w // ctu)
+    ctu_c = (yc // ctu) * ctus_x + xc // ctu
+    ctu_n = (yn // ctu) * ctus_x + xn // ctu
+    z = _zorder_table(ctu.bit_length() - 1, 2)
+    zc = z[(yc % ctu) // 4, (xc % ctu) // 4]
+    zn = z[(np.clip(yn, 0, None) % ctu) // 4,
+           (np.clip(xn, 0, None) % ctu) // 4]
+    return inside & ((ctu_n < ctu_c) | ((ctu_n == ctu_c) & (zn < zc)))
+
+
+def gather_ref_seq(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(gh, gw, 4n+1) substitution-order raw reference samples for every
+    aligned n-block of `plane` (pre availability mask)."""
+    hh, ww = plane.shape
+    n2 = 2 * n
+    pp = jnp.pad(plane.astype(jnp.int32), ((1, n2), (1, n2)))
+    gys = jnp.arange(hh // n) * n
+    gxs = jnp.arange(ww // n) * n
+    lall = pp[:, gxs]                                   # (hh+n2+1, gw)
+    jidx = jnp.arange(n2)
+    rows = gys[:, None] + (n2 - jidx)[None, :]          # (gh, n2)
+    seq_left = lall[rows].transpose(0, 2, 1)            # (gh, gw, n2)
+    corner = pp[gys][:, gxs]                            # (gh, gw)
+    tall = pp[gys, :]                                   # (gh, ww+n2+1)
+    cols = gxs[:, None] + 1 + jidx[None, :]             # (gw, n2)
+    seq_top = tall[:, cols]                             # (gh, gw, n2)
+    return jnp.concatenate(
+        [seq_left, corner[..., None], seq_top], axis=-1)
+
+
+def seq_to_refs(seq: jnp.ndarray, n: int):
+    """Substitution-order (B, 4n+1) -> corner-first (top, left) (B, 2n+1)."""
+    n2 = 2 * n
+    left = seq[:, :n2][:, ::-1]
+    corner = seq[:, n2:n2 + 1]
+    top = seq[:, n2 + 1:]
+    return (jnp.concatenate([corner, top], axis=1),
+            jnp.concatenate([corner, left], axis=1))
+
+
 def substitute_refs(vals: jnp.ndarray, avail: jnp.ndarray):
     """Reference sample substitution (spec 8.4.4.2.2), batched.
 
