@@ -196,7 +196,12 @@ def write_pps(ps: ParamSets) -> bytes:
     bw.write(0, 3)      # num_extra_slice_header_bits
     bw.write(int(ps.sign_hiding), 1)
     bw.write(0, 1)      # cabac_init_present_flag
-    bw.write_ue(ps.num_ref - 1)  # num_ref_idx_l0_default_active_minus1
+    # One active ref per list ALWAYS: the encoder codes refidx 0 in every
+    # list (multi-reference rides L1 via ref_pic_list_modification l1_swap,
+    # see SliceParams), and the syntax layer never writes ref_idx_lX — an
+    # active count > 1 would desync the decoder's prediction_unit parse.
+    # ps.num_ref only sizes the DPB (sps_max_dec_pic_buffering above).
+    bw.write_ue(0)      # num_ref_idx_l0_default_active_minus1
     bw.write_ue(0)      # num_ref_idx_l1_default_active_minus1
     bw.write_se(ps.init_qp - 26)
     bw.write(0, 1)      # constrained_intra_pred_flag

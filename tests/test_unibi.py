@@ -165,3 +165,42 @@ def test_e2e_ibp_bi_anchors(tmp_path, rng):
     assert len(dec) == 8
     for ef, dp in zip(efs, [0, 2, 1, 4, 3, 6, 5, 7]):
         assert np.array_equal(dec[dp], ef.recon["y"]), dp
+
+
+def test_e2e_gpb_two_refs(tmp_path, rng):
+    """num_ref_frames=2 (GPB low-delay): frames after the second predict
+    from t-1 AND t-2 as generalized-B slices. Regression for the PPS
+    num_ref_idx_l0_default_active bug: the encoder codes refidx 0 in every
+    list (t-2 rides L1 via l1_swap), so the PPS must pin the active ref
+    count per list to 1 — a count of 2 made FFmpeg parse a ref_idx bin the
+    serializer never wrote (CABAC desync, whole-frame corruption)."""
+    from homerhevc_tpu.api import Encoder
+    from conftest import decode_annexb
+
+    w, h = 128, 96
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, intra_period=0,
+                        sao=False, deblocking=True, sign_hiding=True,
+                        cu_size=32, num_ref_frames=2,
+                        reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    efs = []
+    path = tmp_path / "gpb.265"
+    with open(path, "wb") as f:
+        for t in range(6):
+            y2 = np.clip(np.roll(y, 2 * t, 1).astype(int)
+                         + rng.randint(-2, 3, y.shape), 0, 255) \
+                .astype(np.uint8)
+            for ef in enc.encode(y2, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    # low delay: decode order == display order; gpb kicks in once two
+    # references exist
+    assert [e.frame_type for e in efs] == ["I", "P", "B", "B", "B", "B"]
+    dec = decode_annexb(path)
+    assert len(dec) == 6
+    for i, ef in enumerate(efs):
+        assert np.array_equal(dec[i], ef.recon["y"]), i
