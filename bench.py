@@ -18,7 +18,7 @@ def main():
     from homerhevc_tpu.api import Encoder
     from homerhevc_tpu.config import EncoderConfig
 
-    W, H, N, B = 1280, 720, 128, 32
+    W, H, N, B = 1280, 720, 256, 32
     rng = np.random.RandomState(42)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     frames = []
@@ -34,8 +34,10 @@ def main():
                         deblocking=False, sign_hiding=True, cu_size=16,
                         num_frames_in_flight=B)
     enc = Encoder(cfg)
-    # warmup (compiles the batched wavefront program)
-    for f in frames[:B]:
+    # warmup: 2 batches — compiles the batched wavefront program AND the
+    # adaptive values-head slice op (whose first pow2 bucket would
+    # otherwise compile during the measured run)
+    for f in frames[:2 * B]:
         list(enc.encode(*f))
     list(enc.flush())
     from homerhevc_tpu.utils.profiler import PROFILER
@@ -61,6 +63,7 @@ def main():
     if "--stages" in sys.argv:
         from homerhevc_tpu.utils.profiler import PROFILER
         print(PROFILER.report(), file=sys.stderr)
+        print(f"bits/frame: {total_bits / nf:.0f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -494,22 +494,32 @@ class TpuIntraEncoder:
         return jax.device_put(packed)
 
     def dispatch_packed(self, handle, qps):
-        qp_arr = jnp.asarray(np.asarray(qps, np.int32))
-        out = self._encode_packed_jit(handle, qp_arr)
+        from homerhevc_tpu.utils.profiler import PROFILER
+        with PROFILER.scope("disp_qp"):
+            qp_arr = jnp.asarray(np.asarray(qps, np.int32))
+        with PROFILER.scope("disp_jit"):
+            out = self._encode_packed_jit(handle, qp_arr)
         # kick the metadata + values downloads early: by the time
         # fetch_frames runs (after the next batch's dispatch and the
         # previous batch's serialization) they are already on host. The
         # values head (in CODE BYTES, 4 levels/byte) is sized adaptively
         # from recent nonzero counts so quiet content doesn't pay
         # full-capacity transfers.
+        # head is bucketed to powers of two: a varying slice length would
+        # change the sliced shape and trigger a fresh (tunnel-slow) compile
+        # of the slice op EVERY batch (~0.5 s/batch measured)
         cap_b = self.pack_C // 4
         head = min(cap_b, getattr(self, "_head_hint", cap_b))
-        vals_head = out[7] if head >= cap_b else out[7][:, :head]
-        try:
-            out[6].copy_to_host_async()
-            vals_head.copy_to_host_async()
-        except Exception:
-            pass
+        if head < cap_b:
+            head = min(cap_b, 1 << (head - 1).bit_length())
+        with PROFILER.scope("disp_slice"):
+            vals_head = out[7] if head >= cap_b else out[7][:, :head]
+        with PROFILER.scope("disp_async"):
+            try:
+                out[6].copy_to_host_async()
+                vals_head.copy_to_host_async()
+            except Exception:
+                pass
         return (*out, vals_head, head)
 
     def fetch_frames(self, out, n_frames: int):

@@ -545,8 +545,12 @@ class TpuIntraTreeEncoder:
     def dispatch_packed(self, handle, qps):
         qp_arr = jnp.asarray(np.asarray(qps, np.int32))
         out = self._encode_packed_jit(handle, qp_arr)
+        # power-of-two head: keep the slice shape stable across batches
+        # (a new shape recompiles the slice op over the tunnel, ~0.5 s)
         cap_b = self.pack_C // 4
         head = min(cap_b, getattr(self, "_head_hint", cap_b))
+        if head < cap_b:
+            head = min(cap_b, 1 << (head - 1).bit_length())
         vals_head = out[7] if head >= cap_b else out[7][:, :head]
         try:
             out[6].copy_to_host_async()

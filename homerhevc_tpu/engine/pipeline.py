@@ -27,6 +27,38 @@ from homerhevc_tpu.hevc.syntax import SliceDataEncoder
 from homerhevc_tpu.utils.profiler import PROFILER
 
 
+class _AsyncFetch:
+    """Background fetch of a dispatched batch's wire data.
+
+    The device->host transfers and the native unpack both release the
+    GIL (jax blocks in C++ during device_get; the unpack is a ctypes
+    call), so on this 1-core host they genuinely overlap with the C++
+    CABAC serialization of the PREVIOUS batch running on the main
+    thread — the host analog of the reference's copy/entropy thread
+    split (hmr_encoder_lib.c:2948)."""
+
+    def __init__(self, enc, out, frames, qp):
+        import threading
+        self.frames = frames
+        self.qp = qp
+        self._result = None
+        self._err = None
+
+        def run():
+            try:
+                self._result = enc.fetch_frames(out, len(frames))
+            except BaseException as e:   # re-raised on join()
+                self._err = e
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+        return self._result, self.frames, self.qp
+
+
 def _ref_dists(poc, refs_before, refs_after, l1_swap):
     """POC(cur) - POC(first entry) of each reference list. L0 leads with
     the closest past ref; L1 leads with the first future ref, or (under
@@ -71,7 +103,8 @@ class EncoderPipeline:
         self.batch = max(1, cfg.num_frames_in_flight) if cfg.gop_size == 0 else 1
         self._queue: list = []
         self._upload_q: list = []   # packed source batches in transfer
-        self._pending_q: list = []  # in-flight device batches (depth 2)
+        self._pending_q: list = []  # in-flight device batches (depth 3)
+        self._fetch_inflight = None  # _AsyncFetch of the oldest batch
         self._p_pendings: list = []  # in-flight P frames (depth 2)
         self._last_recon = None  # filtered recon planes of previous frame
         self._last_recon_dev = None  # device twin (uint8), IPPP chain only
@@ -183,15 +216,17 @@ class EncoderPipeline:
         dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
         # native fast path
         from homerhevc_tpu import native
-        res = native.encode_slice_native(
-            ps, desc, init_contexts(st, qp), ps.sign_hiding,
-            slice_type=slice_type, sao_params=sao_params, wpp=True,
-            ref_dists=dists)
+        with PROFILER.scope("ser_native"):
+            res = native.encode_slice_native(
+                ps, desc, init_contexts(st, qp), ps.sign_hiding,
+                slice_type=slice_type, sao_params=sao_params, wpp=True,
+                ref_dists=dists)
         if res is not None:
             payload, row_sizes = res
             # entry points count escaped bytes (spec 7.4.7.1; reference
             # count_needed_start_codes, hmr_headers.c:626)
-            esc = ebsp_row_escapes(payload, row_sizes)
+            with PROFILER.scope("ser_escapes"):
+                esc = ebsp_row_escapes(payload, row_sizes)
             offsets = [s + e for s, e in zip(row_sizes[:-1], esc[:-1])]
             sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
                              poc=self.gop_poc if poc is None else poc, qp=qp,
@@ -266,11 +301,13 @@ class EncoderPipeline:
         dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
         if use_native and not ps.cu_qp_delta_enabled:
             from homerhevc_tpu import native
-            payload = native.encode_slice_native(
-                ps, desc, ctx, ps.sign_hiding, slice_type=slice_type,
-                sao_params=sao_params, ref_dists=dists)
+            with PROFILER.scope("ser_native"):
+                payload = native.encode_slice_native(
+                    ps, desc, ctx, ps.sign_hiding, slice_type=slice_type,
+                    sao_params=sao_params, ref_dists=dists)
             if payload is not None:
-                return make_nal(nal_type, bw.get_bytes() + payload)
+                with PROFILER.scope("ser_nal"):
+                    return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)
         sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
                               sao_params=sao_params, ref_dists=dists)
@@ -400,6 +437,7 @@ class EncoderPipeline:
             # before any inline-analyzed frame is emitted
             while self._upload_q:
                 yield from self._dispatch_upload(self._get_tpu())
+            yield from self._drain_fetch_inflight()
             while self._pending_q:
                 yield from self._fetch_emit(self._pending_q.pop(0))
             for fr in frames:
@@ -483,24 +521,32 @@ class EncoderPipeline:
         if final:
             while self._upload_q:
                 yield from self._dispatch_upload(self._get_tpu())
+            yield from self._drain_fetch_inflight()
             while self._pending_q:
                 yield from self._fetch_emit(self._pending_q.pop(0))
 
     def _dispatch_upload(self, enc) -> Iterator:
-        """Dispatch the oldest uploaded batch; first fetch + serialize the
-        batch finishing two cycles ago (device/host overlap)."""
+        """Dispatch the oldest uploaded batch; serialize the batch whose
+        background fetch was started last cycle (device/host overlap:
+        the fetch thread's link transfers + native unpack run while the
+        main thread does C++ CABAC for the previous batch)."""
         handle, frames = self._upload_q.pop(0)
         prev_results = None
-        if len(self._pending_q) >= 2:
-            out, pframes, pqp = self._pending_q.pop(0)
-            with PROFILER.scope("fetch_intra"):
-                prev_results = (enc.fetch_frames(out, len(pframes)),
-                                pframes, pqp)
+        if self._fetch_inflight is not None:
+            with PROFILER.scope("fetch_join"):
+                prev_results = self._fetch_inflight.join()
+            self._fetch_inflight = None
         qp = self.rc.pic_qp(True)
         with PROFILER.scope("dispatch_intra"):
             self._pending_q.append(
                 (enc.dispatch_packed(handle, [qp] * len(frames)),
                  frames, qp))
+        # depth 2 + background fetch: deeper pipelines measured SLOWER —
+        # the tunnel client throttles with too many outstanding transfers
+        # (device_put blocked ~750 ms/batch at depth 3)
+        if len(self._pending_q) >= 2:
+            out, pframes, pqp = self._pending_q.pop(0)
+            self._fetch_inflight = _AsyncFetch(enc, out, pframes, pqp)
         if prev_results is not None:
             results, pframes, pqp = prev_results
             for (desc, ry, ru, rv), src in zip(results, pframes):
@@ -512,6 +558,13 @@ class EncoderPipeline:
             results = self._get_tpu().fetch_frames(out, len(pframes))
         for (desc, ry, ru, rv), src in zip(results, pframes):
             yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
+
+    def _drain_fetch_inflight(self) -> Iterator:
+        if self._fetch_inflight is not None:
+            results, pframes, pqp = self._fetch_inflight.join()
+            self._fetch_inflight = None
+            for (desc, ry, ru, rv), src in zip(results, pframes):
+                yield self._emit(desc, ry, ru, rv, src=src, qp=pqp)
 
     def _encode_gop2(self, frame, final: bool) -> Iterator:
         """IBP GOP (gop_size 2, 1 B frame): anchors at even display
