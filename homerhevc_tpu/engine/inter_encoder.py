@@ -53,13 +53,10 @@ class TpuInterEncoder:
         # QP is a traced input of the device programs (one compile serves
         # every QP — the CBR/VBR requirement); only the wire capacity is
         # sized from the nominal cfg QP (with RC-dip headroom)
-        from homerhevc_tpu.ops.pack import pack_capacity
+        from homerhevc_tpu.ops.pack import cg_cap, pack_capacity
         n_tot = self.w * self.h * 3 // 2
         self.pack_C = pack_capacity(n_tot, max(0, cfg.qp - 4))
-        # P-frame levels are sparse (zero-forcing + motion compensation):
-        # a small fixed head covers typical frames and is async-copied at
-        # dispatch, avoiding a per-frame slice round trip on the link
-        self.pack_head = min(self.pack_C, -(-n_tot // 32))
+        self.cg_C = cg_cap(n_tot, max(0, cfg.qp - 4))
         if cfg.intra_in_p:
             # static z-scan ADI availability for the CU16 fallback grid
             from homerhevc_tpu.ops.intra import avail_masks
@@ -1046,19 +1043,20 @@ class TpuInterEncoder:
 
     def _wire(self, recon_y, recon_u, recon_v, sy, extra, ly, lu, lv):
         """Assemble the device->host wire tuple: recon planes stay device
-        resident, levels go as bitmap + compacted int8 values + escape
-        list (ops/pack.py), the motion metadata + per-row luma SSD (exact
-        int32, feeds the avg_dist zero-forcing feedback without pulling
-        recon to host) ride in one uint8 buffer fetched in a single link
-        round trip."""
-        from homerhevc_tpu.ops.pack import pack_sparse2
+        resident; levels go as the two-tier CG wire (per-4x4-group
+        presence bits + compacted 16-bit masks + 2-bit level codes +
+        escape list, ops/pack.py pack_sparse_cg); the motion metadata +
+        per-row luma SSD (exact int32, feeds the avg_dist zero-forcing
+        feedback without pulling recon to host) ride in the same uint8
+        buffer fetched in a single link round trip."""
+        from homerhevc_tpu.ops.pack import pack_sparse_cg
         recon_y = recon_y.astype(jnp.uint8)
         recon_u = recon_u.astype(jnp.uint8)
         recon_v = recon_v.astype(jnp.uint8)
         d = recon_y.astype(jnp.int32) - sy
         row_ssd = jnp.sum(d * d, axis=1).astype(jnp.int32)   # exact per row
-        bitmap, vals2, esc_idx, esc_val, count, esc_count = \
-            pack_sparse2([ly, lu, lv], self.pack_C)
+        cg_bitmap, masks16, codes, esc_idx, esc_val, count, esc_count, \
+            cg_count = pack_sparse_cg([ly, lu, lv], self.pack_C, self.cg_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
@@ -1066,10 +1064,11 @@ class TpuInterEncoder:
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
             [u8(x) for x in extra]
-            + [u8(row_ssd), bitmap, u8(esc_idx), u8(esc_val),
-               u8(count.reshape(1)), u8(esc_count.reshape(1))])
-        return (recon_y, recon_u, recon_v, ly, lu, lv, meta, vals2,
-                vals2[:-(-self.pack_head // 4)])
+            + [u8(row_ssd), cg_bitmap, u8(masks16), codes,
+               u8(esc_idx), u8(esc_val),
+               u8(count.reshape(1)), u8(esc_count.reshape(1)),
+               u8(cg_count.reshape(1))])
+        return (recon_y, recon_u, recon_v, ly, lu, lv, meta)
 
     def _zero_force(self, resid, lvl, rres, zf_mult):
         """Reference-parity residual zero-forcing (hmr_motion_inter.c:106):
@@ -1119,7 +1118,6 @@ class TpuInterEncoder:
         # while the host serializes the previous frame
         try:
             out[6].copy_to_host_async()
-            out[8].copy_to_host_async()
         except Exception:
             pass
         return out
@@ -1133,7 +1131,7 @@ class TpuInterEncoder:
         direction maps in the meta); ref_dists feed the AMVP scaling of
         the mixed-direction syntax selection."""
         from homerhevc_tpu.ops.pack import esc_capacity
-        recon_y, recon_u, recon_v, ly, lu, lv, meta, vals, vals_head = out
+        recon_y, recon_u, recon_v, ly, lu, lv, meta = out
         meta_np = np.asarray(meta)
         gh, gw = self.gh, self.gw
         gh2, gw2 = self.gh2, self.gw2
@@ -1173,37 +1171,15 @@ class TpuInterEncoder:
         row_ssd = take(self.h * 4, np.int32)
         n_tot = self.w * self.h * 3 // 2
         E = esc_capacity(n_tot, self.pack_C)
-        bitmap = take(n_tot // 8)
-        esc_idx = take(E * 4, np.int32)
-        esc_val = take(E * 2, np.int16)
-        count = int(take(4, np.int32)[0])
-        esc_count = int(take(4, np.int32)[0])
+        from homerhevc_tpu.engine.intra_encoder import (_parse_cg_wire,
+                                                        _unpack_cg_frame)
+        wire = _parse_cg_wire(meta_np[None, off:], 0, n_tot, self.pack_C,
+                              self.cg_C, E)
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
-        nb = -(-count // 4)          # 2-bit wire: code bytes used
-        if count <= self.pack_head:
-            v2 = np.asarray(vals_head)[:nb]
-        elif count <= self.pack_C:
-            v2 = np.asarray(vals[:nb])
-        else:  # capacity overflow: full device planes
-            v2 = None
-            py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
-        if v2 is not None and esc_count > E:
-            v2 = None
-            py, pu, pv = (np.asarray(ly), np.asarray(lu), np.asarray(lv))
-        if v2 is not None:
-            from homerhevc_tpu.engine.intra_encoder import _split_planes
-            from homerhevc_tpu.native import unpack_sparse2_native
-            buf = np.empty(n_tot, np.int16)
-            if unpack_sparse2_native(bitmap, v2, count,
-                                     esc_idx[:esc_count],
-                                     esc_val[:esc_count], n_tot, buf):
-                py, pu, pv = _split_planes(buf, shapes)
-            else:
-                from homerhevc_tpu.ops.pack import unpack_sparse2
-                py, pu, pv = unpack_sparse2(bitmap, v2, count,
-                                            esc_idx[:esc_count],
-                                            esc_val[:esc_count], shapes)
+        py, pu, pv = _unpack_cg_frame(
+            wire, 0, n_tot, shapes,
+            lambda: (np.asarray(ly), np.asarray(lu), np.asarray(lv)))
         cu = self.cu
         desc = FrameDesc.alloc(self.w, self.h)
         desc.pred_mode[:] = MODE_INTER
@@ -1276,7 +1252,6 @@ class TpuInterEncoder:
         self.last_dev = (out[0], out[1], out[2])
         try:
             out[6].copy_to_host_async()
-            out[8].copy_to_host_async()
         except Exception:
             pass
         return out

@@ -58,6 +58,47 @@ def _split_planes(buf: np.ndarray, shapes):
     return planes
 
 
+def _parse_cg_wire(meta_np: np.ndarray, off: int, n_tot: int, pack_C: int,
+                   cg_C: int, E: int):
+    """Split the per-frame CG wire out of a (F, meta_len) uint8 buffer
+    starting at byte `off`. Layout (pack_sparse_cg order): cg_bitmap
+    (n/128), masks16 (2*cg_C), codes (pack_C/4), esc_idx (4E),
+    esc_val (2E), count/esc_count/cg_count (3 x int32)."""
+    o = off
+    cg_bitmaps = meta_np[:, o:o + n_tot // 128]
+    o += n_tot // 128
+    masks = meta_np[:, o:o + 2 * cg_C].copy().view(np.int16)
+    o += 2 * cg_C
+    codes = meta_np[:, o:o + pack_C // 4]
+    o += pack_C // 4
+    esc_idx = meta_np[:, o:o + E * 4].copy().view(np.int32)
+    o += E * 4
+    esc_val = meta_np[:, o:o + E * 2].copy().view(np.int16)
+    o += E * 2
+    tail = meta_np[:, o:o + 12].copy().view(np.int32)
+    return (cg_bitmaps, masks, codes, esc_idx, esc_val,
+            tail[:, 0], tail[:, 1], tail[:, 2], pack_C, cg_C, E)
+
+
+def _unpack_cg_frame(wire, i: int, n_tot: int, shapes, full_fallback):
+    """Expand frame i of a parsed CG wire into int16 planes; on capacity
+    overflow call full_fallback() for the device-resident full planes."""
+    (cg_bitmaps, masks, codes, esc_idx, esc_val, counts, esc_counts,
+     cg_counts, pack_C, cg_C, E) = wire
+    cnt, ec, cc = int(counts[i]), int(esc_counts[i]), int(cg_counts[i])
+    if cnt > pack_C or ec > E or cc > cg_C:
+        return full_fallback()
+    from homerhevc_tpu.native import unpack_sparse_cg_native
+    buf = np.empty(n_tot, np.int16)
+    if unpack_sparse_cg_native(cg_bitmaps[i], masks[i], codes[i], cnt, cc,
+                               esc_idx[i, :ec], esc_val[i, :ec], n_tot,
+                               buf):
+        return _split_planes(buf, shapes)
+    from homerhevc_tpu.ops.pack import unpack_sparse_cg
+    return unpack_sparse_cg(cg_bitmaps[i], masks[i], codes[i], cnt, cc,
+                            esc_idx[i, :ec], esc_val[i, :ec], shapes)
+
+
 class _DeviceSlice:
     """Lazy view of frame i of a batched device array. Slicing a device
     array dispatches a device op, and each op costs a full link round
@@ -104,10 +145,11 @@ class TpuIntraEncoder:
         self.cu = cu
         self.w, self.h = w, h
         self.gw, self.gh = w // cu, h // cu
-        from homerhevc_tpu.ops.pack import pack_capacity
-        # capacity sized from the nominal QP with headroom for RC dips
+        from homerhevc_tpu.ops.pack import cg_cap, pack_capacity
+        # capacities sized from the nominal QP with headroom for RC dips
         # (overflow falls back to full-plane fetches)
         self.pack_C = pack_capacity(w * h * 3 // 2, max(0, cfg.qp - 4))
+        self.cg_C = cg_cap(w * h * 3 // 2, max(0, cfg.qp - 4))
         self._build_static()
         # frame-batched variant: the wavefront is latency-bound (one small
         # step per diagonal); vmapping F independent frames through the same
@@ -403,24 +445,25 @@ class TpuIntraEncoder:
         lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
         # compact wire format for the host CABAC handoff; the full planes
         # are still returned as a device-resident fallback (only fetched
-        # when the packed capacity overflows). Levels ship as 2-bit codes
-        # (~96%% of nonzeros are +-1 at working QPs) plus a small escape
-        # list (ops/pack.py); mode grid + bitmap + escapes + counts ride
-        # in ONE uint8 buffer — the link is latency-bound per transfer,
-        # so all per-batch metadata is one fetch.
-        from homerhevc_tpu.ops.pack import pack_sparse2
-        bitmap, vals2, esc_idx, esc_val, count, esc_count = \
-            pack_sparse2([ly, lu, lv], self.pack_C)
+        # when the packed capacity overflows). Two-tier CG wire: per-4x4
+        # group presence bits + compacted 16-bit masks + 2-bit level
+        # codes + escape list (ops/pack.py pack_sparse_cg). Everything
+        # rides in ONE uint8 buffer — the link is latency-bound per
+        # transfer, so all per-batch wire data is one fetch.
+        from homerhevc_tpu.ops.pack import pack_sparse_cg
+        cg_bitmap, masks16, codes, esc_idx, esc_val, count, esc_count, \
+            cg_count = pack_sparse_cg([ly, lu, lv], self.pack_C, self.cg_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
                 return a.reshape(-1)
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
-            [mode_grid.astype(jnp.uint8).reshape(-1), bitmap,
-             u8(esc_idx), u8(esc_val),
-             u8(count.reshape(1)), u8(esc_count.reshape(1))])
-        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals2
+            [mode_grid.astype(jnp.uint8).reshape(-1), cg_bitmap,
+             u8(masks16), codes, u8(esc_idx), u8(esc_val),
+             u8(count.reshape(1)), u8(esc_count.reshape(1)),
+             u8(cg_count.reshape(1))])
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta
 
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         """qp may be static or traced (forwarded to sign_bit_hiding)."""
@@ -499,88 +542,41 @@ class TpuIntraEncoder:
             qp_arr = jnp.asarray(np.asarray(qps, np.int32))
         with PROFILER.scope("disp_jit"):
             out = self._encode_packed_jit(handle, qp_arr)
-        # kick the metadata + values downloads early: by the time
-        # fetch_frames runs (after the next batch's dispatch and the
-        # previous batch's serialization) they are already on host. The
-        # values head (in CODE BYTES, 4 levels/byte) is sized adaptively
-        # from recent nonzero counts so quiet content doesn't pay
-        # full-capacity transfers.
-        # head is bucketed to powers of two: a varying slice length would
-        # change the sliced shape and trigger a fresh (tunnel-slow) compile
-        # of the slice op EVERY batch (~0.5 s/batch measured)
-        cap_b = self.pack_C // 4
-        head = min(cap_b, getattr(self, "_head_hint", cap_b))
-        if head < cap_b:
-            head = min(cap_b, 1 << (head - 1).bit_length())
-        with PROFILER.scope("disp_slice"):
-            vals_head = out[7] if head >= cap_b else out[7][:, :head]
+        # kick the wire download early: by the time fetch_frames runs
+        # (in the background fetch thread, overlapping the previous
+        # batch's serialization) it is already in flight. The whole wire
+        # (modes + CG bitmap/masks + codes + escapes) is ONE buffer —
+        # the tunnel is latency-bound per transfer.
         with PROFILER.scope("disp_async"):
             try:
                 out[6].copy_to_host_async()
-                vals_head.copy_to_host_async()
             except Exception:
                 pass
-        return (*out, vals_head, head)
+        return out
 
     def fetch_frames(self, out, n_frames: int):
-        """Download the compact wire data (one metadata buffer + the used
-        prefix of the packed values) and rebuild FrameDescs;
+        """Download the compact wire buffer and rebuild FrameDescs;
         reconstruction planes are returned DEVICE-RESIDENT (consumers
         materialize them lazily)."""
         from homerhevc_tpu.ops.pack import esc_capacity
         from homerhevc_tpu.utils.profiler import PROFILER
-        ry, ru, rv, ly, lu, lv, meta, vals, vals_head, head = out
+        ry, ru, rv, ly, lu, lv, meta = out
         with PROFILER.scope("fetch_meta"):
-            meta_np = np.asarray(meta)             # link transfer 1 (async'd)
+            meta_np = np.asarray(meta)             # ONE link transfer
         ng = self.gh * self.gw
         n_tot = self.w * self.h * 3 // 2
-        nb = n_tot // 8
         E = esc_capacity(n_tot, self.pack_C)
         modes = meta_np[:, :ng].reshape(n_frames, self.gh, self.gw)
-        bitmaps = meta_np[:, ng:ng + nb]
-        o = ng + nb
-        esc_idx = meta_np[:, o:o + E * 4].copy().view(np.int32)
-        esc_val = meta_np[:, o + E * 4:o + E * 6].copy().view(np.int16)
-        tail = meta_np[:, o + E * 6:].copy().view(np.int32)
-        counts, esc_counts = tail[:, 0], tail[:, 1]
+        wire = _parse_cg_wire(meta_np, ng, n_tot, self.pack_C, self.cg_C, E)
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
-        nbytes = -(-counts // 4)        # code bytes per frame
-        ok = (counts <= self.pack_C) & (esc_counts <= E)
-        in_head = ok & (nbytes <= head)
-        vals_np = None
-        if in_head.any():
-            with PROFILER.scope("fetch_vals"):
-                vals_np = np.asarray(vals_head)     # transfer 2 (async'd)
-        # adapt the async head to observed content (x1.25 headroom)
-        if ok.any():
-            want = int(nbytes[ok].max() * 1.25) + 8
-            self._head_hint = min(self.pack_C // 4, -(-want // 8) * 8)
-        from homerhevc_tpu.native import unpack_sparse2_native
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
-                if in_head[i]:
-                    v2 = vals_np[i, :nbytes[i]]
-                elif ok[i]:   # head undersized: one extra (rare) transfer
-                    with PROFILER.scope("fetch_vals_miss"):
-                        v2 = np.asarray(vals[i, :nbytes[i]])
-                else:         # capacity overflow: full device planes
-                    py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
-                                  np.asarray(lv[i]))
-                    v2 = None
-                if v2 is not None:
-                    ec = esc_counts[i]
-                    buf = np.empty(n_tot, np.int16)
-                    if unpack_sparse2_native(bitmaps[i], v2, counts[i],
-                                             esc_idx[i, :ec],
-                                             esc_val[i, :ec], n_tot, buf):
-                        py, pu, pv = _split_planes(buf, shapes)
-                    else:
-                        from homerhevc_tpu.ops.pack import unpack_sparse2
-                        py, pu, pv = unpack_sparse2(
-                            bitmaps[i], v2, counts[i], esc_idx[i, :ec],
-                            esc_val[i, :ec], shapes)
+                py, pu, pv = _unpack_cg_frame(
+                    wire, i, n_tot, shapes,
+                    lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
+                             np.asarray(lv[i])))
                 desc = self._build_desc(modes[i], py, pu, pv)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))

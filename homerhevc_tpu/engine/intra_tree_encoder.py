@@ -85,8 +85,9 @@ class TpuIntraTreeEncoder:
         self.w, self.h = w, h
         self.gw, self.gh = w // 32, h // 32     # CTB32 grid
         self.base_depth = ps.log2_ctu - 5
-        from homerhevc_tpu.ops.pack import pack_capacity
+        from homerhevc_tpu.ops.pack import cg_cap, pack_capacity
         self.pack_C = pack_capacity(w * h * 3 // 2, max(0, cfg.qp - 4))
+        self.cg_C = cg_cap(w * h * 3 // 2, max(0, cfg.qp - 4))
         self._build_static()
         self._decide_jit = jax.jit(self._decide_impl)
         self._encode_batch_jit = jax.jit(jax.vmap(self._frame_impl))
@@ -489,9 +490,9 @@ class TpuIntraTreeEncoder:
         ly = assemble(lvl.astype(jnp.int16), 32, h, w)
         lu = assemble(lvl_u.astype(jnp.int16), 16, h // 2, w // 2)
         lv = assemble(lvl_v.astype(jnp.int16), 16, h // 2, w // 2)
-        from homerhevc_tpu.ops.pack import pack_sparse2
-        bitmap, vals2, esc_idx, esc_val, count, esc_count = \
-            pack_sparse2([ly, lu, lv], self.pack_C)
+        from homerhevc_tpu.ops.pack import pack_sparse_cg
+        cg_bitmap, masks16, codes, esc_idx, esc_val, count, esc_count, \
+            cg_count = pack_sparse_cg([ly, lu, lv], self.pack_C, self.cg_C)
 
         def u8(a):
             if a.dtype == jnp.uint8:
@@ -499,10 +500,11 @@ class TpuIntraTreeEncoder:
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
             [depth8.astype(jnp.uint8).reshape(-1),
-             mode8.astype(jnp.uint8).reshape(-1), bitmap,
-             u8(esc_idx), u8(esc_val),
-             u8(count.reshape(1)), u8(esc_count.reshape(1))])
-        return recon_y, recon_u, recon_v, ly, lu, lv, meta, vals2
+             mode8.astype(jnp.uint8).reshape(-1), cg_bitmap,
+             u8(masks16), codes, u8(esc_idx), u8(esc_val),
+             u8(count.reshape(1)), u8(esc_count.reshape(1)),
+             u8(cg_count.reshape(1))])
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta
 
     # ---- host glue (mirrors TpuIntraEncoder) ------------------------------
 
@@ -545,19 +547,11 @@ class TpuIntraTreeEncoder:
     def dispatch_packed(self, handle, qps):
         qp_arr = jnp.asarray(np.asarray(qps, np.int32))
         out = self._encode_packed_jit(handle, qp_arr)
-        # power-of-two head: keep the slice shape stable across batches
-        # (a new shape recompiles the slice op over the tunnel, ~0.5 s)
-        cap_b = self.pack_C // 4
-        head = min(cap_b, getattr(self, "_head_hint", cap_b))
-        if head < cap_b:
-            head = min(cap_b, 1 << (head - 1).bit_length())
-        vals_head = out[7] if head >= cap_b else out[7][:, :head]
         try:
             out[6].copy_to_host_async()
-            vals_head.copy_to_host_async()
         except Exception:
             pass
-        return (*out, vals_head, head)
+        return out
 
     def dispatch_frames(self, ys, us, vs, qps=None):
         if qps is None:
@@ -568,61 +562,29 @@ class TpuIntraTreeEncoder:
 
     def fetch_frames(self, out, n_frames: int):
         from homerhevc_tpu.ops.pack import esc_capacity
-        from homerhevc_tpu.engine.intra_encoder import (_DeviceSlice,
-                                                        _split_planes)
+        from homerhevc_tpu.engine.intra_encoder import (
+            _DeviceSlice, _parse_cg_wire, _unpack_cg_frame)
         from homerhevc_tpu.utils.profiler import PROFILER
-        ry, ru, rv, ly, lu, lv, meta, vals, vals_head, head = out
+        ry, ru, rv, ly, lu, lv, meta = out
         with PROFILER.scope("fetch_meta"):
             meta_np = np.asarray(meta)
         h8, w8 = self.h // 8, self.w // 8
         ng = h8 * w8
         n_tot = self.w * self.h * 3 // 2
-        nb = n_tot // 8
         E = esc_capacity(n_tot, self.pack_C)
         depth8s = meta_np[:, :ng].reshape(n_frames, h8, w8)
         mode8s = meta_np[:, ng:2 * ng].reshape(n_frames, h8, w8)
-        bitmaps = meta_np[:, 2 * ng:2 * ng + nb]
-        o = 2 * ng + nb
-        esc_idx = meta_np[:, o:o + E * 4].copy().view(np.int32)
-        esc_val = meta_np[:, o + E * 4:o + E * 6].copy().view(np.int16)
-        tail = meta_np[:, o + E * 6:].copy().view(np.int32)
-        counts, esc_counts = tail[:, 0], tail[:, 1]
+        wire = _parse_cg_wire(meta_np, 2 * ng, n_tot, self.pack_C,
+                              self.cg_C, E)
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
-        nbytes = -(-counts // 4)
-        ok = (counts <= self.pack_C) & (esc_counts <= E)
-        in_head = ok & (nbytes <= head)
-        vals_np = None
-        if in_head.any():
-            with PROFILER.scope("fetch_vals"):
-                vals_np = np.asarray(vals_head)
-        if ok.any():
-            want = int(nbytes[ok].max() * 1.25) + 8
-            self._head_hint = min(self.pack_C // 4, -(-want // 8) * 8)
-        from homerhevc_tpu.native import unpack_sparse2_native
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
-                if in_head[i]:
-                    v2 = vals_np[i, :nbytes[i]]
-                elif ok[i]:
-                    v2 = np.asarray(vals[i, :nbytes[i]])
-                else:
-                    py, pu, pv = (np.asarray(ly[i]), np.asarray(lu[i]),
-                                  np.asarray(lv[i]))
-                    v2 = None
-                if v2 is not None:
-                    ec = esc_counts[i]
-                    buf = np.empty(n_tot, np.int16)
-                    if unpack_sparse2_native(bitmaps[i], v2, counts[i],
-                                             esc_idx[i, :ec],
-                                             esc_val[i, :ec], n_tot, buf):
-                        py, pu, pv = _split_planes(buf, shapes)
-                    else:
-                        from homerhevc_tpu.ops.pack import unpack_sparse2
-                        py, pu, pv = unpack_sparse2(
-                            bitmaps[i], v2, counts[i], esc_idx[i, :ec],
-                            esc_val[i, :ec], shapes)
+                py, pu, pv = _unpack_cg_frame(
+                    wire, i, n_tot, shapes,
+                    lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
+                             np.asarray(lv[i])))
                 desc = self._build_desc(depth8s[i], mode8s[i], py, pu, pv)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))

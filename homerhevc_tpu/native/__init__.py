@@ -62,8 +62,9 @@ def get_lib():
     lib.hevcenc_encode_slice2.restype = ctypes.c_long
     lib.hevcenc_encode_slice2.argtypes = (
         [ctypes.c_char_p]
-        + [ctypes.c_int] * 13            # geometry/flags + dist0/dist1
+        + [ctypes.c_int] * 15            # geometry/flags + dists + dqp/qp
         + [ctypes.c_char_p] * 6          # cu_depth..pred_mode
+        + [_I32P]                        # qp_map (int8, nullable)
         + [_I32P] * 3                    # coef planes (int16)
         + [ctypes.c_char_p] * 5 + [_I32P]  # inter maps + mv
         + [_I32P, ctypes.c_char_p]       # mv_l1 + mvp_flag_l1 (B)
@@ -78,6 +79,10 @@ def get_lib():
     lib.hevcenc_unpack_sparse2.argtypes = [
         _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
         ctypes.c_long, _I32P]
+    lib.hevcenc_unpack_sparse_cg.restype = ctypes.c_long
+    lib.hevcenc_unpack_sparse_cg.argtypes = [
+        _I32P, _I32P, _I32P, ctypes.c_long, ctypes.c_long,
+        _I32P, _I32P, ctypes.c_long, ctypes.c_long, _I32P]
     _lib = lib
     return lib
 
@@ -126,12 +131,40 @@ def unpack_sparse2_native(bitmap, codes, count: int, esc_idx, esc_val,
     return n >= 0
 
 
+def unpack_sparse_cg_native(cg_bitmap, masks16, codes, count: int,
+                            cg_count: int, esc_idx, esc_val, n_total: int,
+                            out: np.ndarray):
+    """Expand the two-tier CG wire format into `out` (int16, n_total).
+    Returns False when the native library is unavailable or the data
+    mismatches (caller falls back to ops/pack.unpack_sparse_cg)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+
+    def p(a, dt):
+        arr = np.ascontiguousarray(a, dt)
+        return arr, arr.ctypes.data_as(ctypes.c_void_p)
+    bm, p_bm = p(cg_bitmap, np.uint8)
+    mk, p_mk = p(masks16, np.int16)
+    cd, p_cd = p(codes, np.uint8)
+    ei, p_ei = p(esc_idx, np.int32)
+    ev, p_ev = p(esc_val, np.int16)
+    assert out.dtype == np.int16 and out.flags.c_contiguous
+    n = lib.hevcenc_unpack_sparse_cg(
+        p_bm, p_mk, p_cd, int(count), int(cg_count), p_ei, p_ev, len(ei),
+        n_total, out.ctypes.data_as(ctypes.c_void_p))
+    return n >= 0
+
+
 def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
                         slice_type: int = 2, sao_params=None,
-                        wpp: bool = False, ref_dists=(1, 1)):
+                        wpp: bool = False, ref_dists=(1, 1),
+                        slice_qp: int = 0):
     """Run the C++ serializer. Returns payload bytes, or (payload,
     row_sizes) when wpp. None if the library is unavailable.
-    ref_dists: POC(cur) - POC(first ref) per list (AMVP scaling)."""
+    ref_dists: POC(cur) - POC(first ref) per list (AMVP scaling).
+    slice_qp seeds the cu_qp_delta predictor chain when the PPS flag
+    is on (desc.qp_map carries the per-8x8 targets; None = flat)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -171,6 +204,10 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         sml = smu = None
         p_stl = p_stc = p_sel = p_sec = p_sbd = p_sof = None
 
+    if getattr(ps, "cu_qp_delta_enabled", False) and desc.qp_map is not None:
+        qpm_arr, p_qpm = ptr(desc.qp_map, np.int8)
+    else:
+        p_qpm = None
     n = lib.hevcenc_encode_slice2(
         ctx_init.tobytes(),
         desc.width, desc.height, ps.log2_ctu, ps.log2_min_cb,
@@ -178,9 +215,10 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         ps.max_tr_depth_intra, ps.max_tr_depth_inter,
         int(sign_hiding), slice_type, int(wpp),
         int(ref_dists[0]), int(ref_dists[1]),
+        int(getattr(ps, "cu_qp_delta_enabled", False)), int(slice_qp),
         b(desc.cu_depth), b(desc.part_nxn.astype(np.uint8)),
         b(desc.luma_mode), b(desc.chroma_mode), b(desc.tr_depth),
-        b(desc.pred_mode),
+        b(desc.pred_mode), p_qpm,
         py_, pu_, pv_,
         b(desc.skip), b(desc.inter_mode), b(desc.merge_idx),
         b(desc.mvp_flag), b(desc.root_cbf), pmv,

@@ -265,7 +265,7 @@ struct Params {
   int max_tr_depth_intra;
   int max_tr_depth_inter;
   int sign_hiding;      // SBH_THRESHOLD gate uses quant-adjusted levels
-  int cu_qp_delta;      // not supported yet (must be 0)
+  int cu_qp_delta;      // PPS cu_qp_delta_enabled (QG = CTB)
   int slice_qp;
   int slice_type;       // 2 = I, 1 = P, 0 = B
   int wpp;              // entropy_coding_sync substreams
@@ -285,6 +285,8 @@ struct Desc {
   // BI when mv_l1 is set, else all L0 (twin of FrameDesc.inter_dir)
   const uint8_t *inter_dir;
   const uint8_t *pred_mode;  // 0 = inter, 1 = intra
+  // per-8x8 luma QP targets (cu_qp_delta; null = flat slice QP)
+  const int8_t *qp_map;
   // SAO per-CTU params (may be null)
   const uint8_t *sao_merge_left, *sao_merge_up;
   const int32_t *sao_type_l, *sao_type_c, *sao_eo_l, *sao_eo_c;
@@ -298,6 +300,9 @@ struct Enc {
   Params p;
   Desc d;
   Cabac c;
+  // cu_qp_delta chain (QG = CTB): qPY_PREV + per-QG coded flag
+  int qp_pred = 0;
+  bool qp_coded = false;
 
   int depth_at(int x, int y) const { return d.cu_depth[(y>>3)*d.w8 + (x>>3)]; }
   int lmode(int x, int y) const { return d.luma_mode[(y>>2)*d.w4 + (x>>2)]; }
@@ -520,6 +525,30 @@ struct Enc {
     transform_unit(x0, y0, xb, yb, log2, depth, blk, cbf_luma, cbf_cb, cbf_cr);
   }
 
+  // cu_qp_delta_abs/sign (spec 7.3.8.10, 9.3.3.8): TU to cMax 5 with
+  // ctx {DQP+0 bin 0, DQP+1 after}, EG0 bypass suffix, bypass sign.
+  // Twin of SliceDataEncoder._encode_cu_qp_delta.
+  void code_cu_qp_delta(int x0, int y0) {
+    int qp = d.qp_map ? d.qp_map[(y0 >> 3) * d.w8 + (x0 >> 3)] : p.slice_qp;
+    int delta = qp - qp_pred;
+    int a = delta < 0 ? -delta : delta;
+    int tu = a < 5 ? a : 5;
+    c.bin(DQP + 0, tu > 0);
+    if (tu > 0) {
+      for (int i = 1; i < tu; i++) c.bin(DQP + 1, 1);
+      if (tu < 5) c.bin(DQP + 1, 0);
+      if (a >= 5) {
+        int v = a - 5 + 1;
+        int nb = 0;
+        while ((2 << nb) <= v) nb++;          // nb = floor(log2(v))
+        c.bypass_bins(((1u << nb) - 1) << 1, nb + 1);  // nb ones + 0
+        c.bypass_bins(v - (1 << nb), nb);
+      }
+      c.bypass(delta < 0);
+    }
+    qp_pred = qp;
+  }
+
   void transform_unit(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk, bool cbf_luma, bool cbf_cb, bool cbf_cr) {
     if (log2 == 2) {
@@ -527,6 +556,10 @@ struct Enc {
       cbf_cr = cbf_cr && region_nz(d.coef_v, d.cw, xb >> 1, yb >> 1, 4);
     }
     if (!(cbf_luma || cbf_cb || cbf_cr)) return;
+    if (p.cu_qp_delta && !qp_coded) {
+      code_cu_qp_delta(x0, y0);
+      qp_coded = true;
+    }
     int size = 1 << log2;
     if (cbf_luma) {
       int sel = is_intra(x0, y0)
@@ -911,9 +944,11 @@ long hevcenc_encode_slice2(
     int log2_min_tb, int log2_max_tb,
     int max_tr_depth_intra, int max_tr_depth_inter,
     int sign_hiding, int slice_type, int wpp, int dist0, int dist1,
+    int cu_qp_delta, int slice_qp,
     const uint8_t* cu_depth, const uint8_t* part_nxn,
     const uint8_t* luma_mode, const uint8_t* chroma_mode,
     const uint8_t* tr_depth, const uint8_t* pred_mode,
+    const int8_t* qp_map,
     const int16_t* coef_y, const int16_t* coef_u, const int16_t* coef_v,
     const uint8_t* skip, const uint8_t* inter_mode, const uint8_t* merge_idx,
     const uint8_t* mvp_flag, const uint8_t* root_cbf, const int32_t* mv,
@@ -927,8 +962,11 @@ long hevcenc_encode_slice2(
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
                log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
-               sign_hiding, 0, 0, slice_type, wpp, dist0, dist1};
+               sign_hiding, cu_qp_delta, slice_qp, slice_type, wpp,
+               dist0, dist1};
+  e.qp_pred = slice_qp;
   e.d.cu_depth = cu_depth; e.d.part_nxn = part_nxn;
+  e.d.qp_map = qp_map;
   e.d.luma_mode = luma_mode; e.d.chroma_mode = chroma_mode;
   e.d.tr_depth = tr_depth; e.d.pred_mode = pred_mode;
   e.d.coef_y = coef_y; e.d.coef_u = coef_u; e.d.coef_v = coef_v;
@@ -961,6 +999,7 @@ long hevcenc_encode_slice2(
     int n = cw * ch;
     for (int i = 0; i < n; i++) {
       int cx = i % cw, cy = i / cw;
+      e.qp_coded = false;           // QG = CTB
       if (has_sao) e.sao_ctu(cx, cy);
       e.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
       e.c.terminate(i == n - 1);
@@ -980,7 +1019,9 @@ long hevcenc_encode_slice2(
     e.c = Cabac{};
     e.c.out = &out;
     e.c.ctx = rowctx;
+    e.qp_pred = slice_qp;           // qPY_PREV resets per WPP CTB row
     for (int cx = 0; cx < cw; cx++) {
+      e.qp_coded = false;           // QG = CTB
       if (has_sao) e.sao_ctu(cx, cy);
       e.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
       e.c.terminate(cy == ch - 1 && cx == cw - 1);
@@ -1065,6 +1106,49 @@ long hevcenc_unpack_sparse2(
     }
   }
   if (vi != count) return -1;
+  return vi;
+}
+
+// Expand the two-tier CG wire format (ops/pack.py pack_sparse_cg):
+// cg_bitmap has one presence bit per 4x4 coefficient group; masks16
+// holds the 16-bit significance mask of each nonzero CG in raster-CG
+// order; codes/escapes are the pack_sparse2 value wire. Walk order
+// (CG ascending, bit ascending) == flat raster order, so escape
+// indices keep their packed-order meaning. Returns consumed value
+// count, or -1 on a mask/count mismatch.
+long hevcenc_unpack_sparse_cg(
+    const uint8_t* cg_bitmap, const uint16_t* masks16, const uint8_t* codes,
+    long count, long cg_count,
+    const int32_t* esc_idx, const int16_t* esc_val, long esc_count,
+    long n_total, int16_t* out) {
+  static const int16_t lut[4] = {1, -1, 2, -2};
+  memset(out, 0, (size_t)n_total * sizeof(int16_t));
+  long vi = 0, ci = 0, e = 0;
+  long next_esc = esc_count > 0 ? esc_idx[0] : -1;
+  long nbytes = n_total >> 7;            // n/16 CGs, 8 CGs per byte
+  for (long B = 0; B < nbytes; B++) {
+    unsigned b = cg_bitmap[B];
+    while (b) {
+      int g = __builtin_ctz(b);
+      b &= b - 1;
+      if (ci >= cg_count) return -1;
+      unsigned m = masks16[ci++];
+      int16_t* o = out + (((B << 3) + g) << 4);
+      while (m) {
+        int t = __builtin_ctz(m);
+        m &= m - 1;
+        int16_t v = lut[(codes[vi >> 2] >> ((vi & 3) * 2)) & 3];
+        if (vi == next_esc) {
+          v = esc_val[e];
+          e++;
+          next_esc = e < esc_count ? esc_idx[e] : -1;
+        }
+        o[t] = v;
+        vi++;
+      }
+    }
+  }
+  if (vi != count || ci != cg_count) return -1;
   return vi;
 }
 

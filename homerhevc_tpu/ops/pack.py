@@ -156,6 +156,100 @@ def pack_sparse2(planes, capacity: int):
     return bitmap, packed, sidx[:E], sval[:E], count, esc_count
 
 
+def cg_cap(n_total: int, qp: int) -> int:
+    """Static capacity for the compacted per-CG significance masks:
+    one uint16 per 4x4 coefficient group with at least one nonzero.
+    Sized from QP like pack_capacity; overflow falls back to the full
+    device planes."""
+    if qp >= 30:
+        d = 48
+    elif qp >= 24:
+        d = 24
+    else:
+        return n_total // 16
+    return min(n_total // 16, -(-n_total // d // 8) * 8)
+
+
+def pack_sparse_cg(planes, capacity: int, cgcap: int):
+    """Two-tier CG wire format: the flat 1-bit-per-coefficient bitmap of
+    pack_sparse2 (n/8 bytes -- the dominant fixed transfer cost) becomes
+      cg_bitmap  u8   (n/128,)  1 bit per 4x4 coefficient group
+      masks      i16  (cgcap,)  16-bit significance mask of each nonzero
+                                CG, compacted in raster-CG order
+    Values stay the 2-bit code wire {+1,-1,+2,-2} + escape list. The
+    host walk (nonzero CG -> mask bits -> codes) enumerates values in
+    flat raster order, so escape indices keep their pack_sparse2
+    meaning. Returns (cg_bitmap, masks16, codes u8 (capacity/4),
+    esc_idx i32, esc_val i16, count, esc_count, cg_count)."""
+    assert capacity % 4 == 0
+    flat = jnp.concatenate([p.reshape(-1) for p in planes]).astype(jnp.int16)
+    n = flat.shape[0]
+    assert n % 128 == 0
+    cg = flat.reshape(-1, 16)
+    nzb = (cg != 0).astype(jnp.int32)
+    mask16 = (nzb * (jnp.int32(1) << jnp.arange(16, dtype=jnp.int32))[None]) \
+        .sum(axis=1)                                     # (ncg,) 0..65535
+    cg_nz = mask16 != 0
+    cg_count = jnp.sum(cg_nz.astype(jnp.int32))
+    cg_bitmap = (cg_nz.reshape(-1, 8).astype(jnp.int32)
+                 * jnp.asarray(_WEIGHTS)[None, :]).sum(axis=1) \
+        .astype(jnp.uint8)
+    ncg = n // 16
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ncg, 1), 0).reshape(-1)
+    ckey = jnp.where(cg_nz, cidx, jnp.int32(1) << 30)
+    _, smasks = jax.lax.sort((ckey, mask16.astype(jnp.int16)), num_keys=1)
+    smasks = smasks[:cgcap]
+    nz = flat != 0
+    count = jnp.sum(nz.astype(jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    key = jnp.where(nz, idx, jnp.int32(1) << 30)
+    _, svals = jax.lax.sort((key, flat), num_keys=1)
+    svals = svals[:capacity]
+    code = jnp.where(svals == -1, 1,
+                     jnp.where(svals == 2, 2,
+                               jnp.where(svals == -2, 3, 0))) \
+        .astype(jnp.int32)
+    codes = (code.reshape(-1, 4)
+             * jnp.asarray([1, 4, 16, 64], jnp.int32)[None, :]) \
+        .sum(axis=1).astype(jnp.uint8)
+    E = esc_capacity(n, capacity)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(-1)
+    is_esc = (jnp.abs(svals) > 2) & (pos < count)
+    esc_count = jnp.sum(is_esc.astype(jnp.int32))
+    ekey = jnp.where(is_esc, pos, jnp.int32(1) << 30)
+    sidx, sval = jax.lax.sort((ekey, svals), num_keys=1)
+    return (cg_bitmap, smasks, codes, sidx[:E], sval[:E], count, esc_count,
+            cg_count)
+
+
+def unpack_sparse_cg(cg_bitmap, masks16, codes, count, cg_count,
+                     esc_idx, esc_val, shapes):
+    """Host inverse of pack_sparse_cg (numpy fallback; native twin is
+    hevcenc_unpack_sparse_cg)."""
+    n = sum(h * w for h, w in shapes)
+    cgnz = np.unpackbits(np.asarray(cg_bitmap, np.uint8),
+                         bitorder="little")[:n // 16].astype(bool)
+    nz_cg = np.flatnonzero(cgnz)
+    assert len(nz_cg) == cg_count
+    m = np.asarray(masks16[:cg_count], np.int16).astype(np.uint16)
+    bits = ((m[:, None] >> np.arange(16)) & 1).astype(bool)
+    flat_pos = (nz_cg[:, None] * 16 + np.arange(16))[bits]
+    cb = np.asarray(codes, np.uint8)
+    code4 = np.stack([(cb >> s) & 3 for s in (0, 2, 4, 6)], axis=1) \
+        .reshape(-1)[:count]
+    vals = _CODE_LUT[code4]
+    if len(esc_idx):
+        vals[np.asarray(esc_idx)] = np.asarray(esc_val, np.int16)
+    out = np.zeros(n, np.int16)
+    out[flat_pos] = vals
+    planes = []
+    off = 0
+    for h, w in shapes:
+        planes.append(out[off:off + h * w].reshape(h, w))
+        off += h * w
+    return planes
+
+
 _CODE_LUT = np.asarray([1, -1, 2, -2], np.int16)
 
 

@@ -71,10 +71,7 @@ def encode_frames_sharded(cfg, frames, mesh=None):
                    out_shardings=shard)
     qps = jax.device_put(np.full(len(frames), cfg.qp, np.int32), shard)
     out = step(ys, us, vs, qps)
-    # full-capacity values head (fetch_frames expects the dispatch-side
-    # (vals_head, head) tail; sharded encode fetches everything at once)
-    results = enc.fetch_frames((*out, out[7], enc.pack_C // 4),
-                               len(frames))
+    results = enc.fetch_frames(out, len(frames))
 
     streams = []
     for (desc, ry, ru, rv), (y, u, v) in zip(results, frames):
@@ -131,8 +128,7 @@ def gop_parallel_encode(cfg, frames, mesh=None):
     ys, us, vs = put(0)
     qps = jax.device_put(np.full(n_dev, cfg.qp, np.int32), shard)
     out_i = step_i(ys, us, vs, qps)
-    res_i = enc_i.fetch_frames((*out_i, out_i[7], enc_i.pack_C // 4),
-                               n_dev)
+    res_i = enc_i.fetch_frames(out_i, n_dev)
     streams = [[] for _ in range(n_dev)]
     for d, (desc, ry, ru, rv) in enumerate(res_i):
         ef = pipes[d]._emit(desc, ry, ru, rv, src=frames[d * seg_len],

@@ -167,6 +167,48 @@ def test_pack_sparse2_roundtrip(rng):
     np.testing.assert_array_equal(buf, flat)
 
 
+def test_pack_sparse_cg_roundtrip(rng):
+    """Two-tier CG wire format: CG bitmap + compacted 16-bit masks +
+    2-bit codes + escapes round-trip exactly through both the numpy and
+    the native C unpack."""
+    from homerhevc_tpu.ops.pack import (cg_cap, esc_capacity, pack_capacity,
+                                        pack_sparse_cg, unpack_sparse_cg)
+    from homerhevc_tpu.native import unpack_sparse_cg_native
+    h, w = 32, 64
+    n_tot = h * w * 3 // 2
+    y = np.zeros((h, w), np.int16)
+    u = np.zeros((h // 2, w // 2), np.int16)
+    v = np.zeros((h // 2, w // 2), np.int16)
+    ys = rng.choice(h * w, 60, replace=False)
+    y.reshape(-1)[ys] = rng.choice([1, -1, 1, -1, 2, -2, 5, -300],
+                                   60).astype(np.int16)
+    u[3, 5], v[7, 9] = 1000, -3
+    # a dense CG exercises multi-bit masks
+    y[8:12, 16:20] = rng.choice([1, -1, 2], (4, 4)).astype(np.int16)
+    C = pack_capacity(n_tot, 32)
+    CG = cg_cap(n_tot, 32)
+    import jax.numpy as jnp
+    bm, mk, cd, ei, ev, cnt, ecnt, ccnt = pack_sparse_cg(
+        [jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)], C, CG)
+    cnt, ecnt, ccnt = int(cnt), int(ecnt), int(ccnt)
+    assert ecnt <= esc_capacity(n_tot, C) and ccnt <= CG
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    py, pu, pv = unpack_sparse_cg(np.asarray(bm), np.asarray(mk),
+                                  np.asarray(cd), cnt, ccnt,
+                                  np.asarray(ei)[:ecnt],
+                                  np.asarray(ev)[:ecnt], shapes)
+    np.testing.assert_array_equal(py, y)
+    np.testing.assert_array_equal(pu, u)
+    np.testing.assert_array_equal(pv, v)
+    buf = np.empty(n_tot, np.int16)
+    assert unpack_sparse_cg_native(np.asarray(bm), np.asarray(mk),
+                                   np.asarray(cd), cnt, ccnt,
+                                   np.asarray(ei)[:ecnt],
+                                   np.asarray(ev)[:ecnt], n_tot, buf)
+    flat = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+    np.testing.assert_array_equal(buf, flat)
+
+
 @pytest.mark.parametrize("n", [4, 8, 16, 32])
 @pytest.mark.parametrize("is_luma", [True, False])
 def test_predict_mode_matches_golden(n, is_luma, rng):
