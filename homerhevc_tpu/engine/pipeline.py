@@ -138,6 +138,12 @@ class EncoderPipeline:
 
     def _analyze_intra_golden(self, y, u, v, qp):
         from homerhevc_tpu.golden.intra_frame import encode_intra_frame
+        qp_map = None
+        if self.ps.cu_qp_delta_enabled and not (
+                self.cfg.intra_rdo and self.ps.ctu_size >= 32):
+            from homerhevc_tpu.engine.rate_control import aq_qp_map
+            qp_map = aq_qp_map(np.asarray(y), self.ps.ctu_size, qp,
+                               self.cfg.aq_strength)
         if self.cfg.intra_rdo and self.ps.ctu_size >= 32:
             from homerhevc_tpu.golden.intra_tree import (
                 decide_intra_tree, encode_intra_tree_frame)
@@ -147,12 +153,19 @@ class EncoderPipeline:
                 self.ps, y, u, v, qp, dec, ctb=min(self.ps.ctu_size, 32))
         else:
             desc, ry, ru, rv = encode_intra_frame(
-                self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32))
+                self.ps, y, u, v, qp, cu_size=min(self.cfg.cu_size, 32),
+                qp_map=qp_map)
         if self.ps.deblocking_enabled:
             from homerhevc_tpu.golden import deblock as gdb
             cu_sz = (self.ps.ctu_size >> desc.cu_depth).astype(np.int32)
             tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-            qp8 = np.full_like(tu8, qp)
+            if self.ps.cu_qp_delta_enabled:
+                # deblock with the DECODER's per-unit QP (uncoded QGs
+                # inherit the predictor, not the AQ target)
+                qp8 = gdb.decoder_qp_map8(desc, self.ps, qp,
+                                          wpp=self.ps.wpp)
+            else:
+                qp8 = np.full_like(tu8, qp)
             bs_v, bs_h = gdb.intra_bs_maps(tu8)
             ry = gdb.deblock_plane_luma(ry, tu8, qp8, bs_v, bs_h)
             ru = gdb.deblock_plane_chroma(ru, qp8, bs_v, bs_h,
@@ -184,16 +197,16 @@ class EncoderPipeline:
             self._cand_recon_dev = None
             from homerhevc_tpu.golden.inter_frame import (
                 encode_inter_frame, encode_inter_frame_tree)
-            if self.ps.ctu_size == 32:
+            if self.ps.ctu_size in (32, 64):
                 desc, ry, ru, rv = encode_inter_frame_tree(
                     self.ps, (y, u, v), ref, qp, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist)
+                    avg_dist=self.avg_dist, merge_rd=True)
             else:
                 desc, ry, ru, rv = encode_inter_frame(
                     self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist)
+                    avg_dist=self.avg_dist, merge_rd=True)
         # in-loop deblocking now runs inside both inter backends (device:
         # engine/inter_encoder deblock_inter; golden: _deblock_inter_luma);
         # chroma needs no pass in pure-inter frames (BS<2, spec 8.7.2.5.5)
@@ -220,7 +233,7 @@ class EncoderPipeline:
             res = native.encode_slice_native(
                 ps, desc, init_contexts(st, qp), ps.sign_hiding,
                 slice_type=slice_type, sao_params=sao_params, wpp=True,
-                ref_dists=dists)
+                ref_dists=dists, slice_qp=qp)
         if res is not None:
             payload, row_sizes = res
             # entry points count escaped bytes (spec 7.4.7.1; reference
@@ -299,12 +312,12 @@ class EncoderPipeline:
         ctx = init_contexts(st, qp)
         poc_val = self.gop_poc if poc is None else poc
         dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
-        if use_native and not ps.cu_qp_delta_enabled:
+        if use_native:
             from homerhevc_tpu import native
             with PROFILER.scope("ser_native"):
                 payload = native.encode_slice_native(
                     ps, desc, ctx, ps.sign_hiding, slice_type=slice_type,
-                    sao_params=sao_params, ref_dists=dists)
+                    sao_params=sao_params, ref_dists=dists, slice_qp=qp)
             if payload is not None:
                 with PROFILER.scope("ser_nal"):
                     return make_nal(nal_type, bw.get_bytes() + payload)
@@ -716,6 +729,7 @@ class EncoderPipeline:
         return (self.backend in ("auto", "tpu") and self.cfg.intra_rdo
                 and self.cfg.cu_size in (32, 64)
                 and not self.ps.deblocking_enabled
+                and not self.ps.cu_qp_delta_enabled
                 and self.cfg.width % 32 == 0 and self.cfg.height % 32 == 0)
 
     def _tpu_ok(self) -> bool:
@@ -723,6 +737,7 @@ class EncoderPipeline:
             return True
         return (self.backend in ("auto", "tpu")
                 and not self.cfg.intra_rdo
+                and not self.ps.cu_qp_delta_enabled
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
 
@@ -772,6 +787,7 @@ class EncoderPipeline:
             return True
         return (self.backend in ("auto", "tpu")
                 and self.cfg.cu_size == 32
+                and not self.ps.cu_qp_delta_enabled
                 and self.cfg.width % 32 == 0 and self.cfg.height % 16 == 0)
 
     def _get_tpu(self):

@@ -209,15 +209,16 @@ def hier_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng_c: int,
 
 def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
                     lam16: int, K: int = 3, G16: int = 8, G32: int = 4,
-                    want32: bool = False):
-    """Joint 16- and 32-block hierarchical full-pel ME sharing one set of
+                    want32: bool = False, want64: bool = False, G64: int = 2):
+    """Joint 16-/32-(/64-)block hierarchical full-pel ME sharing one set of
     full-res shifted-plane block sums (32-level SADs are 2x2 sums of the
-    16-level sums — no second sweep). See hier_pel_field for the search
-    structure. Returns (mv16, prior16, mv32, prior32); mv32/prior32 are
-    None unless want32."""
+    16-level sums, 64-level 2x2 sums of those — no second sweep). See
+    hier_pel_field for the search structure. Returns (mv16, prior16, mv32,
+    prior32[, mv64, prior64]); higher levels are None unless requested."""
     H, W = sy.shape
     gh, gw = H // 16, W // 16
     gh2, gw2 = H // 32, W // 32
+    gh4, gw4 = H // 64, W // 64
     m = 8
     side = 2 * rng_c + 1
     n_off = side * side
@@ -253,16 +254,22 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
             hist[kg] = -1
         return pr, short
     prior16, short16 = prior_votes(sads_c, G16, 4)
-    if want32:
+    if want32 or want64:
         s4c = sads_c[:, :gh2 * 2, :].reshape(n_off, gh2, 2, gw2, 2) \
             .sum(axis=(2, 4))
         prior32, short32 = prior_votes(s4c, G32, 4)
     else:
         prior32, short32 = None, []
+    if want64 and gh4 > 0 and gw4 > 0:
+        s8c = s4c[:, :gh4 * 2, :gw4 * 2].reshape(n_off, gh4, 2, gw4, 2) \
+            .sum(axis=(2, 4))
+        prior64, short64 = prior_votes(s8c, G64, 4)
+    else:
+        prior64, short64 = None, []
 
     # offset list: exact fine sweep, then shortlist neighbourhoods
     offs = [(k % 9 - 4, k // 9 - 4) for k in range(81)]
-    for kg in short16 + short32:
+    for kg in short16 + short32 + short64:
         cdx, cdy = 2 * (kg % side - rng_c), 2 * (kg // side - rng_c)
         for oy in (-2, -1, 0, 1, 2):
             for ox in (-2, -1, 0, 1, 2):
@@ -274,10 +281,14 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
     bc16 = np.full(gh * gw, 1 << 30, np.int32)
     bdx16 = np.zeros(gh * gw, np.int32)
     bdy16 = np.zeros(gh * gw, np.int32)
-    if want32:
+    if want32 or want64:
         bc32 = np.full(gh2 * gw2, 1 << 30, np.int32)
         bdx32 = np.zeros(gh2 * gw2, np.int32)
         bdy32 = np.zeros(gh2 * gw2, np.int32)
+    if want64:
+        bc64 = np.full(gh4 * gw4, 1 << 30, np.int32)
+        bdx64 = np.zeros(gh4 * gw4, np.int32)
+        bdy64 = np.zeros(gh4 * gw4, np.int32)
     for dx, dy in offs:
         sh = pad_f[P + dy:P + dy + gh * 16, P + dx:P + dx + gw * 16]
         s16 = np.abs(src_pl - sh).reshape(gh, 16, gw, 16).sum(axis=(1, 3))
@@ -287,7 +298,7 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
         bc16 = np.where(b, c16, bc16)
         bdx16 = np.where(b, dx, bdx16)
         bdy16 = np.where(b, dy, bdy16)
-        if want32:
+        if want32 or want64:
             s32 = s16[:gh2 * 2, :].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
             r32 = int(mv_rate(4 * dx, 4 * dy, prior32))
             c32 = s32.reshape(-1).astype(np.int32) + ((lam16 * r32) >> 4)
@@ -295,13 +306,27 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
             bc32 = np.where(b2, c32, bc32)
             bdx32 = np.where(b2, dx, bdx32)
             bdy32 = np.where(b2, dy, bdy32)
+            if want64 and gh4 > 0 and gw4 > 0:
+                s64 = s32[:gh4 * 2, :gw4 * 2].reshape(gh4, 2, gw4, 2) \
+                    .sum(axis=(1, 3))
+                r64 = int(mv_rate(4 * dx, 4 * dy, prior64))
+                c64 = s64.reshape(-1).astype(np.int32) + ((lam16 * r64) >> 4)
+                b4 = c64 < bc64
+                bc64 = np.where(b4, c64, bc64)
+                bdx64 = np.where(b4, dx, bdx64)
+                bdy64 = np.where(b4, dy, bdy64)
     mv16 = np.stack([bdx16, bdy16], axis=-1).reshape(gh, gw, 2) \
         .astype(np.int32)
-    if not want32:
+    if not want32 and not want64:
         return mv16, prior16, None, None
     mv32 = np.stack([bdx32, bdy32], axis=-1).reshape(gh2, gw2, 2) \
         .astype(np.int32)
-    return mv16, prior16, mv32, prior32
+    if not want64:
+        return mv16, prior16, mv32, prior32
+    mv64 = (np.stack([bdx64, bdy64], axis=-1).reshape(gh4, gw4, 2)
+            .astype(np.int32) if gh4 > 0 and gw4 > 0
+            else np.zeros((gh4, gw4, 2), np.int32))
+    return mv16, prior16, mv32, prior32, mv64, prior64
 
 
 def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
@@ -358,11 +383,18 @@ def _deblock_inter_chroma(ps, desc, recon_u, recon_v, qp):
 
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
-                       is_b: bool = False, avg_dist: float = 1000.0):
+                       is_b: bool = False, avg_dist: float = 1000.0,
+                       merge_rd: bool = False):
     """Encode one P frame (2Nx2N CUs, optional per-CU intra fallback).
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
     desc, recon_y, recon_u, recon_v, prior_q = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
+    if merge_rd and not is_b:
+        sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
+        ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
+        merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
+                   recon_y, recon_u, recon_v, qp,
+                   zf_multiplier(avg_dist, qp), prior_q)
     if ps.cfg.intra_in_p and cu_size == 16:
         intra_fallback_p(ps, desc, np.asarray(src_planes[0], np.int32),
                          np.asarray(src_planes[1], np.int32),
@@ -502,6 +534,120 @@ def _cu_cost(src_blk, rec_blk, lvl, mv, prior_q, lam):
 
 INTRA_P_MODE_BITS_MPM = np.float32(3.0)   # pred_mode bin + ~2 MPM bins
 INTRA_P_MODE_BITS_REM = np.float32(7.0)   # pred_mode bin + rem 6 bins
+
+
+def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
+               ry_ref, ru_ref, rv_ref, recon_y, recon_u, recon_v,
+               qp: int, zf_mult: float, prior_q, max_cand: int = 2) -> int:
+    """RD-checked merge for P frames: walk CUs in decode order and flip a
+    CU's motion to its best merge candidate when the re-coded cost beats
+    the ME coding (reference check_rd_cost_merge_2nx2n,
+    hmr_motion_inter.c:3493 — there merge is evaluated per CU inside the
+    sequential loop; here it is a decode-order post-pass over the batched
+    ME field). Flips update desc.mv immediately, so later CUs derive
+    candidates from the exact field a decoder will reconstruct, and the
+    final syntax selection is guaranteed to re-find the merge.
+
+    Returns the number of flipped CUs."""
+    lam = float(T.rd_lambda(qp, "P"))
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    sl = ps.scaling_list_enabled
+    w, h = desc.width, desc.height
+    inter = desc.pred_mode == MODE_INTER
+    mf = MotionField(*desc.pred_mode.shape)
+    mf.mv = desc.mv                      # live view: flips take effect
+    mf.ref = np.where(inter, 0, -1)
+    flips = 0
+
+    def code_luma(pred, src_blk, n):
+        """Luma TU coding of a CU (n<=32: one TU; n=64: four TU32s).
+        Returns (lvl, rec)."""
+        resid = src_blk - pred
+        if n <= 32:
+            lvl, r = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult, lam)
+        else:
+            lvl = np.zeros((n, n), np.int32)
+            r = np.zeros((n, n), np.int32)
+            for qy in (0, 32):
+                for qx in (0, 32):
+                    lq, rq = _code_tu(resid[qy:qy + 32, qx:qx + 32], qp, sl,
+                                      ps.sign_hiding, zf_mult, lam)
+                    lvl[qy:qy + 32, qx:qx + 32] = lq
+                    r[qy:qy + 32, qx:qx + 32] = rq
+        return lvl, np.clip(pred + r, 0, 255)
+
+    def try_cu(x0, y0, n):
+        nonlocal flips
+        ux, uy = x0 // 8, y0 // 8
+        if desc.pred_mode[uy, ux] != MODE_INTER:
+            return
+        mv_cur = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
+        cands, _ = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+        src_blk = sy[y0:y0 + n, x0:x0 + n]
+        cur_cost = _cu_cost(src_blk, recon_y[y0:y0 + n, x0:x0 + n],
+                            desc.coef_y[y0:y0 + n, x0:x0 + n], mv_cur,
+                            prior_q, lam)
+        best = None
+        seen = set()
+        for idx, c in enumerate(cands[:max_cand]):
+            mv = (int(c[0]), int(c[1]))
+            if c[2] != 0 or mv == mv_cur or mv in seen:
+                continue
+            seen.add(mv)
+            pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
+            lvl, rec = code_luma(pred, src_blk, n)
+            d = (src_blk - rec).astype(np.float32)
+            ssd = np.float32(np.sum(d * d))
+            rate = (3.0 * np.count_nonzero(lvl)
+                    + np.sum(np.abs(lvl)) + 4.0 + idx)
+            cost = ssd + np.float32(lam * rate)
+            if cost < cur_cost and (best is None or cost < best[0]):
+                best = (cost, mv, lvl, rec)
+        if best is None:
+            return
+        _, mv, lvl, rec = best
+        flips += 1
+        sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
+        desc.mv[sl8[0], sl8[1], 0] = mv[0]
+        desc.mv[sl8[0], sl8[1], 1] = mv[1]
+        desc.coef_y[y0:y0 + n, x0:x0 + n] = lvl.astype(np.int16)
+        recon_y[y0:y0 + n, x0:x0 + n] = rec
+        cx0, cy0, nc = x0 // 2, y0 // 2, n // 2
+        tu_c = min(nc, 16)               # CU64: four 16x16 chroma TUs
+        for splane, rplane, recon_c, coefs in (
+                (su, ru_ref, recon_u, desc.coef_u),
+                (sv, rv_ref, recon_v, desc.coef_v)):
+            cpred = mc_chroma(rplane, cx0, cy0, nc, mv[0], mv[1])
+            cres = splane[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
+            for qy in range(0, nc, tu_c):
+                for qx in range(0, nc, tu_c):
+                    clvl, cr = _code_tu(cres[qy:qy + tu_c, qx:qx + tu_c],
+                                        qp_c, sl, ps.sign_hiding, zf_mult,
+                                        lam)
+                    coefs[cy0 + qy:cy0 + qy + tu_c,
+                          cx0 + qx:cx0 + qx + tu_c] = clvl.astype(np.int16)
+                    recon_c[cy0 + qy:cy0 + qy + tu_c,
+                            cx0 + qx:cx0 + qx + tu_c] = np.clip(
+                        cpred[qy:qy + tu_c, qx:qx + tu_c] + cr, 0, 255)
+
+    def walk(x0, y0, n, depth):
+        if x0 >= w or y0 >= h:
+            return
+        inside = x0 + n <= w and y0 + n <= h
+        if inside and int(desc.cu_depth[y0 // 8, x0 // 8]) <= depth:
+            try_cu(x0, y0, n)
+            return
+        half = n // 2
+        if half < 8:
+            return
+        for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
+            walk(x0 + dx, y0 + dy, half, depth + 1)
+
+    ctu = ps.ctu_size
+    for cy in range(-(-h // ctu)):
+        for cx in range(-(-w // ctu)):
+            walk(cx * ctu, cy * ctu, ctu, 0)
+    return flips
 
 
 def select_intra_independent(want: np.ndarray) -> np.ndarray:
@@ -687,18 +833,28 @@ def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
 
 def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                             search: int = 16, is_b: bool = False,
-                            avg_dist: float = 1000.0):
-    """CTB32 P/B frame with a two-level CU tree: each full 32x32 CTB is
-    coded either as one 2Nx2N CU32 (TU32 luma) or four CU16s, chosen by
-    SSD + lambda*rate (reference analog: motion_inter depth consolidation,
-    hmr_motion_inter.c:3116-3290). Partial boundary CTBs stay at CU16.
+                            avg_dist: float = 1000.0,
+                            merge_rd: bool = False):
+    """CTB32/CTB64 P/B frame with a multi-level CU tree: each full 32x32
+    region is coded either as one 2Nx2N CU32 (TU32 luma) or four CU16s,
+    chosen by SSD + lambda*rate; with CTB64 a third pass then evaluates a
+    2Nx2N CU64 (luma as four forced-split TU32s, spec log2>max_tb) against
+    the adopted 32/16 coding per CTB (reference analog: motion_inter depth
+    consolidation, hmr_motion_inter.c:3116-3290; CU64 default
+    homer_app.c:307-337). Partial boundary CTBs stay at CU16.
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
-    assert ps.ctu_size == 32
+    assert ps.ctu_size in (32, 64)
+    want64 = ps.ctu_size == 64
+    base32 = ps.log2_ctu - 5          # quadtree depth of a CU32
     sy0 = np.asarray(src_planes[0], np.int32)
     ry0 = np.asarray(ref_planes[0], np.int32)
     lam16_ = T.lambda_me_x16(qp)
-    fp16_mv, pr16, fp32, prior_q = hier_pel_fields(
-        sy0, ry0, search, lam16_, want32=True)
+    if want64:
+        fp16_mv, pr16, fp32, prior_q, fp64, prior64 = hier_pel_fields(
+            sy0, ry0, search, lam16_, want32=True, want64=True)
+    else:
+        fp16_mv, pr16, fp32, prior_q = hier_pel_fields(
+            sy0, ry0, search, lam16_, want32=True)
     # level-16 pass: reuse the flat encoder wholesale (fills desc at depth 1)
     desc, recon_y, recon_u, recon_v, _ = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist,
@@ -740,9 +896,9 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                     c16 = c16 + _cu_cost(s16, rec16, l16, mv16, prior_q, lam)
             if not (c32 <= c16):
                 continue
-            # adopt the CU32 coding for this CTB
+            # adopt the CU32 coding for this region
             sl8 = (slice(y0 // 8, y0 // 8 + 4), slice(x0 // 8, x0 // 8 + 4))
-            desc.cu_depth[sl8] = 0
+            desc.cu_depth[sl8] = base32
             desc.mv[sl8[0], sl8[1], 0] = mv[0]
             desc.mv[sl8[0], sl8[1], 1] = mv[1]
             desc.coef_y[y0:y0 + 32, x0:x0 + 32] = lvl.astype(np.int16)
@@ -757,6 +913,83 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
+    if want64:
+        def region_cost(x0, y0, n):
+            """Cost of the CURRENTLY adopted coding of an n x n region
+            (recursing into the CU sizes recorded in desc)."""
+            cu_n = ps.ctu_size >> int(desc.cu_depth[y0 // 8, x0 // 8])
+            if cu_n >= n:
+                mv_ = (int(desc.mv[y0 // 8, x0 // 8, 0]),
+                       int(desc.mv[y0 // 8, x0 // 8, 1]))
+                return _cu_cost(sy[y0:y0 + n, x0:x0 + n],
+                                recon_y[y0:y0 + n, x0:x0 + n],
+                                desc.coef_y[y0:y0 + n, x0:x0 + n],
+                                mv_, prior_q, lam)
+            half = n // 2
+            return sum(region_cost(x0 + dx, y0 + dy, half)
+                       for dy, dx in ((0, 0), (0, half), (half, 0),
+                                      (half, half)))
+
+        for gy in range(h // 64):
+            for gx in range(w // 64):
+                x0, y0 = gx * 64, gy * 64
+                src_blk = sy[y0:y0 + 64, x0:x0 + 64]
+                mv = (4 * int(fp64[gy, gx, 0]), 4 * int(fp64[gy, gx, 1]))
+                if me_prec >= 1:
+                    mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2,
+                                       prior_q, lam16)
+                if me_prec >= 2:
+                    mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
+                                       prior_q, lam16)
+                pred = mc_luma(ry_ref, x0, y0, 64, mv[0], mv[1])
+                resid = src_blk - pred
+                # luma: four forced-split TU32s (spec: log2 64 > max TB 32)
+                lvl64 = np.zeros((64, 64), np.int32)
+                r64 = np.zeros((64, 64), np.int32)
+                for qy in (0, 32):
+                    for qx in (0, 32):
+                        lq, rq = _code_tu(resid[qy:qy + 32, qx:qx + 32],
+                                          qp, sl, ps.sign_hiding, zf_mult,
+                                          lam)
+                        lvl64[qy:qy + 32, qx:qx + 32] = lq
+                        r64[qy:qy + 32, qx:qx + 32] = rq
+                rec64 = np.clip(pred + r64, 0, 255)
+                c64 = _cu_cost(src_blk, rec64, lvl64, mv, prior_q, lam)
+                if not (c64 <= region_cost(x0, y0, 64)):
+                    continue
+                # adopt the CU64 coding for this CTB
+                sl8 = (slice(y0 // 8, y0 // 8 + 8),
+                       slice(x0 // 8, x0 // 8 + 8))
+                desc.cu_depth[sl8] = 0
+                desc.tr_depth[sl8] = 1       # forced TU32 split
+                desc.pred_mode[sl8] = MODE_INTER
+                desc.mv[sl8[0], sl8[1], 0] = mv[0]
+                desc.mv[sl8[0], sl8[1], 1] = mv[1]
+                desc.coef_y[y0:y0 + 64, x0:x0 + 64] = lvl64.astype(np.int16)
+                recon_y[y0:y0 + 64, x0:x0 + 64] = rec64
+                cx0, cy0 = x0 // 2, y0 // 2
+                for splane, rplane, recon_c, coefs in (
+                        (su, ru_ref, recon_u, desc.coef_u),
+                        (sv, rv_ref, recon_v, desc.coef_v)):
+                    cpred = mc_chroma(rplane, cx0, cy0, 32, mv[0], mv[1])
+                    cres = splane[cy0:cy0 + 32, cx0:cx0 + 32] - cpred
+                    crec = np.empty((32, 32), np.int32)
+                    # chroma: four 16x16 TUs (one per TU32 leaf)
+                    for qy in (0, 16):
+                        for qx in (0, 16):
+                            clvl, cr = _code_tu(
+                                cres[qy:qy + 16, qx:qx + 16], qp_c, sl,
+                                ps.sign_hiding, zf_mult, lam)
+                            coefs[cy0 + qy:cy0 + qy + 16,
+                                  cx0 + qx:cx0 + qx + 16] = \
+                                clvl.astype(np.int16)
+                            crec[qy:qy + 16, qx:qx + 16] = np.clip(
+                                cpred[qy:qy + 16, qx:qx + 16]
+                                + cr, 0, 255)
+                    recon_c[cy0:cy0 + 32, cx0:cx0 + 32] = crec
+    if merge_rd and not is_b:
+        merge_rd_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
+                   recon_y, recon_u, recon_v, qp, zf_mult, prior_q)
     if ps.cfg.intra_in_p:
         intra_fallback_p(ps, desc, sy, su, sv, recon_y, recon_u, recon_v,
                          qp, prior_q)
@@ -775,18 +1008,21 @@ def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
     decoder derives), so CUs can be visited in any order. dists feed the
     AMVP POC-distance scaling of mixed-direction B slices."""
     ctu = ps.ctu_size
+
+    def walk(x0, y0, n, depth):
+        if x0 >= desc.width or y0 >= desc.height:
+            return
+        inside = x0 + n <= desc.width and y0 + n <= desc.height
+        if inside and int(desc.cu_depth[y0 // 8, x0 // 8]) <= depth:
+            _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists)
+            return
+        half = n // 2
+        for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
+            walk(x0 + dx, y0 + dy, half, depth + 1)
+
     for cy in range(-(-desc.height // ctu)):
         for cx in range(-(-desc.width // ctu)):
-            x0, y0 = cx * ctu, cy * ctu
-            if (desc.cu_depth[y0 // 8, x0 // 8] == 0
-                    and x0 + ctu <= desc.width and y0 + ctu <= desc.height):
-                _select_cu_syntax(ps, desc, x0, y0, ctu, is_b, dists)
-                continue
-            half = ctu // 2
-            for (dy, dx) in ((0, 0), (0, half), (half, 0), (half, half)):
-                x1, y1 = x0 + dx, y0 + dy
-                if x1 < desc.width and y1 < desc.height:
-                    _select_cu_syntax(ps, desc, x1, y1, half, is_b, dists)
+            walk(cx * ctu, cy * ctu, ctu, 0)
 
 
 def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
