@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sign_hiding", type=int, default=1)
     p.add_argument("-sao", type=int, default=0)
     p.add_argument("-deblocking", type=int, default=1)
+    p.add_argument("-aq", type=float, default=0.0,
+                   help="adaptive quantization strength (per-CTB "
+                        "cu_qp_delta; 0 = off)")
     p.add_argument("-intra_rdo", type=int, default=0,
                    help="intra CU-tree RDO (cu_size >= 32)")
     p.add_argument("-intra_in_p", type=int, default=0,
@@ -80,7 +83,7 @@ def main(argv=None) -> int:
         intra_in_p=bool(args.intra_in_p),
         bitrate_mode=BitrateMode(args.bitrate_mode),
         bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
-        vbv_init=args.vbv_init,
+        vbv_init=args.vbv_init, aq_strength=args.aq,
         num_frames_in_flight=args.n_frames_in_flight)
     enc = Encoder(cfg)
     fsz = w * h * 3 // 2

@@ -61,6 +61,12 @@ class EncoderConfig:
     sign_hiding: bool = True
     sao: bool = True
     deblocking: bool = True
+    # per-CTB adaptive quantization: strength of the variance-driven QP
+    # modulation (0 = off). >0 enables the PPS cu_qp_delta machinery.
+    # TPU-native stand-in for the reference's sequential per-CTU RC QP
+    # (hmr_rate_control.c:266-347 consumes bits-so-far, which fights
+    # batching; a source-activity map is computable before the batch).
+    aq_strength: float = 0.0
     scaling_lists: bool = False       # default lists on/off (flat when off)
     rd_mode: RDMode = RDMode.RD_FAST
     # intra CU-tree RDO (two-pass: open-loop batched decision + closed-loop

@@ -13,7 +13,36 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from homerhevc_tpu.config import BitrateMode, EncoderConfig
+
+
+def aq_qp_map(src_y: np.ndarray, ctu: int, base_qp: int,
+              strength: float, max_delta: int = 6) -> np.ndarray:
+    """Variance-driven per-CTB QP map (adaptive quantization).
+
+    Flat/smooth CTBs (low activity, where quantization error is most
+    visible and prediction gains compound) get a lower QP; busy CTBs a
+    higher one — the spatial half of the reference's per-CTU RC QP
+    (hmr_rc_calc_cu_qp, hmr_rate_control.c:266-347), computed from the
+    SOURCE before the batched encode instead of from bits-so-far during
+    it (the TPU relaxation; RC is non-normative).
+
+    dqp = strength * (log2(var + 1) - frame mean), rounded, clamped to
+    +-max_delta; the map is integer and deterministic so host and device
+    paths derive identical syntax. Frame dims must be CTB multiples
+    (the pipeline pads to CTB before analysis).
+    """
+    h, w = src_y.shape
+    assert h % ctu == 0 and w % ctu == 0
+    b = src_y.astype(np.float64).reshape(h // ctu, ctu, w // ctu, ctu)
+    mean = b.mean(axis=(1, 3), keepdims=True)
+    var = ((b - mean) ** 2).mean(axis=(1, 3))
+    act = np.log2(var + 1.0)
+    dqp = np.rint(strength * (act - act.mean()))
+    dqp = np.clip(dqp, -max_delta, max_delta).astype(np.int32)
+    return np.clip(base_qp + dqp, 0, 51).astype(np.int32)
 
 
 class RateControl:

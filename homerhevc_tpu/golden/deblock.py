@@ -293,3 +293,58 @@ def intra_bs_maps(tu_size8: np.ndarray):
             if uy > 0 and (uy * 8) % ts == 0:
                 bs_h[uy, ux] = 2
     return bs_v, bs_h
+
+
+def decoder_qp_map8(desc, ps, slice_qp: int, wpp: bool = False):
+    """Decoder-view per-8x8 luma QP map for deblocking under cu_qp_delta.
+
+    Replays the decoder's QP derivation (spec 8.6.1, QG = CTB): CUs in
+    z-order; a CU's QP is the QG's predictor until the QG's first
+    residual-coding CU signals the delta (desc.qp_map value), then the
+    signalled QP for the rest of the QG. qPY_PREV chains across QGs in
+    decode order; under WPP it resets to the slice QP at each CTB row.
+
+    With desc.qp_map None (flag off) the map is flat slice_qp.
+    """
+    h8, w8 = desc.cu_depth.shape
+    out = np.full((h8, w8), slice_qp, np.int32)
+    if desc.qp_map is None:
+        return out
+    w, h = desc.width, desc.height
+    ctu = ps.ctu_size
+    state = {"pred": slice_qp, "qg": slice_qp, "coded": False}
+
+    def region_cbf(x0, y0, size):
+        return (np.any(desc.coef_y[y0:y0 + size, x0:x0 + size])
+                or np.any(desc.coef_u[y0 // 2:(y0 + size) // 2,
+                                      x0 // 2:(x0 + size) // 2])
+                or np.any(desc.coef_v[y0 // 2:(y0 + size) // 2,
+                                      x0 // 2:(x0 + size) // 2]))
+
+    def walk(x0, y0, log2, depth):
+        size = 1 << log2
+        inside = x0 + size <= w and y0 + size <= h
+        if x0 >= w or y0 >= h:
+            return
+        split = (int(desc.cu_depth[y0 // 8, x0 // 8]) > depth
+                 if inside else log2 > ps.log2_min_cb)
+        if split:
+            half = size >> 1
+            for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                walk(x0 + dx, y0 + dy, log2 - 1, depth + 1)
+            return
+        if not state["coded"] and region_cbf(x0, y0, size):
+            state["qg"] = int(desc.qp_map[y0 // 8, x0 // 8])
+            state["coded"] = True
+        out[y0 // 8:(y0 + size) // 8, x0 // 8:(x0 + size) // 8] = state["qg"]
+
+    log2_ctu = ps.log2_ctu
+    for cy in range(0, h, ctu):
+        if wpp:
+            state["pred"] = slice_qp
+        for cx in range(0, w, ctu):
+            state["qg"] = state["pred"]
+            state["coded"] = False
+            walk(cx, cy, log2_ctu, 0)
+            state["pred"] = state["qg"]
+    return out

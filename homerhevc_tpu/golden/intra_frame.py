@@ -24,8 +24,13 @@ def _mode_bits_estimate(mode: int, mpm: list[int]) -> int:
 
 
 def encode_intra_frame(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
-                       src_v: np.ndarray, qp: int, cu_size: int = 32):
+                       src_v: np.ndarray, qp: int, cu_size: int = 32,
+                       qp_map=None):
     """Encode one frame all-intra with fixed CU size (boundary CUs shrink).
+
+    qp_map: optional (ctus_y, ctus_x) int array of per-CTB luma QPs
+    (adaptive quantization; serialized as cu_qp_delta). `qp` stays the
+    slice QP (the delta predictor chain's origin).
 
     Returns (FrameDesc, recon_y, recon_u, recon_v).
     """
@@ -35,9 +40,9 @@ def encode_intra_frame(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
     recon_u = np.zeros((h // 2, w // 2), np.int32)
     recon_v = np.zeros((h // 2, w // 2), np.int32)
     avail = ip.Availability(w, h, ps.ctu_size)
-    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
-    lam_sqrt = np.sqrt(T.rd_lambda(qp, "I"))
     sl = ps.scaling_list_enabled
+    if qp_map is not None:
+        desc.qp_map = np.full((h // 8, w // 8), qp, np.int8)
 
     def encode_cu(x0: int, y0: int, size: int) -> None:
         if x0 >= w or y0 >= h:
@@ -47,6 +52,14 @@ def encode_intra_frame(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
             for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
                 encode_cu(x0 + dx, y0 + dy, half)
             return
+        if qp_map is None:
+            cu_qp = qp
+        else:
+            cu_qp = int(qp_map[y0 // ps.ctu_size, x0 // ps.ctu_size])
+            desc.qp_map[y0 // 8:(y0 + size) // 8,
+                        x0 // 8:(x0 + size) // 8] = cu_qp
+        qp_c = T.chroma_qp(cu_qp + ps.cb_qp_offset)
+        lam_sqrt = np.sqrt(T.rd_lambda(cu_qp, "I"))
         # ---- luma mode decision ------------------------------------------
         top, left = ip.build_reference_samples(recon_y, x0, y0, size, avail)
         src_blk = src_y[y0:y0 + size, x0:x0 + size].astype(np.int32)
@@ -72,12 +85,12 @@ def encode_intra_frame(ps: ParamSets, src_y: np.ndarray, src_u: np.ndarray,
         resid = src_blk - pred
         is_dst = size == 4
         coef = forward_transform(resid, is_dst)
-        lvl = quantize(coef, qp, True, sl)
+        lvl = quantize(coef, cu_qp, True, sl)
         if ps.sign_hiding and np.any(lvl):
             scan_idx = T.intra_scan_idx(mode, size.bit_length() - 1, True)
-            lvl = sign_bit_hiding(lvl, coef, qp, True, scan_idx, sl)
+            lvl = sign_bit_hiding(lvl, coef, cu_qp, True, scan_idx, sl)
         if np.any(lvl):
-            deq = dequantize(lvl, qp, True, sl)
+            deq = dequantize(lvl, cu_qp, True, sl)
             r = inverse_transform(deq, is_dst)
             rec = np.clip(pred + r, 0, 255)
         else:

@@ -59,9 +59,9 @@ class ParamSets:
             sao_enabled=cfg.sao,
             deblocking_enabled=cfg.deblocking,
             sign_hiding=cfg.sign_hiding,
-            # rate control currently operates at frame granularity (slice QP);
-            # per-CTU cu_qp_delta is reserved for the finer-grained RC
-            cu_qp_delta_enabled=False,
+            # per-CTB adaptive quantization signals cu_qp_delta (QG = CTB;
+            # diff_cu_qp_delta_depth stays 0)
+            cu_qp_delta_enabled=cfg.aq_strength > 0,
             wpp=cfg.wpp,
             num_ref=max(1, cfg.num_ref_frames),
             reorder_pics=1 if cfg.gop_size >= 2 else 0,

@@ -49,6 +49,14 @@ class SliceDataParser:
         self._coded_mask = np.zeros((height // 8, width // 8), bool)
         self.mvd_l1_zero = mvd_l1_zero
         self.max_merge = 5
+        # cu_qp_delta state (QG = CTB): decoder-view per-8x8 QP map for
+        # dequant + deblock; flat slice QP when the PPS flag is off
+        self.qp_pred = slice_qp
+        self.cu_qp_delta_coded = False
+        self._ctb_origin = (0, 0)
+        if ps.cu_qp_delta_enabled:
+            self.d.qp_map = np.full((height // 8, width // 8), slice_qp,
+                                    np.int8)
         self.part_stats: dict = {}
         self.pu_stats = {"l0": 0, "l1": 0, "bi": 0}
 
@@ -71,9 +79,16 @@ class SliceDataParser:
     def parse_ctu(self, ctu_x: int, ctu_y: int) -> None:
         x0 = ctu_x * self.ctu_size
         y0 = ctu_y * self.ctu_size
+        # quantization group = CTB: reset the delta-coded flag; the QG's
+        # inferred QP starts at the predictor and jumps to the signalled
+        # value when a cu_qp_delta is decoded (spec 8.6.1)
+        self.cu_qp_delta_coded = False
+        self._qg_qp = self.qp_pred
         if self.sao is not None:
             self._parse_sao_ctu(ctu_x, ctu_y)
         self._coding_quadtree(x0, y0, self.ps.log2_ctu, 0)
+        # qPY_PREV for the next QG = QP of this QG's last coding unit
+        self.qp_pred = self._qg_qp
 
     def _parse_sao_ctu(self, cx: int, cy: int) -> None:
         e, sp = self.e, self.sao
@@ -152,6 +167,12 @@ class SliceDataParser:
             self.d.cu_depth[y0 // 8:(y0 + size) // 8,
                             x0 // 8:(x0 + size) // 8] = depth
             self._coding_unit(x0, y0, log2_size)
+            if self.d.qp_map is not None:
+                # decoder-view QP of this CU: the QG's inferred QP (jumps
+                # to the signalled value once a delta is decoded, so CUs
+                # before the first-residual CU keep the predictor's QP)
+                self.d.qp_map[y0 // 8:(y0 + size) // 8,
+                              x0 // 8:(x0 + size) // 8] = self._qg_qp
 
     def _coding_unit(self, x0, y0, log2_size):
         ps, e, d = self.ps, self.e, self.d
@@ -307,6 +328,22 @@ class SliceDataParser:
                 v = -v
             out.append(v)
         return out[0], out[1]
+
+    def _parse_cu_qp_delta(self) -> None:
+        """Decoder twin of SliceDataEncoder._encode_cu_qp_delta (spec
+        7.3.8.10/9.3.3.8: TU cMax 5 with ctx {dqp+0, dqp+1}, EG0, sign)."""
+        e = self.e
+        abs_d = 0
+        if e.decode_bin(OFF["dqp"] + 0):
+            abs_d = 1
+            while abs_d < 5 and e.decode_bin(OFF["dqp"] + 1):
+                abs_d += 1
+            if abs_d == 5:
+                abs_d = 5 + self._parse_eg_bypass(0)
+            if e.decode_bypass():
+                abs_d = -abs_d
+        self._qg_qp = (self.qp_pred + abs_d + 52) % 52
+        self._t("cu_qp_delta", abs_d)
 
     def _parse_eg_bypass(self, k: int) -> int:
         e = self.e
@@ -476,6 +513,9 @@ class SliceDataParser:
             pass  # cbf_cb/cr from parent level apply to the joint 4x4 chroma
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self.ps.cu_qp_delta_enabled and not self.cu_qp_delta_coded:
+            self._parse_cu_qp_delta()
+            self.cu_qp_delta_coded = True
         size = 1 << log2_size
         if cbf_luma:
             mode = self._luma_mode_at(x0, y0)

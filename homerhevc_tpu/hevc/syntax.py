@@ -197,6 +197,9 @@ class SliceDataEncoder:
     def encode_ctu(self, ctu_x: int, ctu_y: int) -> None:
         x0 = ctu_x * self.ctu_size
         y0 = ctu_y * self.ctu_size
+        # quantization group = CTB (diff_cu_qp_delta_depth 0): the delta
+        # coded state resets per CTB (spec 7.3.8.8 IsCuQpDeltaCoded)
+        self.cu_qp_delta_coded = False
         if self.sao is not None:
             self._encode_sao_ctu(ctu_x, ctu_y)
         self._coding_quadtree(x0, y0, self.ps.log2_ctu, 0)

@@ -1,0 +1,140 @@
+"""Per-CTB adaptive quantization (cu_qp_delta) tests.
+
+Conformance: streams with per-CTB QP deltas must FFmpeg-decode bit-exactly
+to the encoder's own reconstruction (both serializers), and the repo's own
+parser must recover the decoder-view QP map (reference analog: per-CTU RC
+QP, hmr_rate_control.c:266-347; delta syntax hmr_arithmetic_encoding.c
+delta-QP coder :1502).
+"""
+
+import numpy as np
+import pytest
+
+from homerhevc_tpu.api import Encoder
+from homerhevc_tpu.config import EncoderConfig
+from tests.conftest import decode_annexb, make_yuv
+
+
+def test_aq_map_shape_and_clamp():
+    from homerhevc_tpu.engine.rate_control import aq_qp_map
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    y[:32, :64] = 128  # one flat region
+    m = aq_qp_map(y, 32, 30, strength=2.0, max_delta=4)
+    assert m.shape == (2, 4)
+    assert m.min() >= 26 and m.max() <= 34
+    # flat CTBs get lower QP than busy ones
+    assert m[0, 0] < m[1, 3]
+
+
+def _encode_aq(tmp_path, w, h, frames=2, name="aq.265", **kw):
+    rng = np.random.RandomState(7)
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=0, sao=False,
+                        deblocking=True, sign_hiding=True, cu_size=16,
+                        aq_strength=2.0, **kw)
+    enc = Encoder(cfg)
+    path = tmp_path / name
+    recons = []
+    with open(path, "wb") as f:
+        for _ in range(frames):
+            y, u, v = make_yuv(rng, w, h)
+            # a flat band forces nonzero deltas (variance contrast)
+            y[: h // 4] = 90
+            for ef in enc.encode(y, u, v):
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            recons.append(ef.recon)
+    return path, recons
+
+
+def test_aq_e2e_ffmpeg_bit_exact(tmp_path):
+    path, recons = _encode_aq(tmp_path, 96, 64)
+    decoded = decode_annexb(path)
+    assert len(decoded) == len(recons) == 2
+    for i, dy in enumerate(decoded):
+        assert np.array_equal(dy, recons[i]["y"]), f"frame {i} luma mismatch"
+
+
+def test_aq_e2e_wpp(tmp_path):
+    # WPP: qPY_PREV must reset to the slice QP at each CTB row
+    path, recons = _encode_aq(tmp_path, 96, 64, name="aq_wpp.265", wpp=True)
+    decoded = decode_annexb(path)
+    assert len(decoded) == len(recons)
+    for i, dy in enumerate(decoded):
+        assert np.array_equal(dy, recons[i]["y"]), f"frame {i} luma mismatch"
+
+
+def test_aq_python_native_serializers_match(rng):
+    """The native C++ serializer's cu_qp_delta payload must be bit-identical
+    to the Python SliceDataEncoder's."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.engine.rate_control import aq_qp_map
+    from homerhevc_tpu.golden.intra_frame import encode_intra_frame
+    from homerhevc_tpu.hevc.headers import SLICE_I
+    from homerhevc_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=0, sao=False,
+                        deblocking=False, sign_hiding=True, cu_size=16,
+                        aq_strength=2.0)
+    pipe = EncoderPipeline(cfg, backend="golden")
+    y, u, v = make_yuv(np.random.RandomState(3), w, h)
+    y[:16] = 80
+    qmap = aq_qp_map(y, 16, 30, 2.0)
+    assert (qmap != 30).any(), "test content must produce nonzero deltas"
+    desc, ry, ru, rv = encode_intra_frame(pipe.ps, y, u, v, 30, cu_size=16,
+                                          qp_map=qmap)
+    nal_native = pipe._serialize_slice(desc, SLICE_I, 19, 30)
+    nal_python = pipe._serialize_slice(desc, SLICE_I, 19, 30,
+                                       use_native=False)
+    assert nal_native == nal_python
+
+
+def test_aq_parser_recovers_qp_map(rng):
+    """Parse an AQ slice back: coefficients and the decoder-view QP map
+    must round-trip (uncoded CTBs inherit the predictor)."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.engine.rate_control import aq_qp_map
+    from homerhevc_tpu.golden.deblock import decoder_qp_map8
+    from homerhevc_tpu.golden.intra_frame import encode_intra_frame
+    from homerhevc_tpu.hevc.cabac_dec import CabacDecoder
+    from homerhevc_tpu.hevc.ctx_tables import init_contexts
+    from homerhevc_tpu.hevc.headers import SLICE_I
+    from homerhevc_tpu.hevc.parse import SliceDataParser
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=0, sao=False,
+                        deblocking=False, sign_hiding=False, cu_size=16,
+                        aq_strength=2.0)
+    pipe = EncoderPipeline(cfg, backend="golden")
+    y, u, v = make_yuv(np.random.RandomState(4), w, h)
+    y[:16] = 70
+    qmap = aq_qp_map(y, 16, 30, 2.0)
+    desc, *_ = encode_intra_frame(pipe.ps, y, u, v, 30, cu_size=16,
+                                  qp_map=qmap)
+    from homerhevc_tpu.hevc.bitstream import BitWriter
+    from homerhevc_tpu.hevc.cabac import CabacEncoder
+    from homerhevc_tpu.hevc.syntax import SliceDataEncoder
+    bw = BitWriter()
+    enc = CabacEncoder(bw, init_contexts("I", 30))
+    sd = SliceDataEncoder(pipe.ps, desc, enc, SLICE_I, 30)
+    n_ctus = pipe.ps.ctus_x * pipe.ps.ctus_y
+    for i in range(n_ctus):
+        sd.encode_ctu(i % pipe.ps.ctus_x, i // pipe.ps.ctus_x)
+        sd.encode_ctu_end(end_of_slice=(i == n_ctus - 1))
+    enc.finish()
+    bw.write_byte_alignment()
+    from homerhevc_tpu.hevc.cabac_dec import BitReader
+    dec = CabacDecoder(BitReader(bw.get_bytes()), init_contexts("I", 30))
+    p = SliceDataParser(pipe.ps, w, h, dec, SLICE_I, 30)
+    for i in range(n_ctus):
+        p.parse_ctu(i % pipe.ps.ctus_x, i // pipe.ps.ctus_x)
+        p.parse_ctu_end()
+    np.testing.assert_array_equal(p.d.coef_y, desc.coef_y)
+    np.testing.assert_array_equal(p.d.coef_u, desc.coef_u)
+    np.testing.assert_array_equal(p.d.coef_v, desc.coef_v)
+    # parser's decoder-view QP map == the encoder-side inference helper
+    expect = decoder_qp_map8(desc, pipe.ps, 30)
+    np.testing.assert_array_equal(p.d.qp_map.astype(np.int32), expect)
