@@ -122,3 +122,24 @@ def test_device_sao_ippp_conformance(tmp_path, rng):
     assert len(dec) == 5
     for i in range(5):
         assert np.array_equal(dec[i], efs[i].recon["y"]), f"frame {i}"
+
+
+def test_sao_rdo_picks_band_offset():
+    """A uniform intensity shift confined to a few bands is exactly what
+    band offset fixes and edge offset cannot: the RDO must choose BO and
+    the merge RDO must merge identical neighbours (hmr_sao.c:663/:854)."""
+    from homerhevc_tpu.hevc.sao import (SAO_BAND, sao_apply_component,
+                                        sao_decide)
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = (100 + (xx % 31)).astype(np.int32)        # values 100..130
+    rec = src - 4                                    # bands 12..15
+    cu = np.full((h // 2, w // 2), 128, np.int32)
+    p = sao_decide((src, cu, cu), (rec, cu, cu), 64, 32)
+    assert (p.type_luma == SAO_BAND).any(), "BO never chosen"
+    assert p.merge_left[0, 1], "identical neighbour not merged"
+    out = sao_apply_component(rec, p, 0, 64)
+    # the filter must recover most of the shift
+    before = np.abs(src - rec).mean()
+    after = np.abs(src - out).mean()
+    assert after < before * 0.4, (before, after)
