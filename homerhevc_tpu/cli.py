@@ -14,7 +14,8 @@ import time
 import numpy as np
 
 from homerhevc_tpu.api import Encoder
-from homerhevc_tpu.config import BitrateMode, EncoderConfig, MEPrecision
+from homerhevc_tpu.config import (BitrateMode, EncoderConfig, MEPrecision,
+                                  RDMode)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-aq", type=float, default=0.0,
                    help="adaptive quantization strength (per-CTB "
                         "cu_qp_delta; 0 = off)")
+    p.add_argument("-rd_mode", type=int, default=2,
+                   help="0=dist only, 1=full (NxN+TU tree+chroma RDO), 2=fast")
     p.add_argument("-intra_rdo", type=int, default=0,
                    help="intra CU-tree RDO (cu_size >= 32)")
     p.add_argument("-intra_in_p", type=int, default=0,
@@ -80,7 +83,7 @@ def main(argv=None) -> int:
         chroma_qp_offset=args.chroma_qp_offset,
         sign_hiding=bool(args.sign_hiding), sao=bool(args.sao),
         deblocking=bool(args.deblocking), intra_rdo=bool(args.intra_rdo),
-        intra_in_p=bool(args.intra_in_p),
+        intra_in_p=bool(args.intra_in_p), rd_mode=RDMode(args.rd_mode),
         bitrate_mode=BitrateMode(args.bitrate_mode),
         bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
         vbv_init=args.vbv_init, aq_strength=args.aq,

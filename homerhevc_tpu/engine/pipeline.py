@@ -145,10 +145,14 @@ class EncoderPipeline:
             qp_map = aq_qp_map(np.asarray(y), self.ps.ctu_size, qp,
                                self.cfg.aq_strength)
         if self.cfg.intra_rdo and self.ps.ctu_size >= 32:
+            from homerhevc_tpu.config import RDMode
             from homerhevc_tpu.golden.intra_tree import (
                 decide_intra_tree, encode_intra_tree_frame)
-            dec = decide_intra_tree(self.ps, y, u, v, qp,
-                                    ctb=min(self.ps.ctu_size, 32))
+            # RD_FULL adds NxN 4x4 PUs, TU splits and chroma-mode RDO
+            # (golden-only; the device tree twin runs the fast decision)
+            dec = decide_intra_tree(
+                self.ps, y, u, v, qp, ctb=min(self.ps.ctu_size, 32),
+                full_rd=self.cfg.rd_mode == RDMode.RD_FULL)
             desc, ry, ru, rv = encode_intra_tree_frame(
                 self.ps, y, u, v, qp, dec, ctb=min(self.ps.ctu_size, 32))
         else:
@@ -726,10 +730,12 @@ class EncoderPipeline:
 
     def _tpu_tree_ok(self) -> bool:
         """Device intra CU-tree path (decide + CTB32 wavefront encode)."""
+        from homerhevc_tpu.config import RDMode
         return (self.backend in ("auto", "tpu") and self.cfg.intra_rdo
                 and self.cfg.cu_size in (32, 64)
                 and not self.ps.deblocking_enabled
                 and not self.ps.cu_qp_delta_enabled
+                and self.cfg.rd_mode != RDMode.RD_FULL
                 and self.cfg.width % 32 == 0 and self.cfg.height % 32 == 0)
 
     def _tpu_ok(self) -> bool:
