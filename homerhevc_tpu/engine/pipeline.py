@@ -713,20 +713,36 @@ class EncoderPipeline:
                              refs_before=(bt - 1 - self._idr_base,))
 
     def _scene_change(self, y: np.ndarray) -> bool:
-        """Cheap scene-change detector: mean absolute difference between
-        consecutive SOURCE lumas. The reference instead counts intra-chosen
-        partitions (>70%%, hmr_motion_inter.c:3791); this build's P frames
-        are pure inter, so a pre-ME pixel metric plays that role. Source
-        frames (not recon) keep the detector independent of the
-        device-resident reference chain, so the P software pipeline stays
-        enabled with detection on."""
+        """Scene-change detector: mean absolute difference between
+        consecutive SOURCE lumas against an ADAPTIVE threshold. The
+        reference counts intra-chosen partitions (>70%%,
+        hmr_motion_inter.c:3791) — a content-relative signal; this
+        build's pre-ME analog tracks the running MAD level (EMA) and its
+        deviation, cutting when the current MAD spikes far above the
+        clip's own motion level (fast pans on noisy content no longer
+        trip a fixed constant; static content still cuts on hard
+        transitions). Source frames (not recon) keep the detector
+        independent of the device-resident reference chain, so the P
+        software pipeline stays enabled with detection on."""
         prev = getattr(self, "_last_src_y", None)
         self._last_src_y = np.asarray(y, np.int16)
         if prev is None:
             return False
         mad = float(np.mean(np.abs(self._last_src_y.astype(np.int32)
                                    - prev)))
-        return mad > 30.0
+        ema = getattr(self, "_mad_ema", None)
+        if ema is None:
+            # first delta seeds the running level; a cut on frame 1 is
+            # still caught by the absolute floor below
+            self._mad_ema, self._mad_dev = mad, max(2.0, mad * 0.25)
+            return mad > 30.0
+        dev = self._mad_dev
+        thresh = max(12.0, ema + 5.0 * dev)
+        cut = mad > thresh
+        if not cut:
+            self._mad_ema = 0.8 * ema + 0.2 * mad
+            self._mad_dev = 0.8 * dev + 0.2 * abs(mad - self._mad_ema)
+        return cut
 
     def _tpu_tree_ok(self) -> bool:
         """Device intra CU-tree path (decide + CTB32 wavefront encode)."""
