@@ -146,10 +146,11 @@ def test_ippp_rd_regression_guard(rng):
         ys.append(psnr(frames[ef.poc][0], ef.recon["y"]))
     p_bits = bits  # I + 5 P
     avg_p_psnr = float(np.mean(ys[1:]))
-    # measured at the round-1 operating point: ~27.5k bits total, ~31 dB.
-    # 2x the rate or -2 dB means a real regression.
-    assert p_bits < 60_000, p_bits
-    assert avg_p_psnr > 29.0, avg_p_psnr
+    # measured at the round-3 operating point: ~27-33k bits total (rng-
+    # order dependent), ~31 dB. The round-2 guard allowed 2x rate/-2 dB —
+    # loose enough to hide a real ME regression; tightened to ~1.4x/-1 dB.
+    assert p_bits < 45_000, p_bits
+    assert avg_p_psnr > 30.0, avg_p_psnr
 
 
 def test_ippp_partial_ctb_bands(tmp_path, rng):
