@@ -205,12 +205,12 @@ class EncoderPipeline:
                 desc, ry, ru, rv = encode_inter_frame_tree(
                     self.ps, (y, u, v), ref, qp, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist, merge_rd=True)
+                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True)
             else:
                 desc, ry, ru, rv = encode_inter_frame(
                     self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist, merge_rd=True)
+                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True)
         # in-loop deblocking now runs inside both inter backends (device:
         # engine/inter_encoder deblock_inter; golden: _deblock_inter_luma);
         # chroma needs no pass in pure-inter frames (BS<2, spec 8.7.2.5.5)

@@ -248,10 +248,13 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
     if dirs is None:
         dirs = np.full(intra.shape, 3 if mv1 is not None else 1, np.uint8)
 
-    def bs_between(uy, ux, vy, vx):
+    def bs_between(uy, ux, vy, vx, tu_edge=True):
         if intra[uy, ux] or intra[vy, vx]:
             return 2
-        if nz[uy, ux] or nz[vy, vx]:
+        # the nonzero-coefficient rule applies only to TRANSFORM block
+        # edges (spec 8.7.2.4); a PU-only edge inside a TU uses just the
+        # motion rules below
+        if tu_edge and (nz[uy, ux] or nz[vy, vx]):
             return 1
         # spec 8.7.2.4 motion mismatch: different number of MVs -> 1;
         # else compare per list (the two lists reference distinct
@@ -269,13 +272,40 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
             return 1
         return 0
 
+    # PU boundaries (spec filterEdgeFlag includes prediction-block edges):
+    # rectangular CUs carry an internal PU edge on the 8-grid that is not
+    # a TU edge; mark those units so the loop below evaluates them
+    pu_edge_v = np.zeros((h8, w8), bool)
+    pu_edge_h = np.zeros((h8, w8), bool)
+    if desc.inter_part is not None and desc.inter_part.any():
+        for uy in range(h8):
+            for ux in range(w8):
+                part = int(desc.inter_part[uy, ux])
+                if not part:
+                    continue
+                cu_n = 16 >> 0  # rect PUs are CU16-level in this encoder
+                x0 = (ux * 8 // cu_n) * cu_n
+                y0 = (uy * 8 // cu_n) * cu_n
+                if part == 1 and uy * 8 == y0 + cu_n // 2:
+                    pu_edge_h[uy, ux] = True
+                if part == 2 and ux * 8 == x0 + cu_n // 2:
+                    pu_edge_v[uy, ux] = True
+
     for uy in range(h8):
         for ux in range(w8):
             ts = int(tu_size8[uy, ux])
-            if ux > 0 and (ux * 8) % ts == 0:
-                bs_v[uy, ux] = bs_between(uy, ux, uy, ux - 1)
-            if uy > 0 and (uy * 8) % ts == 0:
-                bs_h[uy, ux] = bs_between(uy, ux, uy - 1, ux)
+            if ux > 0:
+                if (ux * 8) % ts == 0:
+                    bs_v[uy, ux] = bs_between(uy, ux, uy, ux - 1)
+                elif pu_edge_v[uy, ux]:
+                    bs_v[uy, ux] = bs_between(uy, ux, uy, ux - 1,
+                                              tu_edge=False)
+            if uy > 0:
+                if (uy * 8) % ts == 0:
+                    bs_h[uy, ux] = bs_between(uy, ux, uy - 1, ux)
+                elif pu_edge_h[uy, ux]:
+                    bs_h[uy, ux] = bs_between(uy, ux, uy - 1, ux,
+                                              tu_edge=False)
     return bs_v, bs_h
 
 

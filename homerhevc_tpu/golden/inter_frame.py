@@ -54,8 +54,12 @@ def zf_multiplier(avg_dist: float, qp: int) -> float:
     higher threshold). Cap at 6*lambda(qp): the RD-consistent value for
     ~4-6 bins/level, which is also where the reference's own threshold
     sits at its equilibrium (avg_dist ~ 1000 at QP32)."""
-    cap = 6.0 * T.rd_lambda(qp, "P")
-    return float(np.clip(avg_dist / 2.5 - 5.0, 1.0, cap))
+    import os
+    mult = float(os.environ.get("HOMERHEVC_ZF_CAP_LAMBDA", "6.0"))
+    floor = float(os.environ.get("HOMERHEVC_ZF_FLOOR_LAMBDA", "0.0"))
+    lam = T.rd_lambda(qp, "P")
+    return float(np.clip(avg_dist / 2.5 - 5.0,
+                         max(1.0, floor * lam), mult * lam))
 
 
 def mv_rate(mvx_q, mvy_q, prior_q) -> np.ndarray:
@@ -384,17 +388,23 @@ def _deblock_inter_chroma(ps, desc, recon_u, recon_v, qp):
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
                        is_b: bool = False, avg_dist: float = 1000.0,
-                       merge_rd: bool = False):
+                       merge_rd: bool = False, rect_pu: bool = False):
     """Encode one P frame (2Nx2N CUs, optional per-CU intra fallback).
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
     desc, recon_y, recon_u, recon_v, prior_q = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
-    if merge_rd and not is_b:
+    if (rect_pu or merge_rd) and not is_b:
         sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
         ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
-        merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
-                   recon_y, recon_u, recon_v, qp,
-                   zf_multiplier(avg_dist, qp), prior_q)
+        if rect_pu and cu_size == 16:
+            rect_pu_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
+                      recon_y, recon_u, recon_v, qp,
+                      zf_multiplier(avg_dist, qp), prior_q,
+                      int(ps.cfg.motion_estimation_precision))
+        if merge_rd:
+            merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
+                       recon_y, recon_u, recon_v, qp,
+                       zf_multiplier(avg_dist, qp), prior_q)
     if ps.cfg.intra_in_p and cu_size == 16:
         intra_fallback_p(ps, desc, np.asarray(src_planes[0], np.int32),
                          np.asarray(src_planes[1], np.int32),
@@ -581,6 +591,8 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
         ux, uy = x0 // 8, y0 // 8
         if desc.pred_mode[uy, ux] != MODE_INTER:
             return
+        if desc.inter_part is not None and desc.inter_part[uy, ux]:
+            return    # rect CUs keep their per-PU coding
         mv_cur = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
         cands, _ = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
         src_blk = sy[y0:y0 + n, x0:x0 + n]
@@ -648,6 +660,146 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
         for cx in range(-(-w // ctu)):
             walk(cx * ctu, cy * ctu, ctu, 0)
     return flips
+
+
+def _mc_luma_rect(ref, x0, y0, pw, ph, mvx, mvy):
+    """Rect luma MC via the square helper + crop (the 8-tap filter is
+    per-sample, so the crop of a bounding-square prediction equals a
+    direct rect prediction)."""
+    n = max(pw, ph)
+    return mc_luma(ref, x0, y0, n, mvx, mvy)[:ph, :pw]
+
+
+def _mc_chroma_rect(ref, cx0, cy0, pw, ph, mvx, mvy):
+    n = max(pw, ph)
+    return mc_chroma(ref, cx0, cy0, n, mvx, mvy)[:ph, :pw]
+
+
+def rect_pu_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
+              ry_ref, ru_ref, rv_ref, recon_y, recon_u, recon_v,
+              qp: int, zf_mult: float, prior_q, me_prec: int) -> int:
+    """Rectangular-PU pass for P frames: re-evaluate each 2Nx2N CU16 as
+    2NxN / Nx2N (two PUs, per-PU motion refined around the CU and
+    neighbour MVs) and adopt when the re-coded cost wins (reference:
+    inter partition evaluation in motion_inter_full,
+    hmr_motion_inter.c:3746 — 2NxN/Nx2N PU loop). Returns adopted count."""
+    lam = float(T.rd_lambda(qp, "P"))
+    lam16 = T.lambda_me_x16(qp)
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    sl = ps.scaling_list_enabled
+    w, h = desc.width, desc.height
+    cu_n = 16
+    depth16 = ps.log2_ctu - 4
+    if desc.inter_part is None:
+        desc.inter_part = np.zeros(desc.pred_mode.shape, np.uint8)
+    adopted = 0
+
+    def refine_half(px, py, pw, ph, seeds):
+        """Best (cost, mv) for one rect PU: seeds + -1..1 qpel/hpel refine
+        (SAD + mvd-rate, like subpel_refine but rect)."""
+        src_blk = sy[py:py + ph, px:px + pw]
+        best = None
+        tried = set()
+        for smv in seeds:
+            for step in ([4, 2, 1] if me_prec >= 2
+                         else ([4, 2] if me_prec else [4])):
+                base = smv if best is None else best[1]
+                for dy in (-step, 0, step):
+                    for dx in (-step, 0, step):
+                        mv = (base[0] + dx, base[1] + dy)
+                        if mv in tried:
+                            continue
+                        tried.add(mv)
+                        pred = _mc_luma_rect(ry_ref, px, py, pw, ph,
+                                             mv[0], mv[1])
+                        sad = int(np.abs(src_blk - pred).sum())
+                        cost = sad + ((lam16 * int(mv_rate(mv[0], mv[1],
+                                                           prior_q))) >> 4)
+                        if best is None or cost < best[0]:
+                            best = (cost, mv)
+        return best[1]
+
+    h16, w16 = (h // cu_n) * cu_n, (w // cu_n) * cu_n
+    for gy in range(h16 // cu_n):
+        for gx in range(w16 // cu_n):
+            x0, y0 = gx * cu_n, gy * cu_n
+            uy, ux = y0 // 8, x0 // 8
+            if (desc.cu_depth[uy, ux] != depth16
+                    or desc.pred_mode[uy, ux] != MODE_INTER
+                    or desc.inter_part[uy, ux] != 0):
+                continue
+            src_blk = sy[y0:y0 + cu_n, x0:x0 + cu_n]
+            mv_cur = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
+            cur_cost = _cu_cost(src_blk, recon_y[y0:y0 + cu_n, x0:x0 + cu_n],
+                                desc.coef_y[y0:y0 + cu_n, x0:x0 + cu_n],
+                                mv_cur, prior_q, lam)
+            best = None
+            for part, pus in (
+                    (1, [(x0, y0, 16, 8), (x0, y0 + 8, 16, 8)]),
+                    (2, [(x0, y0, 8, 16), (x0 + 8, y0, 8, 16)])):
+                # neighbour MV seeds: the adjacent CU on each PU's far side
+                # captures the "other object's" motion across the split
+                if part == 1:
+                    nbp = [(x0, y0 - 8), (x0, y0 + cu_n)]
+                else:
+                    nbp = [(x0 - 8, y0), (x0 + cu_n, y0)]
+                nbs = []
+                for nx, ny in nbp:
+                    q = desc.mv[min(max(ny, 0), h - 1) // 8,
+                                min(max(nx, 0), w - 1) // 8]
+                    nbs.append((int(q[0]), int(q[1])))
+                mvs = []
+                pred = np.empty((cu_n, cu_n), np.int32)
+                for i, (px, py, pw, ph) in enumerate(pus):
+                    mv = refine_half(px, py, pw, ph,
+                                     [mv_cur, nbs[i]])
+                    mvs.append(mv)
+                    pred[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = \
+                        _mc_luma_rect(ry_ref, px, py, pw, ph, mv[0], mv[1])
+                if mvs[0] == mvs[1]:
+                    continue            # degenerates to 2Nx2N
+                lvl, r = _code_tu(src_blk - pred, qp, sl, ps.sign_hiding,
+                                  zf_mult, lam)
+                rec = np.clip(pred + r, 0, 255)
+                d = (src_blk - rec).astype(np.float32)
+                ssd = np.float32(np.sum(d * d))
+                rate = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl))
+                        + 10.0
+                        + float(mv_rate(mvs[0][0], mvs[0][1], prior_q))
+                        + float(mv_rate(mvs[1][0], mvs[1][1], prior_q)))
+                cost = ssd + np.float32(lam * rate)
+                if cost < cur_cost and (best is None or cost < best[0]):
+                    best = (cost, part, pus, mvs, lvl, rec)
+            if best is None:
+                continue
+            _, part, pus, mvs, lvl, rec = best
+            adopted += 1
+            desc.inter_part[uy:uy + 2, ux:ux + 2] = part
+            for (px, py, pw, ph), mv in zip(pus, mvs):
+                psl = (slice(py // 8, (py + ph) // 8),
+                       slice(px // 8, (px + pw) // 8))
+                desc.mv[psl[0], psl[1], 0] = mv[0]
+                desc.mv[psl[0], psl[1], 1] = mv[1]
+            desc.coef_y[y0:y0 + cu_n, x0:x0 + cu_n] = lvl.astype(np.int16)
+            recon_y[y0:y0 + cu_n, x0:x0 + cu_n] = rec
+            # chroma: per-PU MC halves, one 8x8 TU
+            cx0, cy0 = x0 // 2, y0 // 2
+            for splane, rplane, recon_c, coefs in (
+                    (su, ru_ref, recon_u, desc.coef_u),
+                    (sv, rv_ref, recon_v, desc.coef_v)):
+                cpred = np.empty((8, 8), np.int32)
+                for (px, py, pw, ph), mv in zip(pus, mvs):
+                    cpred[(py - y0) // 2:(py - y0 + ph) // 2,
+                          (px - x0) // 2:(px - x0 + pw) // 2] = \
+                        _mc_chroma_rect(rplane, px // 2, py // 2,
+                                        pw // 2, ph // 2, mv[0], mv[1])
+                cres = splane[cy0:cy0 + 8, cx0:cx0 + 8] - cpred
+                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding,
+                                    zf_mult, lam)
+                coefs[cy0:cy0 + 8, cx0:cx0 + 8] = clvl.astype(np.int16)
+                recon_c[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(cpred + cr,
+                                                            0, 255)
+    return adopted
 
 
 def select_intra_independent(want: np.ndarray) -> np.ndarray:
@@ -799,6 +951,8 @@ def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
                 desc.pred_mode[sl8] = MODE_INTRA
                 desc.tr_depth[sl8] = 0
                 desc.skip[sl8] = 0
+                if desc.inter_part is not None:
+                    desc.inter_part[sl8] = 0
                 desc.mv[sl8[0], sl8[1], :] = 0
                 if desc.mv_l1 is not None:
                     desc.mv_l1[sl8[0], sl8[1], :] = 0
@@ -834,7 +988,8 @@ def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
 def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                             search: int = 16, is_b: bool = False,
                             avg_dist: float = 1000.0,
-                            merge_rd: bool = False):
+                            merge_rd: bool = False,
+                            rect_pu: bool = False):
     """CTB32/CTB64 P/B frame with a multi-level CU tree: each full 32x32
     region is coded either as one 2Nx2N CU32 (TU32 luma) or four CU16s,
     chosen by SSD + lambda*rate; with CTB64 a third pass then evaluates a
@@ -987,6 +1142,10 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                                 cpred[qy:qy + 16, qx:qx + 16]
                                 + cr, 0, 255)
                     recon_c[cy0:cy0 + 32, cx0:cx0 + 32] = crec
+    if rect_pu and not is_b:
+        rect_pu_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
+                  recon_y, recon_u, recon_v, qp, zf_mult, prior_q,
+                  me_prec)
     if merge_rd and not is_b:
         merge_rd_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
                    recon_y, recon_u, recon_v, qp, zf_mult, prior_q)
@@ -1025,6 +1184,48 @@ def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
             walk(cx * ctu, cy * ctu, ctu, 0)
 
 
+def _select_rect_syntax(ps, desc, mf, x0, y0, n, part):
+    """Per-PU merge/AMVP selection for a rectangular inter CU (P slices).
+    PU0 then PU1 in decode order: PU1's candidate lists see PU0's final
+    motion exactly as a decoder will."""
+    from homerhevc_tpu.hevc.inter import (amvp_candidates_rect,
+                                          merge_candidates_rect)
+    w, h = desc.width, desc.height
+    half = n // 2
+    if part == 1:
+        pus = [(x0, y0, n, half), (x0, y0 + half, n, half)]
+        pname = "2NxN"
+    else:
+        pus = [(x0, y0, half, n), (x0 + half, y0, half, n)]
+        pname = "Nx2N"
+    for i, (px, py, pw, ph) in enumerate(pus):
+        puy, pux = py // 8, px // 8
+        psl8 = (slice(puy, (py + ph) // 8), slice(pux, (px + pw) // 8))
+        mv = (int(desc.mv[puy, pux, 0]), int(desc.mv[puy, pux, 1]))
+        cands, _ = merge_candidates_rect(mf, px, py, pw, ph, pname, i,
+                                         ps.ctu_size, w, h)
+        merge_k = next((k for k, c in enumerate(cands)
+                        if (c[0], c[1]) == mv and c[2] == 0), None)
+        if merge_k is not None:
+            desc.inter_mode[psl8] = 1
+            desc.merge_idx[psl8] = merge_k
+        else:
+            desc.inter_mode[psl8] = 2
+            mvp = amvp_candidates_rect(mf, px, py, pw, ph, ps.ctu_size,
+                                       w, h, part=pname, pu_idx=i)
+            c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+            c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+            desc.mvp_flag[psl8] = 0 if c0 <= c1 else 1
+    sl8 = (slice(y0 // 8, (y0 + n) // 8), slice(x0 // 8, (x0 + n) // 8))
+    has_res = (desc.coef_y[y0:y0 + n, x0:x0 + n].any()
+               or desc.coef_u[y0 // 2:(y0 + n) // 2,
+                              x0 // 2:(x0 + n) // 2].any()
+               or desc.coef_v[y0 // 2:(y0 + n) // 2,
+                              x0 // 2:(x0 + n) // 2].any())
+    desc.skip[sl8] = 0
+    desc.root_cbf[sl8] = 1 if has_res else 0
+
+
 def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
     from homerhevc_tpu.hevc.inter import (amvp_candidates_2,
                                           merge_candidates_b)
@@ -1042,6 +1243,11 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
         mf.ref1 = np.where(inter & ((dirs & 2) != 0), 0, -1)
     ux, uy = x0 // 8, y0 // 8
     if desc.pred_mode[uy, ux] != MODE_INTER:
+        return
+    part = (int(desc.inter_part[uy, ux])
+            if desc.inter_part is not None else 0)
+    if part and not bi_lists:
+        _select_rect_syntax(ps, desc, mf, x0, y0, n, part)
         return
     mv = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
     has_res = (desc.coef_y[y0:y0 + n, x0:x0 + n].any()
@@ -1102,11 +1308,31 @@ def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
     Shared by the golden and device paths (pure host logic). In B slices the
     zero-fill merge candidates are bi-predictive, so matching is restricted
     to the spatial candidates (L0-uni B path)."""
-    if cu_size == ps.ctu_size and desc.width % cu_size == 0 \
-            and desc.height % cu_size == 0:
+    has_rect = desc.inter_part is not None and desc.inter_part.any()
+    if (cu_size == ps.ctu_size and desc.width % cu_size == 0
+            and desc.height % cu_size == 0 and not has_rect):
         _select_inter_syntax_vec(ps, desc, cu_size, is_b)
-        return
-    _select_inter_syntax_loop(ps, desc, cu_size, is_b)
+    else:
+        # the vectorized pass samples neighbour motion at CU origins,
+        # which is wrong once a neighbour carries per-PU (rect) motion —
+        # the loop samples the exact spec positions per unit
+        _select_inter_syntax_loop(ps, desc, cu_size, is_b)
+    if has_rect and not is_b:
+        # the passes above assume 2Nx2N; re-select rectangular CUs
+        # per-PU (and clear any skip they may have set — skip implies
+        # 2Nx2N)
+        inter = desc.pred_mode == MODE_INTER
+        mf = MotionField(*desc.pred_mode.shape)
+        mf.mv = desc.mv
+        mf.ref = np.where(inter, 0, -1)
+        r = cu_size // 8
+        for uy in range(0, desc.height // 8, r):
+            for ux in range(0, desc.width // 8, r):
+                part = int(desc.inter_part[uy, ux])
+                if part and inter[uy, ux]:
+                    desc.skip[uy:uy + r, ux:ux + r] = 0
+                    _select_rect_syntax(ps, desc, mf, ux * 8, uy * 8,
+                                        cu_size, part)
 
 
 def _select_inter_syntax_vec(ps: ParamSets, desc: FrameDesc, n: int,

@@ -325,6 +325,105 @@ def merge_candidates_b(mf: MotionField, x0: int, y0: int, n: int,
     return cands[:max_cand]
 
 
+def _cu_origin_rect(x0, y0, pw, ph, part, pu_idx):
+    """Containing-CU rectangle of a rect PU (for the spec 6.4.2 same-CB
+    availability rule: neighbours inside the current CU are unavailable)."""
+    if part == "2NxN":
+        return (x0, y0 - (ph if pu_idx else 0), pw)
+    return (x0 - (pw if pu_idx else 0), y0, ph)
+
+
+def merge_candidates_rect(mf: MotionField, x0: int, y0: int, pw: int,
+                          ph: int, part: str, pu_idx: int, ctu: int,
+                          pic_w: int, pic_h: int,
+                          max_cand: int = MERGE_MAX):
+    """Merge list for a rectangular PU (spec 8.5.3.2.3 with the second-PU
+    exclusions: A1 unavailable for PU1 of Nx2N, B1 for PU1 of 2NxN) plus
+    the 6.4.2 same-coding-block rule (any neighbour inside the current
+    CU is unavailable). P slices, single reference.
+    Returns (cands [(mvx, mvy, ref)], n_spatial)."""
+    cux, cuy, cun = _cu_origin_rect(x0, y0, pw, ph, part, pu_idx)
+
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if cux <= x < cux + cun and cuy <= y < cuy + cun:
+            return None            # same coding block (6.4.2)
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at(x, y)
+
+    a1 = nb(x0 - 1, y0 + ph - 1)
+    b1 = nb(x0 + pw - 1, y0 - 1)
+    b0 = nb(x0 + pw, y0 - 1)
+    a0 = nb(x0 - 1, y0 + ph)
+    b2 = nb(x0 - 1, y0 - 1)
+    if part == "Nx2N" and pu_idx == 1:
+        a1 = None
+    if part == "2NxN" and pu_idx == 1:
+        b1 = None
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    n_spatial = len(cands)
+    while len(cands) < max_cand:
+        cands.append((0, 0, 0))
+    return cands[:max_cand], n_spatial
+
+
+def amvp_candidates_rect(mf: MotionField, x0: int, y0: int, pw: int,
+                         ph: int, ctu: int, pic_w: int, pic_h: int,
+                         part: str = "2Nx2N", pu_idx: int = 0):
+    """AMVP list for a rectangular PU (spec 8.5.3.2.5-8, neighbour
+    positions from the PU's own width/height). Unlike merge, AMVP has NO
+    second-PU exclusion: the first PU's motion IS a valid predictor for
+    the second (verified against FFmpeg's derivation).
+
+    Availability inside the current CU follows PU decode order (PU0
+    precedes PU1), NOT the 4x4 z-curve: the z-curve orders PU0's far
+    half after PU1's near half, so the generic _coded_before test is
+    wrong there. Any reachable same-CU position lies in PU0 ->
+    available. P slices, single reference."""
+    if part in ("2NxN", "Nx2N"):
+        cux, cuy, cun = _cu_origin_rect(x0, y0, pw, ph, part, pu_idx)
+    else:
+        cux, cuy, cun = 0, 0, 0
+
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if cun and cux <= x < cux + cun and cuy <= y < cuy + cun:
+            return mf.at(x, y)     # same CU => PU0, decoded before PU1
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at(x, y)
+
+    a0 = nb(x0 - 1, y0 + ph)
+    a1 = nb(x0 - 1, y0 + ph - 1)
+    b0 = nb(x0 + pw, y0 - 1)
+    b1 = nb(x0 + pw - 1, y0 - 1)
+    b2 = nb(x0 - 1, y0 - 1)
+    mv_a = next((c for c in (a0, a1) if c is not None), None)
+    mv_b = next((c for c in (b0, b1, b2) if c is not None), None)
+    lst = []
+    if mv_a is not None:
+        lst.append((mv_a[0], mv_a[1]))
+    if mv_b is not None and (mv_a is None
+                             or (mv_b[0], mv_b[1]) != (mv_a[0], mv_a[1])):
+        lst.append((mv_b[0], mv_b[1]))
+    while len(lst) < 2:
+        lst.append((0, 0))
+    return lst[:2]
+
+
 def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,
                     ctu: int, pic_w: int, pic_h: int):
     """AMVP list (2 entries) for ref 0 (spec 8.5.3.2.5-8). Single-ref

@@ -279,9 +279,11 @@ class SliceDataParser:
             mf.ref = np.where(coded_inter, 0, -1)
         return mf
 
-    def _apply_merge(self, x0, y0, size, idx, sl8):
+    def _apply_merge(self, x0, y0, size, idx, sl8, pw=None, ph=None,
+                     part="2Nx2N", pu_idx=0):
         from homerhevc_tpu.hevc.inter import (merge_candidates,
-                                              merge_candidates_b)
+                                              merge_candidates_b,
+                                              merge_candidates_rect)
         mf = self._motion_field()
         self.d.merge_idx[sl8] = idx
         if self.slice_type == SLICE_B and self.d.inter_dir is not None:
@@ -298,8 +300,13 @@ class SliceDataParser:
                 self.d.mv_l1[sl8[0], sl8[1], 1] = m1[1]
             self._mark_coded(sl8)
             return
-        cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
-                                    self.d.width, self.d.height)
+        if pw is not None and pw != ph:
+            cands, _ = merge_candidates_rect(
+                mf, x0, y0, pw, ph, part, pu_idx, self.ps.ctu_size,
+                self.d.width, self.d.height)
+        else:
+            cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
+                                        self.d.width, self.d.height)
         mv = cands[idx]
         self.d.mv[sl8[0], sl8[1], 0] = mv[0]
         self.d.mv[sl8[0], sl8[1], 1] = mv[1]
@@ -370,14 +377,16 @@ class SliceDataParser:
             return "NxN"
         return "Nx2N"
 
-    def _parse_pu_motion(self, x0, y0, pw, ph, depth, sl8, pu_idx, n_pu):
+    def _parse_pu_motion(self, x0, y0, pw, ph, depth, sl8, pu_idx, n_pu,
+                         part="2Nx2N"):
         """Motion info for one PU (merge or AMVP; B adds inter_pred_idc —
         reference hmr_arithmetic_encoding.c:643,785)."""
         ps, e, d = self.ps, self.e, self.d
         merge = e.decode_bin(OFF["merge_flag"])
         if merge:
             idx = self._parse_merge_idx()
-            self._apply_merge(x0, y0, max(pw, ph), idx, sl8)
+            self._apply_merge(x0, y0, max(pw, ph), idx, sl8, pw=pw, ph=ph,
+                              part=part, pu_idx=pu_idx)
             d.inter_mode[sl8] = 1
             return True
         bi = False
@@ -389,7 +398,8 @@ class SliceDataParser:
                 lst = e.decode_bin(OFF["inter_dir"] + 4)
         self.pu_stats["bi" if bi else ("l1" if lst else "l0")] += 1
         from homerhevc_tpu.hevc.inter import (amvp_candidates,
-                                              amvp_candidates_2)
+                                              amvp_candidates_2,
+                                              amvp_candidates_rect)
         two_list = d.inter_dir is not None and self.slice_type == SLICE_B
         cdir = 3 if bi else (2 if lst else 1)
         mv = None
@@ -403,6 +413,11 @@ class SliceDataParser:
                 mvp = amvp_candidates_2(self._motion_field(), x0, y0,
                                         max(pw, ph), ps.ctu_size, d.width,
                                         d.height, ref_list, self.ref_dists)
+            elif pw != ph:
+                mvp = amvp_candidates_rect(self._motion_field(), x0, y0,
+                                           pw, ph, ps.ctu_size, d.width,
+                                           d.height, part=part,
+                                           pu_idx=pu_idx)
             else:
                 mvp = amvp_candidates(self._motion_field(), x0, y0,
                                       max(pw, ph), ps.ctu_size, d.width,
@@ -442,12 +457,17 @@ class SliceDataParser:
             h = size // 2
             pus = [(x0, y0, h, h), (x0 + h, y0, h, h),
                    (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)]
+        if part in ("2NxN", "Nx2N"):
+            if self.d.inter_part is None:
+                self.d.inter_part = np.zeros(self.d.pred_mode.shape,
+                                             np.uint8)
+            self.d.inter_part[sl8] = 1 if part == "2NxN" else 2
         all_merge = True
         for i, (px, py, pw, ph) in enumerate(pus):
             psl8 = (slice(py // 8, (py + ph) // 8 or py // 8 + 1),
                     slice(px // 8, (px + pw) // 8 or px // 8 + 1))
             m = self._parse_pu_motion(px, py, pw, ph, depth, psl8,
-                                      i, len(pus))
+                                      i, len(pus), part)
             all_merge = all_merge and m
         if part == "2Nx2N" and all_merge:
             rcbf = 1  # inferred for merge 2Nx2N

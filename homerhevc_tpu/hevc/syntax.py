@@ -79,6 +79,10 @@ class FrameDesc:
     # per-unit prediction direction bitmask (1=L0, 2=L1, 3=BI); None means
     # all-BI when mv_l1 is present, else all-L0 (backward compatible)
     inter_dir: Optional[np.ndarray] = None
+    # inter CU partition per 8x8 unit: 0=2Nx2N, 1=2NxN, 2=Nx2N (uniform
+    # within a CU; per-PU motion rides the unit-granular maps). None =
+    # all 2Nx2N (backward compatible)
+    inter_part: Optional[np.ndarray] = None
     # analysis side-channel: exact per-row luma SSD vs source (int32),
     # computed on device so the host never pulls recon just for the
     # avg_dist zero-forcing feedback
@@ -352,10 +356,16 @@ class SliceDataEncoder:
             e.encode_bypass((value >> k) & 1)
 
     def _inter_cu(self, x0: int, y0: int, log2_size: int) -> None:
-        """Inter CU, 2Nx2N PU, single reference per list (B: L0-uni)."""
+        """Inter CU: 2Nx2N, or rectangular 2NxN/Nx2N (desc.inter_part;
+        P slices), single reference per list (B: L0-uni)."""
         from homerhevc_tpu.hevc.headers import SLICE_B
         ps, e, d = self.ps, self.e, self.d
         ux, uy = x0 // 8, y0 // 8
+        part = (int(d.inter_part[uy, ux])
+                if d.inter_part is not None else 0)
+        if part:
+            self._inter_cu_rect(x0, y0, log2_size, part)
+            return
         e.encode_bin(OFF["part_size"], 1)  # PART_2Nx2N
         mode = int(d.inter_mode[uy, ux])   # 1=merge, 2=amvp
         e.encode_bin(OFF["merge_flag"], int(mode == 1))
@@ -405,6 +415,54 @@ class SliceDataEncoder:
         if rcbf:
             self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
                                  False, ps.max_tr_depth_inter, True, True)
+
+    def _inter_cu_rect(self, x0: int, y0: int, log2_size: int,
+                       part: int) -> None:
+        """Rectangular inter CU (2NxN part=1 / Nx2N part=2), two PUs with
+        per-PU merge/AMVP motion (spec 7.3.8.6; part_mode binarization
+        9.3.3.7 AMP-off; reference PU writer
+        hmr_arithmetic_encoding.c:777)."""
+        from homerhevc_tpu.hevc.inter import (amvp_candidates_rect,
+                                              merge_candidates_rect)
+        ps, e, d = self.ps, self.e, self.d
+        size = 1 << log2_size
+        half = size // 2
+        # part_mode: "01" = 2NxN; Nx2N is "001" unless at min CB > 8
+        # where a third bin distinguishes Nx2N from NxN
+        e.encode_bin(OFF["part_size"], 0)
+        e.encode_bin(OFF["part_size"] + 1, 1 if part == 1 else 0)
+        if part == 2 and log2_size == ps.log2_min_cb and log2_size > 3:
+            e.encode_bin(OFF["part_size"] + 2, 1)
+        if part == 1:
+            pus = [(x0, y0, size, half), (x0, y0 + half, size, half)]
+            pname = "2NxN"
+        else:
+            pus = [(x0, y0, half, size), (x0 + half, y0, half, size)]
+            pname = "Nx2N"
+        for i, (px, py, pw, ph) in enumerate(pus):
+            pux, puy = px // 8, py // 8
+            mode = int(d.inter_mode[puy, pux])
+            e.encode_bin(OFF["merge_flag"], int(mode == 1))
+            if mode == 1:
+                self._encode_merge_idx(int(d.merge_idx[puy, pux]))
+                continue
+            mvp = amvp_candidates_rect(self.motion_field, px, py, pw, ph,
+                                       ps.ctu_size, d.width, d.height,
+                                       part=pname, pu_idx=i)
+            f = int(d.mvp_flag[puy, pux])
+            self._encode_mvd(int(d.mv[puy, pux, 0]) - mvp[f][0],
+                             int(d.mv[puy, pux, 1]) - mvp[f][1])
+            e.encode_bin(OFF["mvp_idx"], f)
+        ux, uy = x0 // 8, y0 // 8
+        rcbf = int(d.root_cbf[uy, ux])
+        e.encode_bin(OFF["qt_root_cbf"], rcbf)
+        if rcbf:
+            forced = ps.max_tr_depth_inter == 0
+            self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
+                                 forced,
+                                 ps.max_tr_depth_inter + (1 if forced
+                                                          else 0),
+                                 True, True)
 
     # ---- transform tree -------------------------------------------------------
 

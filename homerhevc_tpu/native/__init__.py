@@ -168,6 +168,10 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
     lib = get_lib()
     if lib is None:
         return None
+    if desc.inter_part is not None and desc.inter_part.any():
+        # rectangular PUs: python serializer path (native rect syntax
+        # not implemented yet)
+        return None
     cap = desc.width * desc.height * 4 + 65536
     out = np.zeros(cap, np.uint8)
     ctus_y = -(-desc.height // ps.ctu_size)
