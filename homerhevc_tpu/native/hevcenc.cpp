@@ -57,6 +57,22 @@ enum CtxOff {
   NUM_CTX = 182,
 };
 
+// packed-state transition LUTs (state byte = (idx << 1) | mps): one load
+// replaces the branch + arithmetic in the hottest loop (bin())
+struct NextStateTables {
+  uint8_t mps[128], lps[128];
+  NextStateTables() {
+    for (int s = 0; s < 128; s++) {
+      int idx = s >> 1, m = s & 1;
+      int nm = idx < 62 ? idx + 1 : 62;
+      mps[s] = (uint8_t)((nm << 1) | m);
+      lps[s] = idx == 0 ? (uint8_t)(m ^ 1)
+                        : (uint8_t)((kTransLps[idx] << 1) | m);
+    }
+  }
+};
+static const NextStateTables g_next;
+
 struct Cabac {
   std::vector<uint8_t>* out;
   uint8_t* ctx;
@@ -100,14 +116,10 @@ struct Cabac {
       int n = kRenorm[lps >> 3];
       low = (low + range) << n;
       range = lps << n;
-      uint8_t idx = s >> 1;
-      ctx[ctx_idx] = idx == 0 ? (uint8_t)((s & 1) ^ 1)
-                              : (uint8_t)((kTransLps[idx] << 1) | (s & 1));
+      ctx[ctx_idx] = g_next.lps[s];
       bits_left -= n;
     } else {
-      uint8_t idx = s >> 1;
-      uint8_t nidx = idx < 62 ? idx + 1 : 62;
-      ctx[ctx_idx] = (uint8_t)((nidx << 1) | (s & 1));
+      ctx[ctx_idx] = g_next.mps[s];
       if (range >= 256) return;
       low <<= 1; range <<= 1; bits_left--;
     }
