@@ -70,9 +70,13 @@ def quantize(coef: jnp.ndarray, size: int, qp, is_intra: bool,
             .astype(jnp.int32)
     log2n = size.bit_length() - 1
     tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n
+    qp = jnp.asarray(qp)
     per, rem = qp // 6, qp % 6
     qc = jnp.asarray(_qc6(size, is_intra, scaling_lists))[rem]
     qbits = (T.QUANT_SHIFT + tshift + per).astype(jnp.int32)
+    if qbits.ndim:
+        # per-block QP vector: qp shape must equal coef.shape[:-2]
+        qbits = qbits.reshape(qbits.shape + (1, 1))
     add = jnp.left_shift(jnp.int32(171), qbits - 9)
     a = jnp.abs(coef)
     level = jnp.right_shift(a * qc + add, qbits)
@@ -98,9 +102,13 @@ def dequantize(level: jnp.ndarray, size: int, qp, is_intra: bool,
     log2n = size.bit_length() - 1
     tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n
     shift = T.QUANT_IQUANT_SHIFT - T.QUANT_SHIFT - tshift + 4
+    qp = jnp.asarray(qp)
     per, rem = qp // 6, qp % 6
     dq = jnp.asarray(_dq6(size, is_intra, scaling_lists))[rem]
     lv = level.astype(jnp.int32)
+    if per.ndim:
+        # per-block QP vector (shape == level.shape[:-2])
+        per = per.reshape(per.shape + (1, 1))
     prod = lv * dq
     # both shift directions computed branchless, selected on per<shift
     s1 = jnp.maximum(shift - per, 1).astype(jnp.int32)
@@ -141,7 +149,11 @@ def sign_bit_hiding(level: jnp.ndarray, coef: jnp.ndarray, size: int, qp: int,
     else:
         log2n_ = n.bit_length() - 1
         tshift = T.MAX_TR_DYNAMIC_RANGE - 8 - log2n_
+        qp = jnp.asarray(qp)
         qbits = (T.QUANT_SHIFT + tshift + qp // 6).astype(jnp.int32)
+        if qbits.ndim:
+            # per-block QP vector (shape == level.shape[:-2])
+            qbits = qbits.reshape(qbits.shape + (1, 1))
         qc6 = _qc6(n, is_intra, scaling_lists)
         qc_scan6 = qc6.reshape(6, -1)[:, scan].reshape(6, ncg, 16)
         qc_scan = jnp.asarray(qc_scan6)[qp % 6]

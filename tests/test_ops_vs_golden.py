@@ -227,3 +227,32 @@ def test_predict_mode_matches_golden(n, is_luma, rng):
         ft, fl = gip.filter_reference_samples(top[m], left[m], n, m, is_luma)
         ref = gip.predict(ft, fl, n, m, is_luma)
         assert np.array_equal(out[m], ref), f"mode {m} n {n} luma {is_luma}"
+
+
+def test_quant_per_block_qp_vector(rng):
+    """quantize/dequantize/SBH with a PER-BLOCK traced QP vector must
+    equal per-block static-QP calls (the device per-CTB AQ contract)."""
+    import jax
+    import jax.numpy as jnp
+    from homerhevc_tpu.ops.quant import (dequantize, quantize,
+                                         sign_bit_hiding)
+    n, B = 16, 6
+    coef = rng.randint(-2000, 2000, (B, n, n)).astype(np.int32)
+    qps = np.array([22, 27, 30, 34, 37, 45], np.int32)
+
+    @jax.jit
+    def run(c, q):
+        lvl = quantize(c, n, q, True)
+        lvl = sign_bit_hiding(lvl, c, n, q, True, 0)
+        deq = dequantize(lvl, n, q, True)
+        return lvl, deq
+    lvl_v, deq_v = run(jnp.asarray(coef), jnp.asarray(qps))
+    for i, q in enumerate(qps):
+        lvl_s = quantize(jnp.asarray(coef[i]), n, int(q), True)
+        lvl_s = sign_bit_hiding(lvl_s, jnp.asarray(coef[i]), n, int(q),
+                                True, 0)
+        deq_s = dequantize(lvl_s, n, int(q), True)
+        np.testing.assert_array_equal(np.asarray(lvl_v[i]),
+                                      np.asarray(lvl_s))
+        np.testing.assert_array_equal(np.asarray(deq_v[i]),
+                                      np.asarray(deq_s))
