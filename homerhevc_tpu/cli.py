@@ -39,7 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0=pel 1=half 2=quarter")
     p.add_argument("-chroma_qp_offset", type=int, default=2)
     p.add_argument("-sign_hiding", type=int, default=1)
-    p.add_argument("-sao", type=int, default=0)
+    p.add_argument("-sao", type=int, default=1,
+                   help="sample adaptive offset (reference default on; "
+                        "RDO with counted bits measured RD-positive)")
     p.add_argument("-deblocking", type=int, default=1)
     p.add_argument("-aq", type=float, default=0.0,
                    help="adaptive quantization strength (per-CTB "

@@ -9,10 +9,12 @@ host CABAC writes whatever this module decides (params ride the wire
 meta), and the decoder's filter of the same recon with the same params
 reproduces the device apply bit-exactly (integer arithmetic only).
 
-v1 scope: edge offsets (EO classes 0-3) with a lambda * estimated-bits
-decision per CTB; band offset and merge RDO are left to the host path
-(merge flags are still derived host-side from equal neighbouring params,
-which only compacts syntax and never changes the filter).
+Scope: edge offsets (EO classes 0-3) with RD-refined offset magnitudes
+(same argmin-over-magnitudes rule as the host RDO) and a lambda *
+estimated-bits type decision per CTB; band offset and counted-bit merge
+RDO remain host-path-only (hevc/sao.py sao_decide; merge flags here are
+derived host-side from equal neighbouring params, which only compacts
+syntax and never changes the filter).
 """
 
 from __future__ import annotations
@@ -50,9 +52,30 @@ def _block_sum(x, n):
     return x.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
 
 
-def _derive(dsum, cnt, positive):
-    """Integer offset + distortion delta. round-half-away division keeps
-    host (golden) and device bit-identical without floats."""
+def _derive(dsum, cnt, positive, lam_x256=None):
+    """RD-refined integer offset + distortion delta (device twin of the
+    host _rd_offset, hevc/sao.py): evaluate every magnitude 0..7 and
+    keep argmin of dd*256 + lam*(m+1) TU bins. With lam None, falls
+    back to the round-2 division + negative-dd gate."""
+    if lam_x256 is not None:
+        d_eff = jnp.abs(dsum)
+        s = jnp.sign(dsum)
+        best_cost = None
+        best_m = jnp.zeros_like(cnt)
+        for m in range(MAX_OFFSET + 1):
+            dd_m = cnt * m * m - 2 * m * d_eff
+            cost = dd_m * 256 + lam_x256 * (m + 1)
+            if best_cost is None:
+                best_cost = cost
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best_m = jnp.where(take, m, best_m)
+        o = s * best_m
+        o = jnp.maximum(o, 0) if positive else jnp.minimum(o, 0)
+        dd = cnt * o * o - 2 * o * dsum
+        bad = dd > 0
+        return jnp.where(bad, 0, o), jnp.where(bad, 0, dd)
     s = jnp.sign(dsum)
     mag = (2 * jnp.abs(dsum) + cnt) // jnp.maximum(2 * cnt, 1)
     o = jnp.where(cnt > 0, s * mag, 0)
@@ -63,7 +86,7 @@ def _derive(dsum, cnt, positive):
     return jnp.where(bad, 0, o), jnp.where(bad, 0, dd)
 
 
-def _eo_stats(src, rec, n):
+def _eo_stats(src, rec, n, lam_x256=None):
     """(dd[4, gh, gw], offs_abs[4, gh, gw, 4]) for one component."""
     diff = src - rec
     dds, offs = [], []
@@ -75,7 +98,7 @@ def _eo_stats(src, rec, n):
             m = cat == k
             cnt = _block_sum(m.astype(jnp.int32), n)
             dsum = _block_sum(jnp.where(m, diff, 0), n)
-            o, dd = _derive(dsum, cnt, positive)
+            o, dd = _derive(dsum, cnt, positive, lam_x256)
             off_ec.append(jnp.abs(o))
             dd_ec = dd_ec + dd
         dds.append(dd_ec)
@@ -105,7 +128,7 @@ def sao_analyze_apply(sy, su, sv, ry, ru, rv, ctu, lam_x256):
 
     All planes int32; ctu = luma CTB size; lam_x256 = int(lambda * 256).
     Returns (filtered ry, ru, rv, params dict of small int tensors)."""
-    dd_l, off_l = _eo_stats(sy, ry, ctu)
+    dd_l, off_l = _eo_stats(sy, ry, ctu, lam_x256)
     cost_l = dd_l * 256 + lam_x256 * (6 + off_l.sum(axis=-1))
     ec_l = jnp.argmin(cost_l, axis=0).astype(jnp.int32)
     gh, gw = ec_l.shape
@@ -119,8 +142,8 @@ def sao_analyze_apply(sy, su, sv, ry, ru, rv, ctu, lam_x256):
         jnp.take_along_axis(off_l, ec_l[None, ..., None], axis=0)[0], 0)
 
     nc = ctu // 2
-    dd_u, off_u = _eo_stats(su, ru, nc)
-    dd_v, off_v = _eo_stats(sv, rv, nc)
+    dd_u, off_u = _eo_stats(su, ru, nc, lam_x256)
+    dd_v, off_v = _eo_stats(sv, rv, nc, lam_x256)
     cost_c = (dd_u + dd_v) * 256 \
         + lam_x256 * (8 + off_u.sum(axis=-1) + off_v.sum(axis=-1))
     ec_c = jnp.argmin(cost_c, axis=0).astype(jnp.int32)
