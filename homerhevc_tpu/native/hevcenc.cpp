@@ -112,18 +112,18 @@ struct Cabac {
     uint8_t s = ctx[ctx_idx];
     uint32_t lps = kLps[s >> 1][(range >> 6) & 3];
     range -= lps;
-    if (b != (s & 1)) {
+    if (__builtin_expect(b == (s & 1), 1)) {   // MPS: the common path
+      ctx[ctx_idx] = g_next.mps[s];
+      if (__builtin_expect(range >= 256, 1)) return;
+      low <<= 1; range <<= 1; bits_left--;
+    } else {
       int n = kRenorm[lps >> 3];
       low = (low + range) << n;
       range = lps << n;
       ctx[ctx_idx] = g_next.lps[s];
       bits_left -= n;
-    } else {
-      ctx[ctx_idx] = g_next.mps[s];
-      if (range >= 256) return;
-      low <<= 1; range <<= 1; bits_left--;
     }
-    if (bits_left < 12) write_out();
+    if (__builtin_expect(bits_left < 12, 0)) write_out();
   }
   inline void bypass(uint32_t b) {
     low <<= 1;
