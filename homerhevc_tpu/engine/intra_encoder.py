@@ -465,6 +465,165 @@ class TpuIntraEncoder:
              u8(cg_count.reshape(1))])
         return recon_y, recon_u, recon_v, ly, lu, lv, meta
 
+    def _encode_frame_impl_aq(self, src_y, src_u, src_v, qp, qp_map):
+        """AQ twin of _encode_frame_impl: qp_map (gh, gw) int32 carries
+        per-CTB(=CU16) luma QPs (per-CTB adaptive quantization). The
+        per-diagonal slot QP vectors ride the scan inputs; quant/dequant/
+        SBH take per-block QP vectors (ops/quant.py). Kept as a separate
+        trace so the flat-QP program (the bench path) is untouched.
+        Requires deblocking OFF (the decoder's deblock QP would need the
+        effective-QP inference; the host paths cover deblock+AQ)."""
+        assert not self.ps.deblocking_enabled
+        cu, cuc = self.cu, self.cu // 2
+        gw, gh = self.gw, self.gh
+        ndiag = self.ndiag
+        qp = qp.astype(jnp.int32)
+        flat_q = jnp.concatenate([qp_map.reshape(-1).astype(jnp.int32),
+                                  qp.reshape(1)])       # pad slot -> slice qp
+        qp_diag = flat_q[jnp.asarray(self.d_flat)]       # (ndiag, gh)
+        qpc_diag = jnp.asarray(T.CHROMA_QP_MAP)[
+            jnp.clip(qp_diag + self.ps.cb_qp_offset, 0, 57)]
+        bits_mpm_d = jnp.asarray(_BITS_MPM)[qp_diag]     # (ndiag, gh)
+        bits_rem_d = jnp.asarray(_BITS_REM)[qp_diag]
+
+        def diag_blocks(plane, n):
+            hh, ww = plane.shape
+            b = plane.reshape(hh // n, n, ww // n, n).transpose(0, 2, 1, 3) \
+                .reshape(-1, n, n)
+            b = jnp.concatenate([b, jnp.zeros((1, n, n), b.dtype)], axis=0)
+            return b[jnp.asarray(self.d_flat)]
+        by = diag_blocks(src_y, cu)
+        bu = diag_blocks(src_u, cuc)
+        bv = diag_blocks(src_v, cuc)
+
+        mask_y_all = jnp.asarray(self.d_mask_y)
+        mask_c_all = jnp.asarray(self.d_mask_c)
+        above_all = jnp.asarray(self.d_above_ok)
+        has_left_all = jnp.asarray(self.d_has_left)
+
+        def component(best, src_blk, refs, n, qp_vec, is_luma,
+                      preds_cache=None):
+            if preds_cache is None:
+                top, left = refs
+                preds = dip.predict_all_modes(top, left, n, is_luma)
+            else:
+                preds = preds_cache
+            pred = jnp.take_along_axis(
+                preds, best[:, None, None, None], axis=1)[:, 0]
+            resid = src_blk - pred
+            is_dst = is_luma and n == 4
+            coef = forward_transform(resid, is_dst)
+            lvl = quantize(coef, n, qp_vec, True,
+                           self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                scan_sel = self._scan_class(best, n, is_luma)
+                lvl = self._sbh_by_scan_q(lvl, coef, n, qp_vec, scan_sel,
+                                          is_luma)
+            deq = dequantize(lvl, n, qp_vec, True,
+                             self.ps.scaling_list_enabled)
+            rres = inverse_transform(deq, is_dst)
+            any_nz = jnp.any(lvl != 0, axis=(-1, -2))
+            rec = jnp.where(any_nz[:, None, None],
+                            jnp.clip(pred + rres, 0, 255), pred)
+            return lvl, rec
+
+        def body(carry, xs):
+            (p1b, p1r, p2b, p3b,
+             p1b_u, p1r_u, p2b_u, p3b_u,
+             p1b_v, p1r_v, p2b_v, p3b_v,
+             p1m, p2m) = carry
+            (sb_y, sb_u, sb_v, mask_y, mask_c, above_ok, has_left,
+             qp_vec, qpc_vec, b_mpm, b_rem) = xs
+            src_blk = sb_y.astype(jnp.int32)
+            top, left = self._refs_from_prev(p1b, p1r, p2b, p3b, cu, mask_y)
+            preds = dip.predict_all_modes(top, left, cu, True)
+            preds = dip.edge_fixes(preds, top, left, cu, True)
+            sad = jnp.sum(jnp.abs(src_blk[:, None] - preds), axis=(-1, -2))
+            left_mode = jnp.where(has_left, p1m, 1)
+            above_mode = jnp.where(above_ok, self._sh1(p2m), 1)
+            mpm = _mpm_jax(left_mode, above_mode)
+            modes_r = jnp.arange(35)[None, :]
+            in_mpm = jnp.any(modes_r[..., None] == mpm[:, None, :], axis=-1)
+            cost = sad + jnp.where(in_mpm, b_mpm[:, None], b_rem[:, None])
+            best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+
+            lvl, rec = component(best, src_blk, None, cu, qp_vec, True,
+                                 preds_cache=preds)
+            refs_u = self._refs_from_prev(p1b_u, p1r_u, p2b_u, p3b_u, cuc,
+                                          mask_c)
+            lvl_u, rec_u = component(best, sb_u.astype(jnp.int32), refs_u,
+                                     cuc, qpc_vec, False)
+            refs_v = self._refs_from_prev(p1b_v, p1r_v, p2b_v, p3b_v, cuc,
+                                          mask_c)
+            lvl_v, rec_v = component(best, sb_v.astype(jnp.int32), refs_v,
+                                     cuc, qpc_vec, False)
+
+            carry = (rec[:, -1, :], rec[:, :, -1], p1b, p2b,
+                     rec_u[:, -1, :], rec_u[:, :, -1], p1b_u, p2b_u,
+                     rec_v[:, -1, :], rec_v[:, :, -1], p1b_v, p2b_v,
+                     best, p1m)
+            return carry, (rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best)
+
+        zs = lambda n: jnp.zeros((gh, n), jnp.int32)
+        carry0 = (zs(cu), zs(cu), zs(cu), zs(cu),
+                  zs(cuc), zs(cuc), zs(cuc), zs(cuc),
+                  zs(cuc), zs(cuc), zs(cuc), zs(cuc),
+                  jnp.ones((gh,), jnp.int32), jnp.ones((gh,), jnp.int32))
+        xs = (by, bu, bv, mask_y_all, mask_c_all, above_all, has_left_all,
+              qp_diag, qpc_diag, bits_mpm_d, bits_rem_d)
+        carry, outs = jax.lax.scan(body, carry0, xs)
+        rec, rec_u, rec_v, lvl, lvl_u, lvl_v, best = outs
+
+        flat_idx = jnp.asarray(self.d_flat)
+        mode_grid = jnp.zeros((gh * gw + 1,), jnp.int32) \
+            .at[flat_idx.reshape(-1)].set(best.reshape(-1), mode="drop") \
+            [:gh * gw].reshape(gh, gw)
+
+        def assemble(blocks, n, hh, ww):
+            buf = jnp.zeros((gh * gw + 1, n, n), blocks.dtype)
+            buf = buf.at[flat_idx.reshape(-1)].set(
+                blocks.reshape(-1, n, n), mode="drop")
+            return buf[:gh * gw].reshape(gh, gw, n, n) \
+                .transpose(0, 2, 1, 3).reshape(hh, ww)
+        recon_y = assemble(rec.astype(jnp.uint8), cu, self.h, self.w)
+        recon_u = assemble(rec_u.astype(jnp.uint8), cuc,
+                           self.h // 2, self.w // 2)
+        recon_v = assemble(rec_v.astype(jnp.uint8), cuc,
+                           self.h // 2, self.w // 2)
+        ly = assemble(lvl.astype(jnp.int16), cu, self.h, self.w)
+        lu = assemble(lvl_u.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        lv = assemble(lvl_v.astype(jnp.int16), cuc, self.h // 2, self.w // 2)
+        from homerhevc_tpu.ops.pack import pack_sparse_cg
+        cg_bitmap, masks16, codes, esc_idx, esc_val, count, esc_count, \
+            cg_count = pack_sparse_cg([ly, lu, lv], self.pack_C, self.cg_C)
+
+        def u8(a):
+            if a.dtype == jnp.uint8:
+                return a.reshape(-1)
+            return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+        meta = jnp.concatenate(
+            [mode_grid.astype(jnp.uint8).reshape(-1), cg_bitmap,
+             u8(masks16), codes, u8(esc_idx), u8(esc_val),
+             u8(count.reshape(1)), u8(esc_count.reshape(1)),
+             u8(cg_count.reshape(1))])
+        return recon_y, recon_u, recon_v, ly, lu, lv, meta
+
+    def _get_packed_aq_jit(self):
+        """Lazily-built packed-batch AQ program (extra qp_maps input)."""
+        if getattr(self, "_encode_packed_aq_jit", None) is None:
+            wh = self.w * self.h
+
+            def _packed_aq(batch_u8, qps, qp_maps):
+                y = batch_u8[:, :wh].reshape(-1, self.h, self.w)
+                u = batch_u8[:, wh:wh + wh // 4].reshape(
+                    -1, self.h // 2, self.w // 2)
+                v = batch_u8[:, wh + wh // 4:].reshape(
+                    -1, self.h // 2, self.w // 2)
+                return jax.vmap(self._encode_frame_impl_aq)(y, u, v, qps,
+                                                            qp_maps)
+            self._encode_packed_aq_jit = jax.jit(_packed_aq)
+        return self._encode_packed_aq_jit
+
     def _sbh_by_scan_q(self, lvl, coef, n, qp, scan_sel, is_luma=True):
         """qp may be static or traced (forwarded to sign_bit_hiding)."""
         log2n = n.bit_length() - 1
@@ -501,10 +660,12 @@ class TpuIntraEncoder:
         return desc
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int):
-        return self.encode_frames([y], [u], [v], qps=[qp])[0]
+                     qp: int, qp_map=None):
+        return self.encode_frames([y], [u], [v], qps=[qp],
+                                  qp_maps=None if qp_map is None
+                                  else [qp_map])[0]
 
-    def dispatch_frames(self, ys, us, vs, qps=None):
+    def dispatch_frames(self, ys, us, vs, qps=None, qp_maps=None):
         """Async: launch the batched device program, return device arrays
         immediately (jax dispatch is non-blocking). Pair with fetch_frames
         to overlap host serialization with device compute.
@@ -518,7 +679,7 @@ class TpuIntraEncoder:
             qps = [self.cfg.qp] * len(ys)
         handle = ys if isinstance(ys, jax.Array) \
             else self.pack_upload(list(zip(ys, us, vs)))
-        out = self.dispatch_packed(handle, qps)
+        out = self.dispatch_packed(handle, qps, qp_maps=qp_maps)
         return out
 
     def pack_upload(self, frames):
@@ -536,12 +697,16 @@ class TpuIntraEncoder:
             packed[i, wh + wh // 4:] = np.asarray(v, np.uint8).reshape(-1)
         return jax.device_put(packed)
 
-    def dispatch_packed(self, handle, qps):
+    def dispatch_packed(self, handle, qps, qp_maps=None):
         from homerhevc_tpu.utils.profiler import PROFILER
         with PROFILER.scope("disp_qp"):
             qp_arr = jnp.asarray(np.asarray(qps, np.int32))
         with PROFILER.scope("disp_jit"):
-            out = self._encode_packed_jit(handle, qp_arr)
+            if qp_maps is not None:
+                maps = jnp.asarray(np.asarray(qp_maps, np.int32))
+                out = self._get_packed_aq_jit()(handle, qp_arr, maps)
+            else:
+                out = self._encode_packed_jit(handle, qp_arr)
         # kick the wire download early: by the time fetch_frames runs
         # (in the background fetch thread, overlapping the previous
         # batch's serialization) it is already in flight. The whole wire
@@ -554,10 +719,11 @@ class TpuIntraEncoder:
                 pass
         return out
 
-    def fetch_frames(self, out, n_frames: int):
+    def fetch_frames(self, out, n_frames: int, qp_maps=None):
         """Download the compact wire buffer and rebuild FrameDescs;
         reconstruction planes are returned DEVICE-RESIDENT (consumers
-        materialize them lazily)."""
+        materialize them lazily). qp_maps: host-side per-CTB QP maps of
+        an AQ dispatch — attached to each desc for the serializer."""
         from homerhevc_tpu.ops.pack import esc_capacity
         from homerhevc_tpu.utils.profiler import PROFILER
         ry, ru, rv, ly, lu, lv, meta = out
@@ -578,11 +744,18 @@ class TpuIntraEncoder:
                     lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
                              np.asarray(lv[i])))
                 desc = self._build_desc(modes[i], py, pu, pv)
+                if qp_maps is not None:
+                    # per-8x8 targets for the cu_qp_delta serializer (the
+                    # device quantized with exactly these per-CTB QPs)
+                    m = np.asarray(qp_maps[i], np.int8)
+                    r = self.cu // 8
+                    desc.qp_map = np.repeat(np.repeat(m, r, 0), r, 1)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))
         return results
 
-    def encode_frames(self, ys, us, vs, qps=None):
+    def encode_frames(self, ys, us, vs, qps=None, qp_maps=None):
         """Batched: lists/arrays of F frames -> list of (desc, ry, ru, rv)."""
-        return self.fetch_frames(self.dispatch_frames(ys, us, vs, qps=qps),
-                                 len(ys))
+        return self.fetch_frames(
+            self.dispatch_frames(ys, us, vs, qps=qps, qp_maps=qp_maps),
+            len(ys), qp_maps=qp_maps)

@@ -530,7 +530,8 @@ class TpuIntraTreeEncoder:
         m8 = np.asarray(m8).astype(np.uint8)
         return TreeDecision(depth8=d8, mode8=m8, chroma8=m8.copy())
 
-    def encode_frame(self, y, u, v, qp: int):
+    def encode_frame(self, y, u, v, qp: int, qp_map=None):
+        assert qp_map is None, "AQ runs on the CU16 path, not the tree"
         return self.encode_frames([y], [u], [v], qps=[qp])[0]
 
     def pack_upload(self, frames):
@@ -544,7 +545,8 @@ class TpuIntraTreeEncoder:
             packed[i, wh + wh // 4:] = np.asarray(v, np.uint8).reshape(-1)
         return jax.device_put(packed)
 
-    def dispatch_packed(self, handle, qps):
+    def dispatch_packed(self, handle, qps, qp_maps=None):
+        assert qp_maps is None, "AQ runs on the CU16 path, not the tree"
         qp_arr = jnp.asarray(np.asarray(qps, np.int32))
         out = self._encode_packed_jit(handle, qp_arr)
         try:
@@ -560,7 +562,7 @@ class TpuIntraTreeEncoder:
             else self.pack_upload(list(zip(ys, us, vs)))
         return self.dispatch_packed(handle, qps)
 
-    def fetch_frames(self, out, n_frames: int):
+    def fetch_frames(self, out, n_frames: int, qp_maps=None):
         from homerhevc_tpu.ops.pack import esc_capacity
         from homerhevc_tpu.engine.intra_encoder import (
             _DeviceSlice, _parse_cg_wire, _unpack_cg_frame)

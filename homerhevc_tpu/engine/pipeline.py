@@ -37,7 +37,7 @@ class _AsyncFetch:
     thread — the host analog of the reference's copy/entropy thread
     split (hmr_encoder_lib.c:2948)."""
 
-    def __init__(self, enc, out, frames, qp):
+    def __init__(self, enc, out, frames, qp, qp_maps=None):
         import threading
         self.frames = frames
         self.qp = qp
@@ -46,7 +46,8 @@ class _AsyncFetch:
 
         def run():
             try:
-                self._result = enc.fetch_frames(out, len(frames))
+                self._result = enc.fetch_frames(out, len(frames),
+                                                qp_maps=qp_maps)
             except BaseException as e:   # re-raised on join()
                 self._err = e
         self._t = threading.Thread(target=run, daemon=True)
@@ -134,7 +135,19 @@ class EncoderPipeline:
             with PROFILER.scope("analyze_intra_golden"):
                 return self._analyze_intra_golden(y, u, v, qp)
         with PROFILER.scope("analyze_intra_device"):
-            return self._get_tpu().encode_frame(y, u, v, qp)
+            enc = self._get_tpu()
+            qp_map = self._aq_map(y, qp)
+            res = enc.encode_frame(y, u, v, qp, qp_map=qp_map)
+            return res
+
+    def _aq_map(self, y, qp):
+        """Per-CTB AQ map for the device intra path (None when AQ off or
+        the encoder is the tree variant, which runs the fast decision)."""
+        if not self.ps.cu_qp_delta_enabled or self._tpu_tree_ok():
+            return None
+        from homerhevc_tpu.engine.rate_control import aq_qp_map
+        return aq_qp_map(np.asarray(y), self.ps.ctu_size, qp,
+                         self.cfg.aq_strength)
 
     def _analyze_intra_golden(self, y, u, v, qp):
         from homerhevc_tpu.golden.intra_frame import encode_intra_frame
@@ -554,25 +567,31 @@ class EncoderPipeline:
                 prev_results = self._fetch_inflight.join()
             self._fetch_inflight = None
         qp = self.rc.pic_qp(True)
+        maps = None
+        if self.ps.cu_qp_delta_enabled and not self._tpu_tree_ok():
+            maps = [self._aq_map(fr[0], qp) for fr in frames]
         with PROFILER.scope("dispatch_intra"):
             self._pending_q.append(
-                (enc.dispatch_packed(handle, [qp] * len(frames)),
-                 frames, qp))
+                (enc.dispatch_packed(handle, [qp] * len(frames),
+                                     qp_maps=maps),
+                 frames, qp, maps))
         # depth 2 + background fetch: deeper pipelines measured SLOWER —
         # the tunnel client throttles with too many outstanding transfers
         # (device_put blocked ~750 ms/batch at depth 3)
         if len(self._pending_q) >= 2:
-            out, pframes, pqp = self._pending_q.pop(0)
-            self._fetch_inflight = _AsyncFetch(enc, out, pframes, pqp)
+            out, pframes, pqp, pmaps = self._pending_q.pop(0)
+            self._fetch_inflight = _AsyncFetch(enc, out, pframes, pqp,
+                                               qp_maps=pmaps)
         if prev_results is not None:
             results, pframes, pqp = prev_results
             for (desc, ry, ru, rv), src in zip(results, pframes):
                 yield self._emit(desc, ry, ru, rv, src=src, qp=pqp)
 
     def _fetch_emit(self, pending) -> Iterator:
-        out, pframes, qp = pending
+        out, pframes, qp, pmaps = pending
         with PROFILER.scope("fetch_intra"):
-            results = self._get_tpu().fetch_frames(out, len(pframes))
+            results = self._get_tpu().fetch_frames(out, len(pframes),
+                                                   qp_maps=pmaps)
         for (desc, ry, ru, rv), src in zip(results, pframes):
             yield self._emit(desc, ry, ru, rv, src=src, qp=qp)
 
@@ -757,9 +776,14 @@ class EncoderPipeline:
     def _tpu_ok(self) -> bool:
         if self._tpu_tree_ok():
             return True
+        # per-CTB AQ runs on the CU16 device path (per-block QP vectors in
+        # quant; _encode_frame_impl_aq) as long as deblocking is off — the
+        # decoder's deblock QP needs the effective-QP inference, which the
+        # host golden path provides
         return (self.backend in ("auto", "tpu")
                 and not self.cfg.intra_rdo
-                and not self.ps.cu_qp_delta_enabled
+                and not (self.ps.cu_qp_delta_enabled
+                         and self.ps.deblocking_enabled)
                 and self.cfg.cu_size == 16
                 and self.cfg.width % 16 == 0 and self.cfg.height % 16 == 0)
 

@@ -138,3 +138,74 @@ def test_aq_parser_recovers_qp_map(rng):
     # parser's decoder-view QP map == the encoder-side inference helper
     expect = decoder_qp_map8(desc, pipe.ps, 30)
     np.testing.assert_array_equal(p.d.qp_map.astype(np.int32), expect)
+
+
+def test_aq_device_path_ffmpeg_bit_exact(tmp_path):
+    """Per-CTB AQ on the DEVICE intra path (deblocking off): the CU16
+    wavefront quantizes with per-block QP vectors
+    (_encode_frame_impl_aq) and the stream must FFmpeg-decode bit-exact;
+    the decoder-view QP map must show real deltas."""
+    rng = np.random.RandomState(19)
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=0, sao=False,
+                        deblocking=False, sign_hiding=True, cu_size=16,
+                        aq_strength=2.0)
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    pipe = EncoderPipeline(cfg)          # backend auto -> device path
+    assert pipe._tpu_ok(), "device path must accept AQ with deblock off"
+    path = tmp_path / "aq_dev.265"
+    recons, descs = [], []
+    import homerhevc_tpu.engine.pipeline as pl
+    orig = pl.EncoderPipeline._emit
+    def patched(self, desc, *a, **kw):
+        descs.append(desc)
+        return orig(self, desc, *a, **kw)
+    pl.EncoderPipeline._emit = patched
+    try:
+        with open(path, "wb") as f:
+            for _ in range(2):
+                y, u, v = make_yuv(rng, w, h)
+                y[: h // 4] = 90        # flat band -> nonzero deltas
+                for ef in pipe.push(y, u, v):
+                    f.write(ef.annex_b())
+                    recons.append(ef.recon)
+            for ef in pipe.flush():
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+    finally:
+        pl.EncoderPipeline._emit = orig
+    assert len(recons) == 2
+    assert descs[0].qp_map is not None and (descs[0].qp_map != 30).any(), \
+        "AQ map carried no deltas"
+    decoded = decode_annexb(path)
+    assert len(decoded) == 2
+    for i, dy in enumerate(decoded):
+        assert np.array_equal(dy, recons[i]["y"]), f"frame {i} mismatch"
+
+
+def test_aq_device_batched_pipeline(tmp_path):
+    """AQ through the BATCHED device pipeline (maps ride the pending
+    queue + background fetch)."""
+    rng = np.random.RandomState(23)
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=0, sao=False,
+                        deblocking=False, sign_hiding=True, cu_size=16,
+                        aq_strength=2.0, num_frames_in_flight=3)
+    enc = Encoder(cfg)
+    path = tmp_path / "aq_batch.265"
+    recons = []
+    with open(path, "wb") as f:
+        for _ in range(6):
+            y, u, v = make_yuv(rng, w, h)
+            y[: h // 4] = 85
+            for ef in enc.encode(y, u, v):
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            recons.append(ef.recon)
+    assert len(recons) == 6
+    decoded = decode_annexb(path)
+    assert len(decoded) == 6
+    for i, dy in enumerate(decoded):
+        assert np.array_equal(dy, recons[i]["y"]), f"frame {i} mismatch"
