@@ -69,6 +69,7 @@ def get_lib():
         + [ctypes.c_char_p] * 5 + [_I32P]  # inter maps + mv
         + [_I32P, ctypes.c_char_p]       # mv_l1 + mvp_flag_l1 (B)
         + [ctypes.c_char_p]              # inter_dir (B, mixed uni/bi)
+        + [ctypes.c_char_p]              # inter_part (rect PUs, P)
         + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
         + [_I32P, ctypes.c_long, _I32P])
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
@@ -168,9 +169,10 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
     lib = get_lib()
     if lib is None:
         return None
-    if desc.inter_part is not None and desc.inter_part.any():
-        # rectangular PUs: python serializer path (native rect syntax
-        # not implemented yet)
+    if (desc.inter_part is not None and desc.inter_part.any()
+            and slice_type == 0):
+        # rect PUs in B slices: python serializer path (this encoder
+        # emits rect in P slices only; native implements the P syntax)
         return None
     cap = desc.width * desc.height * 4 + 65536
     out = np.zeros(cap, np.uint8)
@@ -194,6 +196,7 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
     else:
         pmv1, mvp1 = None, None
     idir = b(desc.inter_dir) if desc.inter_dir is not None else None
+    ipart = b(desc.inter_part) if desc.inter_part is not None else None
     if sao_params is not None:
         sp = sao_params
         sml = b(sp.merge_left.astype(np.uint8))
@@ -226,7 +229,7 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         py_, pu_, pv_,
         b(desc.skip), b(desc.inter_mode), b(desc.merge_idx),
         b(desc.mvp_flag), b(desc.root_cbf), pmv,
-        pmv1, mvp1, idir,
+        pmv1, mvp1, idir, ipart,
         sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
         out.ctypes.data_as(ctypes.c_void_p), cap,
         row_sizes.ctypes.data_as(ctypes.c_void_p))

@@ -296,6 +296,9 @@ struct Desc {
   // per-unit prediction direction bitmask (1=L0, 2=L1, 3=BI); null = all
   // BI when mv_l1 is set, else all L0 (twin of FrameDesc.inter_dir)
   const uint8_t *inter_dir;
+  // inter CU partition per unit: 0=2Nx2N, 1=2NxN, 2=Nx2N (P slices;
+  // null = all 2Nx2N; twin of FrameDesc.inter_part)
+  const uint8_t *inter_part;
   const uint8_t *pred_mode;  // 0 = inter, 1 = intra
   // per-8x8 luma QP targets (cu_qp_delta; null = flat slice QP)
   const int8_t *qp_map;
@@ -749,6 +752,104 @@ struct Enc {
     amvp_list_of(d.mv, x0, y0, n, out);
   }
 
+  // ---- rectangular PUs (P slices; twin of hevc/inter.py rect fns) ----------
+  // Same-CU availability follows PU decode order (PU0 precedes PU1), not
+  // the 4x4 z-curve — any reachable same-CU position lies in PU0.
+  bool motion_at_rect(int x, int y, int px0, int py0,
+                      int cux, int cuy, int cun, MV* out) const {
+    if (x < 0 || y < 0 || x >= p.width || y >= p.height) return false;
+    bool same_cu = (x >= cux && x < cux + cun && y >= cuy && y < cuy + cun);
+    if (!same_cu && !coded_before(x, y, px0, py0)) return false;
+    int u = (y >> 3) * d.w8 + (x >> 3);
+    if (d.pred_mode && d.pred_mode[u] != 0) return false;
+    out->x = d.mv[2 * u]; out->y = d.mv[2 * u + 1]; out->ref = 0;
+    return true;
+  }
+  int rect_merge_list(int x0, int y0, int pw, int ph, int part, int pu_idx,
+                      MV out[5]) const {
+    int cux = x0, cuy = y0, cun;
+    if (part == 1) { cuy -= pu_idx ? ph : 0; cun = pw; }   // 2NxN
+    else { cux -= pu_idx ? pw : 0; cun = ph; }             // Nx2N
+    MV a1, b1, b0, a0, b2;
+    bool ha1 = motion_at_rect(x0 - 1, y0 + ph - 1, x0, y0, cux, cuy, cun, &a1);
+    bool hb1 = motion_at_rect(x0 + pw - 1, y0 - 1, x0, y0, cux, cuy, cun, &b1);
+    bool hb0 = motion_at_rect(x0 + pw, y0 - 1, x0, y0, cux, cuy, cun, &b0);
+    bool ha0 = motion_at_rect(x0 - 1, y0 + ph, x0, y0, cux, cuy, cun, &a0);
+    bool hb2 = motion_at_rect(x0 - 1, y0 - 1, x0, y0, cux, cuy, cun, &b2);
+    if (part == 2 && pu_idx == 1) ha1 = false;   // A1 in PU0 (8.5.3.2.3)
+    if (part == 1 && pu_idx == 1) hb1 = false;   // B1 in PU0
+    int cnt = 0;
+    auto same = [](bool hx, const MV& u, bool hy, const MV& v) {
+      return hx && hy && u.x == v.x && u.y == v.y && u.ref == v.ref;
+    };
+    if (ha1) out[cnt++] = a1;
+    if (hb1 && !same(hb1, b1, ha1, a1)) out[cnt++] = b1;
+    if (hb0 && !same(hb0, b0, hb1, b1)) out[cnt++] = b0;
+    if (ha0 && !same(ha0, a0, ha1, a1)) out[cnt++] = a0;
+    if (cnt < 4 && hb2 && !same(hb2, b2, ha1, a1) && !same(hb2, b2, hb1, b1))
+      out[cnt++] = b2;
+    while (cnt < 5) out[cnt++] = MV{0, 0, 0};
+    return 5;
+  }
+  void rect_amvp_list(int x0, int y0, int pw, int ph, int part, int pu_idx,
+                      MV out[2]) const {
+    int cux = x0, cuy = y0, cun;
+    if (part == 1) { cuy -= pu_idx ? ph : 0; cun = pw; }
+    else { cux -= pu_idx ? pw : 0; cun = ph; }
+    MV a0, a1, b0, b1, b2, mva, mvb;
+    bool hva = false, hvb = false;
+    if (motion_at_rect(x0 - 1, y0 + ph, x0, y0, cux, cuy, cun, &a0)) { mva = a0; hva = true; }
+    else if (motion_at_rect(x0 - 1, y0 + ph - 1, x0, y0, cux, cuy, cun, &a1)) { mva = a1; hva = true; }
+    if (motion_at_rect(x0 + pw, y0 - 1, x0, y0, cux, cuy, cun, &b0)) { mvb = b0; hvb = true; }
+    else if (motion_at_rect(x0 + pw - 1, y0 - 1, x0, y0, cux, cuy, cun, &b1)) { mvb = b1; hvb = true; }
+    else if (motion_at_rect(x0 - 1, y0 - 1, x0, y0, cux, cuy, cun, &b2)) { mvb = b2; hvb = true; }
+    int cnt = 0;
+    if (hva) out[cnt++] = mva;
+    if (hvb && (!hva || mvb.x != mva.x || mvb.y != mva.y)) out[cnt++] = mvb;
+    while (cnt < 2) out[cnt++] = MV{0, 0, 0};
+  }
+
+  void inter_cu_rect(int x0, int y0, int log2, int part) {
+    // part_mode "01" = 2NxN, "00(1)" = Nx2N (AMP off, spec 9.3.3.7);
+    // per-PU merge/AMVP motion, then rqt_root_cbf (always coded)
+    int size = 1 << log2, half = size >> 1;
+    c.bin(PART_SIZE, 0);
+    c.bin(PART_SIZE + 1, part == 1);
+    if (part == 2 && log2 == p.log2_min_cb && log2 > 3)
+      c.bin(PART_SIZE + 2, 1);
+    int pus[2][4];
+    if (part == 1) {
+      int t0[4] = {x0, y0, size, half}, t1[4] = {x0, y0 + half, size, half};
+      memcpy(pus[0], t0, sizeof t0); memcpy(pus[1], t1, sizeof t1);
+    } else {
+      int t0[4] = {x0, y0, half, size}, t1[4] = {x0 + half, y0, half, size};
+      memcpy(pus[0], t0, sizeof t0); memcpy(pus[1], t1, sizeof t1);
+    }
+    for (int i = 0; i < 2; i++) {
+      int px = pus[i][0], py = pus[i][1], pw = pus[i][2], ph = pus[i][3];
+      int u = (py >> 3) * d.w8 + (px >> 3);
+      int mode = d.inter_mode[u];
+      c.bin(MERGE_FLAG, mode == 1);
+      if (mode == 1) {
+        encode_merge_idx(d.merge_idx[u]);
+        continue;
+      }
+      MV mvp[2];
+      rect_amvp_list(px, py, pw, ph, part, i, mvp);
+      int f = d.mvp_flag[u];
+      encode_mvd(d.mv[2 * u] - mvp[f].x, d.mv[2 * u + 1] - mvp[f].y);
+      c.bin(MVP_IDX, f);
+    }
+    int u0 = (y0 >> 3) * d.w8 + (x0 >> 3);
+    int rcbf = d.root_cbf[u0];
+    c.bin(QT_ROOT_CBF, rcbf);
+    if (rcbf) {
+      bool forced = p.max_tr_depth_inter == 0;
+      transform_tree(x0, y0, x0, y0, log2, 0, 0, forced,
+                     p.max_tr_depth_inter + (forced ? 1 : 0), true, true);
+    }
+  }
+
   void encode_merge_idx(int idx, int max_cand = 5) {
     if (max_cand <= 1) return;
     c.bin(MERGE_IDX, idx > 0);
@@ -774,6 +875,10 @@ struct Enc {
 
   void inter_cu(int x0, int y0, int log2) {
     int u = (y0 >> 3) * d.w8 + (x0 >> 3);
+    if (d.inter_part && d.inter_part[u]) {
+      inter_cu_rect(x0, y0, log2, d.inter_part[u]);
+      return;
+    }
     c.bin(PART_SIZE, 1);  // 2Nx2N
     int mode = d.inter_mode[u];  // 1=merge, 2=amvp
     c.bin(MERGE_FLAG, mode == 1);
@@ -965,7 +1070,7 @@ long hevcenc_encode_slice2(
     const uint8_t* skip, const uint8_t* inter_mode, const uint8_t* merge_idx,
     const uint8_t* mvp_flag, const uint8_t* root_cbf, const int32_t* mv,
     const int32_t* mv_l1, const uint8_t* mvp_flag_l1,
-    const uint8_t* inter_dir,
+    const uint8_t* inter_dir, const uint8_t* inter_part,
     const uint8_t* sao_merge_left, const uint8_t* sao_merge_up,
     const int32_t* sao_type_l, const int32_t* sao_type_c,
     const int32_t* sao_eo_l, const int32_t* sao_eo_c,
@@ -986,6 +1091,7 @@ long hevcenc_encode_slice2(
   e.d.mvp_flag = mvp_flag; e.d.root_cbf = root_cbf; e.d.mv = mv;
   e.d.mv_l1 = mv_l1; e.d.mvp_flag_l1 = mvp_flag_l1;
   e.d.inter_dir = inter_dir;
+  e.d.inter_part = inter_part;
   e.d.sao_merge_left = sao_merge_left; e.d.sao_merge_up = sao_merge_up;
   e.d.sao_type_l = sao_type_l; e.d.sao_type_c = sao_type_c;
   e.d.sao_eo_l = sao_eo_l; e.d.sao_eo_c = sao_eo_c;

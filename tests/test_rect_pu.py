@@ -123,3 +123,38 @@ def test_rect_pu_parser_roundtrip():
     np.testing.assert_array_equal(p.d.inter_part is not None
                                   and p.d.inter_part,
                                   desc.inter_part)
+
+
+def test_rect_pu_native_serializer_matches_python():
+    """The C++ serializer's rect-PU payload (part bins, per-PU
+    merge/AMVP, rqt_root_cbf) must be bit-identical to the Python
+    SliceDataEncoder's."""
+    import pytest
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame
+    from homerhevc_tpu.hevc.headers import SLICE_P
+    from homerhevc_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(29)
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1, cu_size=16,
+                        sao=False, deblocking=False, sign_hiding=True,
+                        intra_period=0)
+    pipe = EncoderPipeline(cfg, backend="golden")
+    for split in ("h", "v"):
+        frames = _two_motion_frames(np.random.RandomState(29), w, h, 2,
+                                    split=split)
+        (y0, u0, v0), (y1, u1, v1) = frames
+        desc, *_ = encode_inter_frame(
+            pipe.ps, (y1, u1, v1),
+            (y0.astype(np.int32), u0.astype(np.int32),
+             v0.astype(np.int32)),
+            32, cu_size=16, search=8, rect_pu=True)
+        assert desc.inter_part is not None and desc.inter_part.any()
+        nal_native = pipe._serialize_slice(desc, SLICE_P, 1, 32,
+                                           refs_before=(0,), poc=1)
+        nal_python = pipe._serialize_slice(desc, SLICE_P, 1, 32,
+                                           use_native=False,
+                                           refs_before=(0,), poc=1)
+        assert nal_native == nal_python, f"split={split} payload mismatch"
