@@ -101,3 +101,31 @@ def test_full_rd_parser_roundtrip():
     np.testing.assert_array_equal(p.d.part_nxn, desc.part_nxn)
     np.testing.assert_array_equal(p.d.luma_mode, desc.luma_mode)
     np.testing.assert_array_equal(p.d.chroma_mode, desc.chroma_mode)
+
+
+def test_full_rd_native_serializer_matches_python():
+    """Native C++ payloads for RD_FULL streams (NxN partitions, TU
+    splits, non-DM chroma modes) must be bit-identical to Python's."""
+    import pytest
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.golden.intra_tree import (decide_intra_tree,
+                                                 encode_intra_tree_frame)
+    from homerhevc_tpu.hevc.headers import SLICE_I
+    from homerhevc_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(2)
+    w, h = 64, 64
+    pipe = EncoderPipeline(_cfg(w, h), backend="golden")
+    y, u, v = make_yuv(rng, w, h)
+    y[::3, :] = 240
+    dec = decide_intra_tree(pipe.ps, y.astype(np.int32),
+                            u.astype(np.int32), v.astype(np.int32), 30,
+                            ctb=32, full_rd=True)
+    desc, *_ = encode_intra_tree_frame(pipe.ps, y.astype(np.int32),
+                                       u.astype(np.int32),
+                                       v.astype(np.int32), 30, dec, ctb=32)
+    assert desc.part_nxn.any() or (desc.tr_depth == 1).any()
+    a = pipe._serialize_slice(desc, SLICE_I, 19, 30)
+    b = pipe._serialize_slice(desc, SLICE_I, 19, 30, use_native=False)
+    assert a == b
