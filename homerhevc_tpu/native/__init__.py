@@ -26,7 +26,7 @@ def _build(force: bool = False) -> bool:
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return True
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops",
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-pthread",
              "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True, capture_output=True)
         return True
@@ -71,7 +71,8 @@ def get_lib():
         + [ctypes.c_char_p]              # inter_dir (B, mixed uni/bi)
         + [ctypes.c_char_p]              # inter_part (rect PUs, P)
         + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
-        + [_I32P, ctypes.c_long, _I32P])
+        + [_I32P, ctypes.c_long, _I32P]
+        + [ctypes.c_int])                # n_threads (WPP row pool)
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
     lib.hevcenc_unpack_sparse8.argtypes = [
         _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
@@ -157,6 +158,18 @@ def unpack_sparse_cg_native(cg_bitmap, masks16, codes, count: int,
     return n >= 0
 
 
+def wpp_threads() -> int:
+    """WPP row-substream serializer pool size: HEVCENC_THREADS env
+    override, else the host's core count (rows fork their CABAC context
+    from the row above after CTB 1, so rows parallelize with one atomic
+    wait each — the analog of the reference's per-row WPP entropy
+    threads, hmr_encoder_lib.c:1071-1090)."""
+    v = os.environ.get("HEVCENC_THREADS", "")
+    if v.isdigit() and int(v) > 0:
+        return int(v)
+    return os.cpu_count() or 1
+
+
 def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
                         slice_type: int = 2, sao_params=None,
                         wpp: bool = False, ref_dists=(1, 1),
@@ -232,7 +245,8 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         pmv1, mvp1, idir, ipart,
         sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
         out.ctypes.data_as(ctypes.c_void_p), cap,
-        row_sizes.ctypes.data_as(ctypes.c_void_p))
+        row_sizes.ctypes.data_as(ctypes.c_void_p),
+        wpp_threads() if wpp else 1)
     if n < 0:
         return None
     payload = out[:n].tobytes()

@@ -11,9 +11,12 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libhevcenc.so hevcenc.cpp
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -309,7 +312,46 @@ struct Desc {
   const int32_t *sao_off;    // (cy, cx, 3, 4)
   int ctus_x;
   int w8, w4, w, cw;   // strides
+  // per-4x4-block significance maps (1 byte per spatial 4x4 block of each
+  // coefficient plane, built once per frame by build_nzb4): every cbf
+  // query and coefficient-group skip decision reads these instead of
+  // scanning the mostly-zero dense planes
+  const uint8_t *nzb4_y, *nzb4_u, *nzb4_v;
+  int w4b, cw4b;       // nzb4 strides (w/4, cw/4)
 };
+
+// One pass over a dense coefficient plane -> 4x4-block significance map.
+// Reads each 4x4 block as four unaligned uint64 row loads (w, h are
+// multiples of 4 by CTU padding).
+static void build_nzb4(const int16_t* plane, int w, int h, uint8_t* out) {
+  int w4 = w >> 2, h4 = h >> 2;
+  for (int by = 0; by < h4; by++) {
+    const int16_t* r0 = plane + (size_t)(by << 2) * w;
+    uint8_t* o = out + (size_t)by * w4;
+    for (int bx = 0; bx < w4; bx++) {
+      const int16_t* b = r0 + (bx << 2);
+      uint64_t acc = 0;
+      for (int j = 0; j < 4; j++) {
+        uint64_t v;
+        memcpy(&v, b + (size_t)j * w, 8);
+        acc |= v;
+      }
+      o[bx] = acc != 0;
+    }
+  }
+}
+
+// Any nonzero 4x4 block inside a 4-aligned square region (block coords).
+static inline bool region_nz4(const uint8_t* nzb4, int stride4,
+                              int x, int y, int size) {
+  int bx = x >> 2, by = y >> 2, n = size >> 2;
+  for (int j = 0; j < n; j++) {
+    const uint8_t* row = nzb4 + (size_t)(by + j) * stride4 + bx;
+    for (int i = 0; i < n; i++)
+      if (row[i]) return true;
+  }
+  return false;
+}
 
 struct Enc {
   Params p;
@@ -325,12 +367,17 @@ struct Enc {
   int trd(int x, int y) const { return d.tr_depth[(y>>3)*d.w8 + (x>>3)]; }
   bool nxn(int x, int y) const { return d.part_nxn[(y>>3)*d.w8 + (x>>3)] != 0; }
 
-  bool region_nz(const int16_t* plane, int stride, int x, int y, int size) const {
-    for (int j = 0; j < size; j++) {
-      const int16_t* row = plane + (y + j) * stride + x;
-      for (int i = 0; i < size; i++) if (row[i]) return true;
-    }
-    return false;
+  // cbf queries ride the 4x4-block significance maps (all TU coordinates
+  // are 4-aligned: min TB is 4 and chroma of the smallest luma TU folds
+  // into one 4x4)
+  bool nz_y(int x, int y, int size) const {
+    return region_nz4(d.nzb4_y, d.w4b, x, y, size);
+  }
+  bool nz_u(int x, int y, int size) const {
+    return region_nz4(d.nzb4_u, d.cw4b, x, y, size);
+  }
+  bool nz_v(int x, int y, int size) const {
+    return region_nz4(d.nzb4_v, d.cw4b, x, y, size);
   }
 
   static int scan_idx_for(int mode, int log2, bool luma) {
@@ -342,33 +389,53 @@ struct Enc {
   }
 
   // ---- residual coding ----------------------------------------------------
-  void residual(const int16_t* plane, int stride, int bx, int by,
+  // CG-sparse: the 4x4-block significance map (nzb4) decides which 16-
+  // coefficient groups exist at all; only those are gathered from the dense
+  // plane. Zero CGs cost one context bin and no memory traffic — at working
+  // QPs ~95% of a TU's groups are zero, so this replaces the former
+  // O(size^2) scan gather with a handful of 16-element reads.
+  void residual(const int16_t* plane, int stride, const uint8_t* nzb4,
+                int stride4, int bx, int by,
                 int log2, int cidx, int scan_sel) {
     int size = 1 << log2;
     int szmask = size - 1;
     const std::vector<int>& scan = g_scans.coeff[log2][scan_sel];
-    int nn = size * size;
-    int32_t sc[1024];
-    int last_pos = -1;
-    for (int i = 0; i < nn; i++) {
-      int r = scan[i];
-      sc[i] = plane[(by + (r >> log2)) * stride + bx + (r & szmask)];
-      if (sc[i]) last_pos = i;
+    const std::vector<int>& cgo = g_scans.cg[log2][scan_sel];
+    int ncg = size / 4 > 0 ? size / 4 : 1;
+    int n_cg_tot = ncg * ncg;
+    int bx4 = bx >> 2, by4 = by >> 2;
+
+    bool cg_nz_r[64];   // indexed by raster CG position within the TU
+    if (log2 == 2) {
+      cg_nz_r[0] = true;                      // caller guaranteed cbf
+    } else {
+      for (int cy = 0; cy < ncg; cy++) {
+        const uint8_t* row = nzb4 + (size_t)(by4 + cy) * stride4 + bx4;
+        for (int cx = 0; cx < ncg; cx++) cg_nz_r[cy * ncg + cx] = row[cx] != 0;
+      }
     }
+    int last_cg = n_cg_tot - 1;
+    while (last_cg > 0 && !cg_nz_r[cgo[last_cg]]) last_cg--;
+
+    // gather one CG's 16 coefficients in scan order
+    int16_t sc16[16];
+    auto gather = [&](int ci) {
+      const int* sp = &scan[ci * 16];
+      for (int k = 0; k < 16; k++) {
+        int r = sp[k];
+        sc16[k] = plane[(size_t)(by + (r >> log2)) * stride + bx + (r & szmask)];
+      }
+    };
+    gather(last_cg);
+    int last_in = 15;
+    while (last_in > 0 && !sc16[last_in]) last_in--;
+    int last_pos = last_cg * 16 + last_in;
     int last_raster = scan[last_pos];
     int last_x = last_raster & szmask, last_y = last_raster >> log2;
     if (scan_sel == 2) { int t = last_x; last_x = last_y; last_y = t; }
     encode_last(last_x, last_y, log2, cidx);
 
-    int ncg = size / 4 > 0 ? size / 4 : 1;
-    int num_cg = (last_pos >> 4) + 1;
-    const std::vector<int>& cgo = g_scans.cg[log2][scan_sel];
-    bool cg_nz[64] = {false};
-    bool cg_nz_r[64] = {false};   // indexed by raster CG position
-    for (int ci = 0; ci < num_cg; ci++) {
-      for (int k = ci * 16; k < (ci + 1) * 16; k++)
-        if (sc[k]) { cg_nz[ci] = true; cg_nz_r[cgo[ci]] = true; break; }
-    }
+    int num_cg = last_cg + 1;
     auto right_below = [&](int ci) {
       int r = cgo[ci];
       int cgx = r % ncg, cgy = r / ncg;
@@ -380,40 +447,44 @@ struct Enc {
 
     int c1 = 1;
     for (int ci = num_cg - 1; ci >= 0; ci--) {
-      int cg_start = ci * 16;
       bool in_last = ci == num_cg - 1;
       int prev_csbf = right_below(ci);
       bool infer_dc = false;
       bool coded_sb = true;
+      bool has_nz = cg_nz_r[cgo[ci]];
       if (!in_last && ci != 0) {
-        coded_sb = cg_nz[ci];
+        coded_sb = has_nz;
         c.bin(SIG_CG + (cidx ? 2 : 0) + (prev_csbf ? 1 : 0), coded_sb);
         infer_dc = true;
       }
       if (!coded_sb) continue;
-      int start_n = in_last ? (last_pos - cg_start < 15 ? last_pos - cg_start : 15) : 15;
-      int pos_list[16]; int n_nz = 0;
+      if (!in_last) {
+        if (has_nz) gather(ci);
+        else memset(sc16, 0, sizeof sc16);   // DC CG inferred-coded, all zero
+      }
+      int cg_start = ci * 16;
+      int start_n = in_last ? last_in : 15;
+      int pos_list[16]; int n_nz = 0;         // local (within-CG) scan offsets
       int num_found = 0;
       const uint8_t* ctx_lut =
           g_sigctx.t[log2 - 2][scan_sel][cidx ? 1 : 0][prev_csbf].data();
       int sig_base = SIG + (cidx ? 27 : 0);
       for (int n = start_n; n >= 0; n--) {
-        int pos = cg_start + n;
-        int sig = sc[pos] != 0;
-        if (in_last && pos == last_pos) { pos_list[n_nz++] = pos; num_found++; continue; }
-        if (n == 0 && infer_dc && num_found == 0) { pos_list[n_nz++] = pos; continue; }
-        c.bin(sig_base + ctx_lut[pos], sig);
-        if (sig) { pos_list[n_nz++] = pos; num_found++; }
+        int sig = sc16[n] != 0;
+        if (in_last && n == start_n) { pos_list[n_nz++] = n; num_found++; continue; }
+        if (n == 0 && infer_dc && num_found == 0) { pos_list[n_nz++] = n; continue; }
+        c.bin(sig_base + ctx_lut[cg_start + n], sig);
+        if (sig) { pos_list[n_nz++] = n; num_found++; }
       }
       if (!n_nz) continue;
       int absv[16], sgn[16];
       for (int i = 0; i < n_nz; i++) {
-        int v = sc[pos_list[i]];
+        int v = sc16[pos_list[i]];
         absv[i] = v < 0 ? -v : v;
         sgn[i] = v < 0;
       }
-      int first_sc = pos_list[n_nz - 1] - cg_start;
-      int last_sc = pos_list[0] - cg_start;
+      int first_sc = pos_list[n_nz - 1];
+      int last_sc = pos_list[0];
       bool hide = p.sign_hiding && (last_sc - first_sc) >= 4;
       int ctx_set = (ci > 0 && cidx == 0) ? 2 : 0;
       if (c1 == 0) ctx_set++;
@@ -520,8 +591,8 @@ struct Enc {
     int cx = x0 >> 1, cy = y0 >> 1, cs = size >> 1;
     bool cbf_cb = pcb, cbf_cr = pcr;
     if (log2 > 2) {
-      cbf_cb = region_nz(d.coef_u, d.cw, cx, cy, cs);
-      cbf_cr = region_nz(d.coef_v, d.cw, cx, cy, cs);
+      cbf_cb = nz_u(cx, cy, cs);
+      cbf_cr = nz_v(cx, cy, cs);
       if (pcb) c.bin(QT_CBF + 4 + depth, cbf_cb);
       if (pcr) c.bin(QT_CBF + 4 + depth, cbf_cr);
     }
@@ -534,7 +605,7 @@ struct Enc {
                        cbf_cb, cbf_cr);
       return;
     }
-    bool cbf_luma = region_nz(d.coef_y, d.w, x0, y0, size);
+    bool cbf_luma = nz_y(x0, y0, size);
     if (is_intra(x0, y0) || depth != 0 || cbf_cb || cbf_cr)
       c.bin(QT_CBF + (depth == 0 ? 1 : 0), cbf_luma);
     transform_unit(x0, y0, xb, yb, log2, depth, blk, cbf_luma, cbf_cb, cbf_cr);
@@ -567,8 +638,8 @@ struct Enc {
   void transform_unit(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk, bool cbf_luma, bool cbf_cb, bool cbf_cr) {
     if (log2 == 2) {
-      cbf_cb = cbf_cb && region_nz(d.coef_u, d.cw, xb >> 1, yb >> 1, 4);
-      cbf_cr = cbf_cr && region_nz(d.coef_v, d.cw, xb >> 1, yb >> 1, 4);
+      cbf_cb = cbf_cb && nz_u(xb >> 1, yb >> 1, 4);
+      cbf_cr = cbf_cr && nz_v(xb >> 1, yb >> 1, 4);
     }
     if (!(cbf_luma || cbf_cb || cbf_cr)) return;
     if (p.cu_qp_delta && !qp_coded) {
@@ -579,7 +650,7 @@ struct Enc {
     if (cbf_luma) {
       int sel = is_intra(x0, y0)
           ? scan_idx_for(lmode(x0, y0), log2, true) : 0;
-      residual(d.coef_y, d.w, x0, y0, log2, 0, sel);
+      residual(d.coef_y, d.w, d.nzb4_y, d.w4b, x0, y0, log2, 0, sel);
     }
     if (log2 > 2 || blk == 3) {
       int cx, cy, clog2, mx, my;
@@ -587,8 +658,8 @@ struct Enc {
       else { cx = xb >> 1; cy = yb >> 1; clog2 = 2; mx = xb; my = yb; }
       int csel = is_intra(mx, my)
           ? scan_idx_for(cmode(mx, my), clog2, false) : 0;
-      if (cbf_cb) residual(d.coef_u, d.cw, cx, cy, clog2, 1, csel);
-      if (cbf_cr) residual(d.coef_v, d.cw, cx, cy, clog2, 2, csel);
+      if (cbf_cb) residual(d.coef_u, d.cw, d.nzb4_u, d.cw4b, cx, cy, clog2, 1, csel);
+      if (cbf_cr) residual(d.coef_v, d.cw, d.nzb4_v, d.cw4b, cx, cy, clog2, 2, csel);
     }
   }
 
@@ -1075,7 +1146,7 @@ long hevcenc_encode_slice2(
     const int32_t* sao_type_l, const int32_t* sao_type_c,
     const int32_t* sao_eo_l, const int32_t* sao_eo_c,
     const int32_t* sao_band, const int32_t* sao_off,
-    uint8_t* out_buf, long out_cap, long* row_sizes) {
+    uint8_t* out_buf, long out_cap, long* row_sizes, int n_threads) {
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
                log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
@@ -1103,10 +1174,20 @@ long hevcenc_encode_slice2(
   e.d.ctus_x = cw;
   bool has_sao = sao_merge_left != nullptr;
 
+  // 4x4-block significance maps (one pass per plane; every cbf query and
+  // CG skip in the serializer reads these instead of the dense planes)
+  std::vector<uint8_t> nzy((size_t)(width >> 2) * (height >> 2));
+  std::vector<uint8_t> nzu((size_t)(width >> 3) * (height >> 3));
+  std::vector<uint8_t> nzv(nzu.size());
+  build_nzb4(coef_y, width, height, nzy.data());
+  build_nzb4(coef_u, width >> 1, height >> 1, nzu.data());
+  build_nzb4(coef_v, width >> 1, height >> 1, nzv.data());
+  e.d.nzb4_y = nzy.data(); e.d.nzb4_u = nzu.data(); e.d.nzb4_v = nzv.data();
+  e.d.w4b = width >> 2; e.d.cw4b = width >> 3;
+
   std::vector<uint8_t> all;
   all.reserve(out_cap);
-  uint8_t ctx[NUM_CTX], saved[NUM_CTX];
-  bool have_saved = false;
+  uint8_t ctx[NUM_CTX];
   memcpy(ctx, ctx_init, NUM_CTX);
 
   if (!wpp) {
@@ -1128,27 +1209,80 @@ long hevcenc_encode_slice2(
     return (long)out.size();
   }
 
-  for (int cy = 0; cy < ch; cy++) {
-    std::vector<uint8_t> out;
+  // WPP: one CABAC substream per CTB row. The analysis maps are complete
+  // before serialization starts, so the ONLY cross-row dependency is the
+  // entropy-sync context fork after CTB 1 of the row above (spec 9.3.1;
+  // reference per-row substream threads, hmr_encoder_lib.c:1071-1090,2849).
+  // Rows therefore run on a thread pool: each row waits on one atomic for
+  // its predecessor's context snapshot, publishes its own after CTB 1, and
+  // serializes the rest of the row fully independently.
+  std::vector<std::vector<uint8_t>> rows(ch);
+  std::vector<std::vector<uint8_t>> snaps(ch);
+  std::unique_ptr<std::atomic<int>[]> ready(new std::atomic<int>[ch]);
+  for (int i = 0; i < ch; i++) ready[i].store(0, std::memory_order_relaxed);
+
+  auto encode_row = [&](Enc& er, int cy) {
+    std::vector<uint8_t>& out = rows[cy];
     out.reserve(64 << 10);
     uint8_t rowctx[NUM_CTX];
-    if (cy == 0 || !have_saved) memcpy(rowctx, ctx_init, NUM_CTX);
-    else memcpy(rowctx, saved, NUM_CTX);
-    e.c = Cabac{};
-    e.c.out = &out;
-    e.c.ctx = rowctx;
-    e.qp_pred = slice_qp;           // qPY_PREV resets per WPP CTB row
-    for (int cx = 0; cx < cw; cx++) {
-      e.qp_coded = false;           // QG = CTB
-      if (has_sao) e.sao_ctu(cx, cy);
-      e.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
-      e.c.terminate(cy == ch - 1 && cx == cw - 1);
-      if (cx == 1) { memcpy(saved, rowctx, NUM_CTX); have_saved = true; }
+    if (cy == 0) {
+      memcpy(rowctx, ctx_init, NUM_CTX);
+    } else {
+      while (!ready[cy - 1].load(std::memory_order_acquire))
+        std::this_thread::yield();
+      memcpy(rowctx, snaps[cy - 1].data(), NUM_CTX);
     }
-    if (cy != ch - 1) e.c.terminate(1);
-    e.c.finish();
-    row_sizes[cy] = (long)out.size();
-    all.insert(all.end(), out.begin(), out.end());
+    er.c = Cabac{};
+    er.c.out = &out;
+    er.c.ctx = rowctx;
+    er.qp_pred = slice_qp;          // qPY_PREV resets per WPP CTB row
+    for (int cx = 0; cx < cw; cx++) {
+      er.qp_coded = false;          // QG = CTB
+      if (has_sao) er.sao_ctu(cx, cy);
+      er.coding_quadtree(cx * ctu, cy * ctu, log2_ctu, 0);
+      er.c.terminate(cy == ch - 1 && cx == cw - 1);
+      if (cx == 1 && cy != ch - 1) {
+        snaps[cy].assign(rowctx, rowctx + NUM_CTX);
+        ready[cy].store(1, std::memory_order_release);
+      }
+    }
+    if (cy != ch - 1) er.c.terminate(1);
+    er.c.finish();
+  };
+
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > ch) n_threads = ch;
+  if (cw < 2) n_threads = 1;        // no CTB-1 snapshot exists to fork from
+
+  if (n_threads == 1) {
+    // sequential: propagate the snapshot chain in-place (cw == 1 keeps
+    // the previous effective snapshot, matching the Python serializer)
+    for (int cy = 0; cy < ch; cy++) {
+      if (cw < 2 && cy > 0 && !ready[cy - 1].load(std::memory_order_relaxed)) {
+        if (cy >= 2 && ready[cy - 2].load(std::memory_order_relaxed))
+          snaps[cy - 1] = snaps[cy - 2];
+        else
+          snaps[cy - 1].assign(ctx_init, ctx_init + NUM_CTX);
+        ready[cy - 1].store(1, std::memory_order_relaxed);
+      }
+      encode_row(e, cy);
+    }
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; t++) {
+      pool.emplace_back([&, t]() {
+        Enc er;
+        er.p = e.p; er.d = e.d;
+        for (int cy = t; cy < ch; cy += n_threads) encode_row(er, cy);
+      });
+    }
+    for (int cy = 0; cy < ch; cy += n_threads) encode_row(e, cy);
+    for (auto& th : pool) th.join();
+  }
+
+  for (int cy = 0; cy < ch; cy++) {
+    row_sizes[cy] = (long)rows[cy].size();
+    all.insert(all.end(), rows[cy].begin(), rows[cy].end());
   }
   if ((long)all.size() > out_cap) return -1;
   memcpy(out_buf, all.data(), all.size());
