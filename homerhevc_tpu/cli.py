@@ -15,7 +15,7 @@ import numpy as np
 
 from homerhevc_tpu.api import Encoder
 from homerhevc_tpu.config import (BitrateMode, EncoderConfig, MEPrecision,
-                                  RDMode)
+                                  PerformanceMode, RDMode)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-intra_period", type=int, default=100)
     p.add_argument("-gop_size", type=int, default=1,
                    help="0=all intra, 1=IPPP")
+    p.add_argument("-num_b", type=int, default=0,
+                   help="B frames between references (0 or 1; 1 = IBP)")
     p.add_argument("-num_ref_frames", type=int, default=1)
     p.add_argument("-qp", type=int, default=32)
     p.add_argument("-motion_estimation_precision", type=int, default=2,
@@ -52,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="intra CU-tree RDO (cu_size >= 32)")
     p.add_argument("-intra_in_p", type=int, default=0,
                    help="per-CU intra fallback inside P frames")
+    p.add_argument("-wpp", type=int, default=0,
+                   help="wavefront parallel processing: one CABAC "
+                        "substream per CTU row (reference "
+                        "wfpp_enable, homer_app.c)")
+    p.add_argument("-scaling_lists", type=int, default=0,
+                   help="default quantization scaling lists "
+                        "(reference scaling_list_enabled_flag)")
+    p.add_argument("-gpb", type=int, default=0,
+                   help="generalized-B P frames: two-list t-1/t-2 "
+                        "prediction with per-CU uni/bi")
+    p.add_argument("-performance_mode", type=int, default=0,
+                   help="0=full computation 1=fast (early skip) "
+                        "2=ufast (early skip + min CU depth 1)")
     p.add_argument("-bitrate_mode", type=int, default=0,
                    help="0=FIXED_QP 1=CBR 2=VBR")
     p.add_argument("-bitrate", type=int, default=1250, help="kbps")
@@ -80,7 +95,7 @@ def main(argv=None) -> int:
     cfg = EncoderConfig(
         width=w, height=h, frame_rate=args.frame_rate, cu_size=args.cu_size,
         intra_period=args.intra_period, gop_size=args.gop_size,
-        num_ref_frames=args.num_ref_frames, qp=args.qp,
+        num_b=args.num_b, num_ref_frames=args.num_ref_frames, qp=args.qp,
         motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
         chroma_qp_offset=args.chroma_qp_offset,
         sign_hiding=bool(args.sign_hiding), sao=bool(args.sao),
@@ -89,6 +104,9 @@ def main(argv=None) -> int:
         bitrate_mode=BitrateMode(args.bitrate_mode),
         bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
         vbv_init=args.vbv_init, aq_strength=args.aq,
+        wpp=bool(args.wpp), scaling_lists=bool(args.scaling_lists),
+        gpb=bool(args.gpb),
+        performance_mode=PerformanceMode(args.performance_mode),
         num_frames_in_flight=args.n_frames_in_flight)
     enc = Encoder(cfg)
     fsz = w * h * 3 // 2

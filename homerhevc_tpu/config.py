@@ -22,6 +22,12 @@ class BitrateMode(enum.IntEnum):
 
 
 class PerformanceMode(enum.IntEnum):
+    """Decision-effort pruning on the golden CU-tree path (reference
+    hmr_encoder_lib.c:921-947 fast_skip_loop / min_depth). FAST adds a
+    fast-skip loop to the consolidation passes; UFAST also raises the
+    minimum CU depth by one (no CU64 evaluation). The device path
+    evaluates every level in one batched program, so pruning there
+    saves nothing — these modes shape golden/off-device encodes."""
     FULL_COMPUTATION = 0
     FAST = 1
     UFAST = 2
@@ -77,7 +83,7 @@ class EncoderConfig:
     # intra wins RD (golden/inter_frame.py intra_fallback_p; reference
     # analog hmr_motion_inter.c:4008-4038).
     intra_in_p: bool = False
-    performance_mode: PerformanceMode = PerformanceMode.UFAST
+    performance_mode: PerformanceMode = PerformanceMode.FULL_COMPUTATION
     reinit_gop_on_scene_change: bool = True
     # generalized-B "P" frames (gop_size 1): once two references exist, P
     # frames are coded as B slices predicting from t-1 (L0) and t-2 (L1,
@@ -96,6 +102,15 @@ class EncoderConfig:
     def __post_init__(self) -> None:
         assert self.cu_size in (16, 32, 64)
         assert 0 <= self.qp <= 51
+        # num_b <-> gop structure (reference couples them the same way:
+        # homer_app.c gop_size/num_b defaults): gop_size 2 is the IBP
+        # pattern with one B between anchors; num_b=1 requests it.
+        if self.num_b not in (0, 1):
+            raise ValueError("num_b: only 0 (IPPP) or 1 (IBP) supported")
+        if self.gop_size >= 2 and self.num_b == 0:
+            self.num_b = 1
+        elif self.num_b == 1 and 0 < self.gop_size < 2:
+            self.gop_size = 2
         if self.width % 2 or self.height % 2:
             raise ValueError(
                 f"frame dimensions must be even (4:2:0 chroma), got "

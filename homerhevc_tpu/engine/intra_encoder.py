@@ -92,11 +92,25 @@ def _unpack_cg_frame(wire, i: int, n_tot: int, shapes, full_fallback):
     buf = np.empty(n_tot, np.int16)
     if unpack_sparse_cg_native(cg_bitmaps[i], masks[i], codes[i], cnt, cc,
                                esc_idx[i, :ec], esc_val[i, :ec], n_tot,
-                               buf):
+                               buf, shapes):
         return _split_planes(buf, shapes)
     from homerhevc_tpu.ops.pack import unpack_sparse_cg
     return unpack_sparse_cg(cg_bitmaps[i], masks[i], codes[i], cnt, cc,
                             esc_idx[i, :ec], esc_val[i, :ec], shapes)
+
+
+def _wire_frame(wire, i: int, shapes):
+    """Frame i of a parsed CG wire as a FrameDesc.cg_wire tuple (the
+    native serializer codes residuals straight off it — no dense unpack).
+    Returns None when the frame overflowed a static wire capacity; the
+    caller falls back to dense planes."""
+    (cg_bitmaps, masks, codes, esc_idx, esc_val, counts, esc_counts,
+     cg_counts, pack_C, cg_C, E) = wire
+    cnt, ec, cc = int(counts[i]), int(esc_counts[i]), int(cg_counts[i])
+    if cnt > pack_C or ec > E or cc > cg_C:
+        return None
+    return (cg_bitmaps[i], masks[i], codes[i], esc_idx[i, :ec],
+            esc_val[i, :ec], cnt, ec, cc, shapes)
 
 
 class _DeviceSlice:
@@ -653,10 +667,15 @@ class TpuIntraEncoder:
         r8 = cu // 8
         desc.chroma_mode[:] = np.repeat(np.repeat(mode_all, r8, 0), r8, 1)
         # direct assignment (views from the native unpack buffer): the
-        # serializer only needs contiguous int16, not ownership
-        desc.coef_y = np.ascontiguousarray(ly, np.int16)
-        desc.coef_u = np.ascontiguousarray(lu, np.int16)
-        desc.coef_v = np.ascontiguousarray(lv, np.int16)
+        # serializer only needs contiguous int16, not ownership. ly=None
+        # means the caller attaches the CG wire instead (wire-direct
+        # serialization; FrameDesc.densify materializes on demand).
+        if ly is None:
+            desc.coef_y = desc.coef_u = desc.coef_v = None
+        else:
+            desc.coef_y = np.ascontiguousarray(ly, np.int16)
+            desc.coef_u = np.ascontiguousarray(lu, np.int16)
+            desc.coef_v = np.ascontiguousarray(lv, np.int16)
         return desc
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -739,11 +758,18 @@ class TpuIntraEncoder:
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
-                py, pu, pv = _unpack_cg_frame(
-                    wire, i, n_tot, shapes,
-                    lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
-                             np.asarray(lv[i])))
-                desc = self._build_desc(modes[i], py, pu, pv)
+                w8 = _wire_frame(wire, i, shapes)
+                if w8 is not None:
+                    # wire-direct: no dense unpack; the native serializer
+                    # reads the CG wire, python consumers densify lazily
+                    desc = self._build_desc(modes[i], None, None, None)
+                    desc.cg_wire = w8
+                else:
+                    py, pu, pv = _unpack_cg_frame(
+                        wire, i, n_tot, shapes,
+                        lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
+                                 np.asarray(lv[i])))
+                    desc = self._build_desc(modes[i], py, pu, pv)
                 if qp_maps is not None:
                     # per-8x8 targets for the cu_qp_delta serializer (the
                     # device quantized with exactly these per-CTB QPs)

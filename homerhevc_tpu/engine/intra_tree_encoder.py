@@ -514,9 +514,12 @@ class TpuIntraTreeEncoder:
         desc.tr_depth[:] = 0
         desc.luma_mode[:] = np.repeat(np.repeat(mode8, 2, 0), 2, 1)
         desc.chroma_mode[:] = mode8
-        desc.coef_y = np.ascontiguousarray(ly, np.int16)
-        desc.coef_u = np.ascontiguousarray(lu, np.int16)
-        desc.coef_v = np.ascontiguousarray(lv, np.int16)
+        if ly is None:      # wire-direct: caller attaches desc.cg_wire
+            desc.coef_y = desc.coef_u = desc.coef_v = None
+        else:
+            desc.coef_y = np.ascontiguousarray(ly, np.int16)
+            desc.coef_u = np.ascontiguousarray(lu, np.int16)
+            desc.coef_v = np.ascontiguousarray(lv, np.int16)
         return desc
 
     def decide(self, y, u, v, qp: int) -> TreeDecision:
@@ -565,7 +568,7 @@ class TpuIntraTreeEncoder:
     def fetch_frames(self, out, n_frames: int, qp_maps=None):
         from homerhevc_tpu.ops.pack import esc_capacity
         from homerhevc_tpu.engine.intra_encoder import (
-            _DeviceSlice, _parse_cg_wire, _unpack_cg_frame)
+            _DeviceSlice, _parse_cg_wire, _unpack_cg_frame, _wire_frame)
         from homerhevc_tpu.utils.profiler import PROFILER
         ry, ru, rv, ly, lu, lv, meta = out
         with PROFILER.scope("fetch_meta"):
@@ -583,11 +586,18 @@ class TpuIntraTreeEncoder:
         results = []
         with PROFILER.scope("fetch_unpack"):
             for i in range(n_frames):
-                py, pu, pv = _unpack_cg_frame(
-                    wire, i, n_tot, shapes,
-                    lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
-                             np.asarray(lv[i])))
-                desc = self._build_desc(depth8s[i], mode8s[i], py, pu, pv)
+                w8 = _wire_frame(wire, i, shapes)
+                if w8 is not None:
+                    desc = self._build_desc(depth8s[i], mode8s[i],
+                                            None, None, None)
+                    desc.cg_wire = w8
+                else:
+                    py, pu, pv = _unpack_cg_frame(
+                        wire, i, n_tot, shapes,
+                        lambda: (np.asarray(ly[i]), np.asarray(lu[i]),
+                                 np.asarray(lv[i])))
+                    desc = self._build_desc(depth8s[i], mode8s[i],
+                                            py, pu, pv)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))
         return results

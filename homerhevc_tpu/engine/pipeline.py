@@ -471,7 +471,7 @@ class EncoderPipeline:
             while self._pending_q:
                 yield from self._fetch_emit(self._pending_q.pop(0))
             for fr in frames:
-                if self.cfg.gop_size >= 2:
+                if self.cfg.num_b >= 1:
                     yield from self._encode_gop2(fr, final=False)
                     continue
                 y, u, v = fr
@@ -546,7 +546,7 @@ class EncoderPipeline:
                                      slice_type=SLICE_P, qp=qp)
         if final:
             yield from self._drain_p_pending()
-        if final and self.cfg.gop_size >= 2:
+        if final and self.cfg.num_b >= 1:
             yield from self._encode_gop2(None, final=True)
         if final:
             while self._upload_q:
@@ -791,7 +791,7 @@ class EncoderPipeline:
         # IBP anchors are two display frames apart: double the exhaustive
         # window so anchor ME covers the same velocity as the IPPP chain
         # (the reference's diamond search roams +-128/64 instead)
-        return 24 if self.cfg.gop_size >= 2 else 16
+        return 24 if self.cfg.num_b >= 1 else 16
 
     def _get_tpu_inter(self):
         if self._tpu_inter is None:

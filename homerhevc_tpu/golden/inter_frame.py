@@ -1023,10 +1023,27 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     lam = T.rd_lambda(qp, "P")
     lam16 = T.lambda_me_x16(qp)
     me_prec = int(ps.cfg.motion_estimation_precision)
+    # performance modes (reference hmr_encoder_lib.c:921-947): FAST adds a
+    # fast-skip loop (consolidation passes skip regions whose sub-CU
+    # motion already disagrees — the merged CU can't win); UFAST also
+    # raises the min CU depth by one (the CU64 pass is skipped, like the
+    # reference's performance_min_depth=1). Decision-effort pruning only
+    # exists on this golden path: the device twin evaluates all levels in
+    # one batched program, where pruning saves nothing.
+    perf = int(getattr(ps.cfg, "performance_mode", 0))
+
+    def mv_spread16(x0, y0, n):
+        """Max qpel MV disagreement among the adopted sub-CU motion of an
+        n x n region (fast-skip predicate for consolidation)."""
+        g = desc.mv[y0 // 8:(y0 + n) // 8:2, x0 // 8:(x0 + n) // 8:2]
+        return int((g.max(axis=(0, 1)) - g.min(axis=(0, 1))).max())
+
     # fp32/prior_q come from the shared 16/32 hierarchical field above
     for gy in range(h // 32):
         for gx in range(w // 32):
             x0, y0 = gx * 32, gy * 32
+            if perf >= 1 and mv_spread16(x0, y0, 32) > 16:
+                continue     # fast skip: sub-CUs track different motion
             src_blk = sy[y0:y0 + 32, x0:x0 + 32]
             mv = (4 * int(fp32[gy, gx, 0]), 4 * int(fp32[gy, gx, 1]))
             if me_prec >= 1:
@@ -1068,6 +1085,8 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
+    if want64 and perf >= 2:
+        want64 = False       # UFAST: min CU depth 1 (no CU64 evaluation)
     if want64:
         def region_cost(x0, y0, n):
             """Cost of the CURRENTLY adopted coding of an n x n region
@@ -1088,6 +1107,8 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
         for gy in range(h // 64):
             for gx in range(w // 64):
                 x0, y0 = gx * 64, gy * 64
+                if perf >= 1 and mv_spread16(x0, y0, 64) > 16:
+                    continue   # fast skip (see above)
                 src_blk = sy[y0:y0 + 64, x0:x0 + 64]
                 mv = (4 * int(fp64[gy, gx, 0]), 4 * int(fp64[gy, gx, 1]))
                 if me_prec >= 1:

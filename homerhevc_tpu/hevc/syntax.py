@@ -90,6 +90,33 @@ class FrameDesc:
     # device-decided SAO params (ops/sao_dev.py): the recon planes are
     # already filtered on device; the host only writes the syntax
     sao_params: Optional[object] = None
+    # device CG wire (ops/pack.py pack_sparse_cg): when set, coef_y/u/v
+    # may be None — the native serializer codes residuals straight off
+    # the wire; python consumers call densify() first. Tuple:
+    # (cg_bitmap u8, masks16 i16, codes u8, esc_idx i32, esc_val i16,
+    #  count, esc_count, cg_count, shapes [(h,w)]x3)
+    cg_wire: Optional[tuple] = None
+
+    def densify(self) -> "FrameDesc":
+        """Materialize dense coefficient planes from cg_wire (no-op when
+        already dense). Python serializer / tooling entry point."""
+        if self.coef_y is not None or self.cg_wire is None:
+            return self
+        bm, mk, cd, ei, ev, cnt, ec, cc, shapes = self.cg_wire
+        n = sum(h * w for h, w in shapes)
+        from homerhevc_tpu.native import unpack_sparse_cg_native
+        buf = np.empty(n, np.int16)
+        if unpack_sparse_cg_native(bm, mk, cd, cnt, cc, ei, ev, n, buf,
+                                   shapes):
+            planes, off = [], 0
+            for h, w in shapes:
+                planes.append(buf[off:off + h * w].reshape(h, w))
+                off += h * w
+        else:
+            from homerhevc_tpu.ops.pack import unpack_sparse_cg
+            planes = unpack_sparse_cg(bm, mk, cd, cnt, cc, ei, ev, shapes)
+        self.coef_y, self.coef_u, self.coef_v = planes
+        return self
 
     @classmethod
     def alloc(cls, width: int, height: int) -> "FrameDesc":
@@ -154,7 +181,7 @@ class SliceDataEncoder:
                  slice_type: int = SLICE_I, slice_qp: int = 32,
                  sao_params=None, ref_dists=(1, 1)):
         self.ps = ps
-        self.d = desc
+        self.d = desc.densify()    # python path reads dense coef planes
         self.e = enc
         self.slice_type = slice_type
         self.slice_qp = slice_qp

@@ -72,7 +72,9 @@ def get_lib():
         + [ctypes.c_char_p]              # inter_part (rect PUs, P)
         + [ctypes.c_char_p] * 2 + [_I32P] * 6  # sao
         + [_I32P, ctypes.c_long, _I32P]
-        + [ctypes.c_int])                # n_threads (WPP row pool)
+        + [ctypes.c_int]                 # n_threads (WPP row pool)
+        + [_I32P] * 5                    # CG wire (nullable)
+        + [ctypes.c_long] * 3)           # count / esc_count / cg_count
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
     lib.hevcenc_unpack_sparse8.argtypes = [
         _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
@@ -84,7 +86,8 @@ def get_lib():
     lib.hevcenc_unpack_sparse_cg.restype = ctypes.c_long
     lib.hevcenc_unpack_sparse_cg.argtypes = [
         _I32P, _I32P, _I32P, ctypes.c_long, ctypes.c_long,
-        _I32P, _I32P, ctypes.c_long, ctypes.c_long, _I32P]
+        _I32P, _I32P, ctypes.c_long, ctypes.c_long, _I32P]  \
+        + [ctypes.c_int] * 6             # plane dims (w, h) x 3
     _lib = lib
     return lib
 
@@ -135,10 +138,12 @@ def unpack_sparse2_native(bitmap, codes, count: int, esc_idx, esc_val,
 
 def unpack_sparse_cg_native(cg_bitmap, masks16, codes, count: int,
                             cg_count: int, esc_idx, esc_val, n_total: int,
-                            out: np.ndarray):
-    """Expand the two-tier CG wire format into `out` (int16, n_total).
-    Returns False when the native library is unavailable or the data
-    mismatches (caller falls back to ops/pack.unpack_sparse_cg)."""
+                            out: np.ndarray, shapes):
+    """Expand the two-tier CG wire format into `out` (int16, n_total;
+    raster planes laid out consecutively). shapes: [(h, w)] x 3 of the
+    planes (the wire rides in spatial 4x4-block order). Returns False
+    when the native library is unavailable or the data mismatches
+    (caller falls back to ops/pack.unpack_sparse_cg)."""
     lib = get_lib()
     if lib is None:
         return False
@@ -152,9 +157,11 @@ def unpack_sparse_cg_native(cg_bitmap, masks16, codes, count: int,
     ei, p_ei = p(esc_idx, np.int32)
     ev, p_ev = p(esc_val, np.int16)
     assert out.dtype == np.int16 and out.flags.c_contiguous
+    (h0, w0), (h1, w1), (h2, w2) = shapes
     n = lib.hevcenc_unpack_sparse_cg(
         p_bm, p_mk, p_cd, int(count), int(cg_count), p_ei, p_ev, len(ei),
-        n_total, out.ctypes.data_as(ctypes.c_void_p))
+        n_total, out.ctypes.data_as(ctypes.c_void_p),
+        w0, h0, w1, h1, w2, h2)
     return n >= 0
 
 
@@ -199,9 +206,23 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         arr = np.ascontiguousarray(a, dt)
         return arr, arr.ctypes.data_as(ctypes.c_void_p)
 
-    coef_y, py_ = ptr(desc.coef_y, np.int16)
-    coef_u, pu_ = ptr(desc.coef_u, np.int16)
-    coef_v, pv_ = ptr(desc.coef_v, np.int16)
+    wire = getattr(desc, "cg_wire", None)
+    if wire is not None:
+        # wire-direct: residual syntax reads the device CG wire; the
+        # dense planes never materialize on this path
+        w_bm, p_wbm = ptr(wire[0], np.uint8)
+        w_mk, p_wmk = ptr(wire[1], np.int16)
+        w_cd, p_wcd = ptr(wire[2], np.uint8)
+        w_ei, p_wei = ptr(wire[3], np.int32)
+        w_ev, p_wev = ptr(wire[4], np.int16)
+        w_cnt, w_ec, w_cc = int(wire[5]), int(wire[6]), int(wire[7])
+        py_ = pu_ = pv_ = None
+    else:
+        p_wbm = p_wmk = p_wcd = p_wei = p_wev = None
+        w_cnt = w_ec = w_cc = 0
+        coef_y, py_ = ptr(desc.coef_y, np.int16)
+        coef_u, pu_ = ptr(desc.coef_u, np.int16)
+        coef_v, pv_ = ptr(desc.coef_v, np.int16)
     mv_arr, pmv = ptr(desc.mv, np.int32)
     if desc.mv_l1 is not None:
         mv1_arr, pmv1 = ptr(desc.mv_l1, np.int32)
@@ -246,7 +267,8 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         sml, smu, p_stl, p_stc, p_sel, p_sec, p_sbd, p_sof,
         out.ctypes.data_as(ctypes.c_void_p), cap,
         row_sizes.ctypes.data_as(ctypes.c_void_p),
-        wpp_threads() if wpp else 1)
+        wpp_threads() if wpp else 1,
+        p_wbm, p_wmk, p_wcd, p_wei, p_wev, w_cnt, w_ec, w_cc)
     if n < 0:
         return None
     payload = out[:n].tobytes()

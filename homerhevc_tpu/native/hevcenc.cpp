@@ -318,6 +318,16 @@ struct Desc {
   // scanning the mostly-zero dense planes
   const uint8_t *nzb4_y, *nzb4_u, *nzb4_v;
   int w4b, cw4b;       // nzb4 strides (w/4, cw/4)
+  // wire-direct residual access (null => serialize from the dense
+  // planes): the device's CG wire (ops/pack.py pack_sparse_cg) arrives
+  // in spatial 4x4-block order, so the serializer reads coefficients
+  // straight off it — no dense unpack, no re-scan. mf = per-CG 16-bit
+  // significance masks (luma blocks raster, then U, then V); voff =
+  // first value index of each CG; vals = decoded levels in wire order.
+  const uint16_t *mf;
+  const int32_t *voff;
+  const int16_t *vals;
+  long cg_base_u, cg_base_v;   // CG index bases of the chroma planes
 };
 
 // One pass over a dense coefficient plane -> 4x4-block significance map.
@@ -353,6 +363,18 @@ static inline bool region_nz4(const uint8_t* nzb4, int stride4,
   return false;
 }
 
+// uint16-mask twin of region_nz4 for the wire-direct path.
+static inline bool region_nzm(const uint16_t* mf, int stride4,
+                              int x, int y, int size) {
+  int bx = x >> 2, by = y >> 2, n = size >> 2;
+  for (int j = 0; j < n; j++) {
+    const uint16_t* row = mf + (size_t)(by + j) * stride4 + bx;
+    for (int i = 0; i < n; i++)
+      if (row[i]) return true;
+  }
+  return false;
+}
+
 struct Enc {
   Params p;
   Desc d;
@@ -369,14 +391,17 @@ struct Enc {
 
   // cbf queries ride the 4x4-block significance maps (all TU coordinates
   // are 4-aligned: min TB is 4 and chroma of the smallest luma TU folds
-  // into one 4x4)
+  // into one 4x4); wire-direct frames read the wire masks instead
   bool nz_y(int x, int y, int size) const {
+    if (d.mf) return region_nzm(d.mf, d.w4b, x, y, size);
     return region_nz4(d.nzb4_y, d.w4b, x, y, size);
   }
   bool nz_u(int x, int y, int size) const {
+    if (d.mf) return region_nzm(d.mf + d.cg_base_u, d.cw4b, x, y, size);
     return region_nz4(d.nzb4_u, d.cw4b, x, y, size);
   }
   bool nz_v(int x, int y, int size) const {
+    if (d.mf) return region_nzm(d.mf + d.cg_base_v, d.cw4b, x, y, size);
     return region_nz4(d.nzb4_v, d.cw4b, x, y, size);
   }
 
@@ -404,10 +429,23 @@ struct Enc {
     int ncg = size / 4 > 0 ? size / 4 : 1;
     int n_cg_tot = ncg * ncg;
     int bx4 = bx >> 2, by4 = by >> 2;
+    // wire-direct plane views (mask + value-offset arrays share CG index)
+    const uint16_t* mf = nullptr;
+    const int32_t* voff = nullptr;
+    if (d.mf) {
+      long base = cidx == 0 ? 0 : (cidx == 1 ? d.cg_base_u : d.cg_base_v);
+      mf = d.mf + base;
+      voff = d.voff + base;
+    }
 
     bool cg_nz_r[64];   // indexed by raster CG position within the TU
     if (log2 == 2) {
       cg_nz_r[0] = true;                      // caller guaranteed cbf
+    } else if (mf) {
+      for (int cy = 0; cy < ncg; cy++) {
+        const uint16_t* row = mf + (size_t)(by4 + cy) * stride4 + bx4;
+        for (int cx = 0; cx < ncg; cx++) cg_nz_r[cy * ncg + cx] = row[cx] != 0;
+      }
     } else {
       for (int cy = 0; cy < ncg; cy++) {
         const uint8_t* row = nzb4 + (size_t)(by4 + cy) * stride4 + bx4;
@@ -417,10 +455,25 @@ struct Enc {
     int last_cg = n_cg_tot - 1;
     while (last_cg > 0 && !cg_nz_r[cgo[last_cg]]) last_cg--;
 
-    // gather one CG's 16 coefficients in scan order
+    // gather one CG's 16 coefficients in scan order: wire-direct frames
+    // read the mask + packed values (rank via popcount), dense frames
+    // gather from the plane
     int16_t sc16[16];
     auto gather = [&](int ci) {
       const int* sp = &scan[ci * 16];
+      if (mf) {
+        int r = cgo[ci];
+        size_t cg = (size_t)(by4 + r / ncg) * stride4 + bx4 + r % ncg;
+        unsigned m = mf[cg];
+        const int16_t* vp = d.vals + voff[cg];
+        for (int k = 0; k < 16; k++) {
+          int rr = sp[k];
+          int pos = ((rr >> log2) & 3) * 4 + (rr & 3);
+          sc16[k] = (m >> pos) & 1
+              ? vp[__builtin_popcount(m & ((1u << pos) - 1))] : 0;
+        }
+        return;
+      }
       for (int k = 0; k < 16; k++) {
         int r = sp[k];
         sc16[k] = plane[(size_t)(by + (r >> log2)) * stride + bx + (r & szmask)];
@@ -1146,7 +1199,15 @@ long hevcenc_encode_slice2(
     const int32_t* sao_type_l, const int32_t* sao_type_c,
     const int32_t* sao_eo_l, const int32_t* sao_eo_c,
     const int32_t* sao_band, const int32_t* sao_off,
-    uint8_t* out_buf, long out_cap, long* row_sizes, int n_threads) {
+    uint8_t* out_buf, long out_cap, long* row_sizes, int n_threads,
+    // CG wire (nullable): when wire_cg_bitmap is set the residual coder
+    // reads the device wire directly and the dense coef planes may be
+    // null (ops/pack.py pack_sparse_cg order: spatial 4x4 blocks, luma
+    // then U then V)
+    const uint8_t* wire_cg_bitmap, const uint16_t* wire_masks16,
+    const uint8_t* wire_codes, const int32_t* wire_esc_idx,
+    const int16_t* wire_esc_val,
+    long wire_count, long wire_esc_count, long wire_cg_count) {
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
                log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
@@ -1174,16 +1235,65 @@ long hevcenc_encode_slice2(
   e.d.ctus_x = cw;
   bool has_sao = sao_merge_left != nullptr;
 
-  // 4x4-block significance maps (one pass per plane; every cbf query and
-  // CG skip in the serializer reads these instead of the dense planes)
-  std::vector<uint8_t> nzy((size_t)(width >> 2) * (height >> 2));
-  std::vector<uint8_t> nzu((size_t)(width >> 3) * (height >> 3));
-  std::vector<uint8_t> nzv(nzu.size());
-  build_nzb4(coef_y, width, height, nzy.data());
-  build_nzb4(coef_u, width >> 1, height >> 1, nzu.data());
-  build_nzb4(coef_v, width >> 1, height >> 1, nzv.data());
-  e.d.nzb4_y = nzy.data(); e.d.nzb4_u = nzu.data(); e.d.nzb4_v = nzv.data();
   e.d.w4b = width >> 2; e.d.cw4b = width >> 3;
+  long ncg_y = (size_t)(width >> 2) * (height >> 2);
+  long ncg_c = (size_t)(width >> 3) * (height >> 3);
+  long ncg_tot = ncg_y + 2 * ncg_c;
+  std::vector<uint8_t> nzy, nzu, nzv;
+  std::vector<uint16_t> mf;
+  std::vector<int32_t> voff;
+  std::vector<int16_t> vals;
+  e.d.mf = nullptr; e.d.voff = nullptr; e.d.vals = nullptr;
+  if (wire_cg_bitmap) {
+    // wire-direct: expand the compacted CG masks to a full-frame mask
+    // array + per-CG value offsets, and decode the 2-bit level codes
+    // (escapes overwrite). One O(ncg)+O(count) pass replaces the dense
+    // unpack AND every dense-plane scan in the serializer.
+    mf.assign(ncg_tot, 0);
+    voff.assign(ncg_tot, 0);
+    long ci = 0;
+    int32_t off = 0;
+    long nbytes = (ncg_tot + 7) >> 3;
+    for (long B = 0; B < nbytes; B++) {
+      unsigned b = wire_cg_bitmap[B];
+      while (b) {
+        int g = __builtin_ctz(b);
+        b &= b - 1;
+        long cg = (B << 3) + g;
+        if (ci >= wire_cg_count || cg >= ncg_tot) return -2;
+        unsigned m = (uint16_t)wire_masks16[ci++];
+        mf[cg] = (uint16_t)m;
+        voff[cg] = off;
+        off += __builtin_popcount(m);
+      }
+    }
+    if (ci != wire_cg_count || off != wire_count) return -2;
+    static const int16_t lut[4] = {1, -1, 2, -2};
+    vals.resize(wire_count);
+    for (long i = 0; i < wire_count; i++)
+      vals[i] = lut[(wire_codes[i >> 2] >> ((i & 3) * 2)) & 3];
+    for (long eidx = 0; eidx < wire_esc_count; eidx++) {
+      long pi = wire_esc_idx[eidx];
+      if (pi < 0 || pi >= wire_count) return -2;
+      vals[pi] = wire_esc_val[eidx];
+    }
+    e.d.mf = mf.data();
+    e.d.voff = voff.data();
+    e.d.vals = vals.data();
+    e.d.cg_base_u = ncg_y;
+    e.d.cg_base_v = ncg_y + ncg_c;
+  } else {
+    // 4x4-block significance maps (one pass per plane; every cbf query
+    // and CG skip in the serializer reads these instead of the dense
+    // planes)
+    nzy.resize(ncg_y);
+    nzu.resize(ncg_c);
+    nzv.resize(ncg_c);
+    build_nzb4(coef_y, width, height, nzy.data());
+    build_nzb4(coef_u, width >> 1, height >> 1, nzu.data());
+    build_nzb4(coef_v, width >> 1, height >> 1, nzv.data());
+    e.d.nzb4_y = nzy.data(); e.d.nzb4_u = nzu.data(); e.d.nzb4_v = nzv.data();
+  }
 
   std::vector<uint8_t> all;
   all.reserve(out_cap);
@@ -1362,22 +1472,28 @@ long hevcenc_unpack_sparse2(
 }
 
 // Expand the two-tier CG wire format (ops/pack.py pack_sparse_cg):
-// cg_bitmap has one presence bit per 4x4 coefficient group; masks16
-// holds the 16-bit significance mask of each nonzero CG in raster-CG
-// order; codes/escapes are the pack_sparse2 value wire. Walk order
-// (CG ascending, bit ascending) == flat raster order, so escape
-// indices keep their packed-order meaning. Returns consumed value
-// count, or -1 on a mask/count mismatch.
+// cg_bitmap has one presence bit per SPATIAL 4x4 coefficient group
+// (plane blocks in raster order, planes concatenated); masks16 holds
+// the 16-bit significance mask of each nonzero CG in that order (bit k
+// = coefficient (k/4, k%4) of the block); codes/escapes are the
+// pack_sparse2 value wire. Output planes are raster int16, laid out
+// consecutively in `out` (w0*h0 | w1*h1 | w2*h2). Returns consumed
+// value count, or -1 on a mask/count mismatch.
 long hevcenc_unpack_sparse_cg(
     const uint8_t* cg_bitmap, const uint16_t* masks16, const uint8_t* codes,
     long count, long cg_count,
     const int32_t* esc_idx, const int16_t* esc_val, long esc_count,
-    long n_total, int16_t* out) {
+    long n_total, int16_t* out,
+    int w0, int h0, int w1, int h1, int w2, int h2) {
   static const int16_t lut[4] = {1, -1, 2, -2};
+  if ((long)w0 * h0 + (long)w1 * h1 + (long)w2 * h2 != n_total) return -1;
   memset(out, 0, (size_t)n_total * sizeof(int16_t));
+  // per-plane CG ranges and raster bases
+  long ncg0 = ((long)w0 >> 2) * (h0 >> 2), ncg1 = ((long)w1 >> 2) * (h1 >> 2);
+  long ncg2 = ((long)w2 >> 2) * (h2 >> 2);
   long vi = 0, ci = 0, e = 0;
   long next_esc = esc_count > 0 ? esc_idx[0] : -1;
-  long nbytes = n_total >> 7;            // n/16 CGs, 8 CGs per byte
+  long nbytes = (ncg0 + ncg1 + ncg2 + 7) >> 3;
   for (long B = 0; B < nbytes; B++) {
     unsigned b = cg_bitmap[B];
     while (b) {
@@ -1385,7 +1501,15 @@ long hevcenc_unpack_sparse_cg(
       b &= b - 1;
       if (ci >= cg_count) return -1;
       unsigned m = masks16[ci++];
-      int16_t* o = out + (((B << 3) + g) << 4);
+      long cg = (B << 3) + g;
+      int pw;
+      int16_t* base;
+      long rel = cg;
+      if (rel < ncg0) { pw = w0; base = out; }
+      else if ((rel -= ncg0) < ncg1) { pw = w1; base = out + (long)w0 * h0; }
+      else { rel -= ncg1; pw = w2; base = out + (long)w0 * h0 + (long)w1 * h1; }
+      long w4 = pw >> 2;
+      int16_t* o = base + (rel / w4) * 4 * pw + (rel % w4) * 4;
       while (m) {
         int t = __builtin_ctz(m);
         m &= m - 1;
@@ -1395,7 +1519,7 @@ long hevcenc_unpack_sparse_cg(
           e++;
           next_esc = e < esc_count ? esc_idx[e] : -1;
         }
-        o[t] = v;
+        o[(t >> 2) * pw + (t & 3)] = v;
         vi++;
       }
     }

@@ -156,6 +156,22 @@ def pack_sparse2(planes, capacity: int):
     return bitmap, packed, sidx[:E], sval[:E], count, esc_count
 
 
+def _blk4(p):
+    """Reorder a plane into spatial 4x4-block raster order: block (by,bx)
+    occupies 16 consecutive positions, raster within the block. This makes
+    every 16-coefficient wire group a real HEVC coefficient group, so the
+    host serializer can code residuals straight off the wire (no dense
+    unpack, no re-scan)."""
+    h, w = p.shape
+    return p.reshape(h // 4, 4, w // 4, 4).transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _unblk4(flat, h, w):
+    """Host inverse of _blk4 (numpy)."""
+    return flat.reshape(h // 4, w // 4, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(h, w)
+
+
 def cg_cap(n_total: int, qp: int) -> int:
     """Static capacity for the compacted per-CG significance masks:
     one uint16 per 4x4 coefficient group with at least one nonzero.
@@ -176,13 +192,17 @@ def pack_sparse_cg(planes, capacity: int, cgcap: int):
       cg_bitmap  u8   (n/128,)  1 bit per 4x4 coefficient group
       masks      i16  (cgcap,)  16-bit significance mask of each nonzero
                                 CG, compacted in raster-CG order
-    Values stay the 2-bit code wire {+1,-1,+2,-2} + escape list. The
-    host walk (nonzero CG -> mask bits -> codes) enumerates values in
-    flat raster order, so escape indices keep their pack_sparse2
-    meaning. Returns (cg_bitmap, masks16, codes u8 (capacity/4),
-    esc_idx i32, esc_val i16, count, esc_count, cg_count)."""
+    Values stay the 2-bit code wire {+1,-1,+2,-2} + escape list.
+
+    Planes ride in SPATIAL 4x4-BLOCK order (_blk4): wire CG i of plane p
+    is the coefficient group at block coords (i // (w/4), i %% (w/4)),
+    mask bit k its coefficient (k // 4, k %% 4). The host serializer can
+    therefore code residual syntax directly from the wire; escape indices
+    index the packed value order as before. Returns (cg_bitmap, masks16,
+    codes u8 (capacity/4), esc_idx i32, esc_val i16, count, esc_count,
+    cg_count)."""
     assert capacity % 4 == 0
-    flat = jnp.concatenate([p.reshape(-1) for p in planes]).astype(jnp.int16)
+    flat = jnp.concatenate([_blk4(p) for p in planes]).astype(jnp.int16)
     n = flat.shape[0]
     assert n % 128 == 0
     cg = flat.reshape(-1, 16)
@@ -245,7 +265,7 @@ def unpack_sparse_cg(cg_bitmap, masks16, codes, count, cg_count,
     planes = []
     off = 0
     for h, w in shapes:
-        planes.append(out[off:off + h * w].reshape(h, w))
+        planes.append(_unblk4(out[off:off + h * w], h, w))
         off += h * w
     return planes
 

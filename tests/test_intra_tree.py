@@ -176,6 +176,7 @@ def test_device_tree_encode_matches_golden(rng):
         assert np.array_equal(np.asarray(ry), gy_.astype(np.uint8)), qp
         assert np.array_equal(np.asarray(ru), gu_.astype(np.uint8))
         assert np.array_equal(np.asarray(rv), gv_.astype(np.uint8))
+        desc.densify()   # device descs carry the CG wire
         assert np.array_equal(desc.coef_y, gdesc.coef_y)
         assert np.array_equal(desc.coef_u, gdesc.coef_u)
         assert np.array_equal(desc.coef_v, gdesc.coef_v)

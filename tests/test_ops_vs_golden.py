@@ -204,7 +204,9 @@ def test_pack_sparse_cg_roundtrip(rng):
     assert unpack_sparse_cg_native(np.asarray(bm), np.asarray(mk),
                                    np.asarray(cd), cnt, ccnt,
                                    np.asarray(ei)[:ecnt],
-                                   np.asarray(ev)[:ecnt], n_tot, buf)
+                                   np.asarray(ev)[:ecnt], n_tot, buf,
+                                   shapes)
+    # the native unpack de-blocks the wire back to raster planes
     flat = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
     np.testing.assert_array_equal(buf, flat)
 

@@ -22,6 +22,7 @@ def test_device_matches_golden(sbh, rng):
     gd, gy, gu, gv = encode_intra_frame(ps, y, u, v, cfg.qp, cu_size=16)
     enc = TpuIntraEncoder(ps, cfg, cu=16)
     dd, dy, du, dv = enc.encode_frame(y, u, v, cfg.qp)
+    dd.densify()     # device descs carry the CG wire, not dense planes
     assert np.array_equal(gd.luma_mode, dd.luma_mode), "mode decisions differ"
     assert np.array_equal(gd.coef_y, dd.coef_y), "luma levels differ"
     assert np.array_equal(gd.coef_u, dd.coef_u), "cb levels differ"
