@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-qp", type=int, default=32)
     p.add_argument("-motion_estimation_precision", type=int, default=2,
                    help="0=pel 1=half 2=quarter")
+    p.add_argument("-me_range", type=int, default=32,
+                   help="full-pel ME reach; >32 adds the 4x-decimated FAR "
+                        "pyramid level (reference window +-128x64, "
+                        "hmr_private.h:76)")
     p.add_argument("-chroma_qp_offset", type=int, default=2)
     p.add_argument("-sign_hiding", type=int, default=1)
     p.add_argument("-sao", type=int, default=1,
@@ -48,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-aq", type=float, default=0.0,
                    help="adaptive quantization strength (per-CTB "
                         "cu_qp_delta; 0 = off)")
+    p.add_argument("-rc_ctu", type=int, default=0,
+                   help="row-granular rate-control QP via cu_qp_delta "
+                        "(reference per-CTU RC analog, "
+                        "hmr_rate_control.c:266-347); needs CBR/VBR")
     p.add_argument("-rd_mode", type=int, default=2,
                    help="0=dist only, 1=full (NxN+TU tree+chroma RDO), 2=fast")
     p.add_argument("-intra_rdo", type=int, default=0,
@@ -97,6 +105,7 @@ def main(argv=None) -> int:
         intra_period=args.intra_period, gop_size=args.gop_size,
         num_b=args.num_b, num_ref_frames=args.num_ref_frames, qp=args.qp,
         motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
+        me_range=args.me_range,
         chroma_qp_offset=args.chroma_qp_offset,
         sign_hiding=bool(args.sign_hiding), sao=bool(args.sao),
         deblocking=bool(args.deblocking), intra_rdo=bool(args.intra_rdo),
@@ -104,6 +113,7 @@ def main(argv=None) -> int:
         bitrate_mode=BitrateMode(args.bitrate_mode),
         bitrate_kbps=args.bitrate, vbv_size=args.vbv_size,
         vbv_init=args.vbv_init, aq_strength=args.aq,
+        rc_ctu=bool(args.rc_ctu),
         wpp=bool(args.wpp), scaling_lists=bool(args.scaling_lists),
         gpb=bool(args.gpb),
         performance_mode=PerformanceMode(args.performance_mode),

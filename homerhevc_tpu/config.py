@@ -56,6 +56,11 @@ class EncoderConfig:
     max_intra_tr_depth: int = 2
     max_inter_tr_depth: int = 1
     motion_estimation_precision: MEPrecision = MEPrecision.QUARTER_PEL
+    # full-pel ME reach. The 2x pyramid level covers +-2*coarse_range
+    # (32 IPPP / 48 IBP); me_range beyond that activates a 4x-decimated
+    # FAR level up to +-me_range horizontal x +-64 vertical — the
+    # reference's window is +-128x64 (hmr_private.h:76-77).
+    me_range: int = 32
     # quality / rate
     qp: int = 32
     chroma_qp_offset: int = 2
@@ -73,6 +78,11 @@ class EncoderConfig:
     # (hmr_rate_control.c:266-347 consumes bits-so-far, which fights
     # batching; a source-activity map is computable before the batch).
     aq_strength: float = 0.0
+    # row-granular rate control: per-CTB-row QP offsets from intra-frame
+    # VBV feedback (the SURVEY §7(4) relaxation of the reference's
+    # per-CTU bits-so-far QP, hmr_rate_control.c:266-347). Enables the
+    # PPS cu_qp_delta machinery; effective with CBR/VBR.
+    rc_ctu: bool = False
     scaling_lists: bool = False       # default lists on/off (flat when off)
     rd_mode: RDMode = RDMode.RD_FAST
     # intra CU-tree RDO (two-pass: open-loop batched decision + closed-loop
@@ -111,6 +121,8 @@ class EncoderConfig:
             self.num_b = 1
         elif self.num_b == 1 and 0 < self.gop_size < 2:
             self.gop_size = 2
+        if self.me_range % 4 or not 16 <= self.me_range <= 256:
+            raise ValueError("me_range: multiple of 4 in [16, 256]")
         if self.width % 2 or self.height % 2:
             raise ValueError(
                 f"frame dimensions must be even (4:2:0 chroma), got "

@@ -46,6 +46,12 @@ class TpuInterEncoder:
         self.search = search
         self.w, self.h = cfg.width, cfg.height
         assert self.w % cu == 0 and self.h % cu == 0
+        # FAR (4x-decimated) pyramid level beyond the 2x sweep's +-2*search
+        # reach (golden twin: far_grid / hier_pel_fields far block); reach =
+        # the maximum full-pel roam of any ME candidate (sets ref padding)
+        self.far = cfg.me_range if cfg.me_range > max(32, 2 * search) else 0
+        # FAR centers reach +-(far+4); their +-2 neighbourhoods +-(far+6)
+        self.reach = max(2 * search + 2, self.far + 8)
         self.gw, self.gh = self.w // cu, self.h // cu
         # two-level CU tree (CU32 over CU16) when the stream CTB is 32
         self.tree = ps.ctu_size == 32
@@ -152,6 +158,67 @@ class TpuInterEncoder:
         else:
             prior2, short32 = None, []
 
+        # ---- FAR (4x-decimated) level: global candidates beyond the 2x
+        # reach (golden twin: the far block of hier_pel_fields; reference
+        # +-128x64 window, hmr_private.h:76-77) ----
+        far_centers = []                      # traced (cdx, cdy) pairs
+        if self.far:
+            from homerhevc_tpu.golden.inter_frame import far_grid
+            GQ = 4
+            grid, vote_mask = far_grid(R, self.far)
+            xq, yq = self.far // 4, min(self.far // 4, 16)
+            sd4 = decim(sd16.astype(jnp.int32)).astype(jnp.int16)
+            rd4 = decim(rd)
+            m4 = 4
+            gh4x, gw4x = sd4.shape[0] // m4, sd4.shape[1] // m4
+            sd4 = sd4[:gh4x * m4, :gw4x * m4]
+            pad_q = jnp.pad(rd4.astype(jnp.uint8), ((yq, yq), (xq, xq)),
+                            mode="edge")
+            sq_list = []
+            for qx, qy in grid:
+                shq = pad_q[yq + qy:yq + qy + gh4x * m4,
+                            xq + qx:xq + qx + gw4x * m4].astype(jnp.int16)
+                dq = jnp.abs(sd4 - shq).astype(jnp.int32)
+                sq_list.append(dq.reshape(gh4x, m4, gw4x, m4)
+                               .sum(axis=(1, 3)))
+            sads_q = jnp.stack(sq_list)
+            gxq = jnp.asarray([16 * q[0] for q in grid], jnp.int32)
+            gyq = jnp.asarray([16 * q[1] for q in grid], jnp.int32)
+            rate_q = (mvd_bits[jnp.abs(gxq - prior[0])]
+                      + mvd_bits[jnp.abs(gyq - prior[1])])
+            cost_q = 16 * sads_q + ((lam16 * rate_q) >> 4)[:, None, None]
+            cq = cost_q.reshape(len(grid), -1)
+            cq = jnp.where(jnp.asarray(vote_mask)[:, None], cq,
+                           jnp.int32(1 << 30))
+            colsq = jnp.arange(cq.shape[1])
+            hist_q = jnp.zeros(len(grid), jnp.int32)
+            for _ in range(K):
+                kbq = jnp.argmin(cq, axis=0)
+                hist_q = hist_q.at[kbq].add(1)
+                cq = cq.at[kbq, colsq].set(jnp.int32(1 << 30))
+            # 2x-level +-2 refine of each candidate by GLOBAL decimated SAD
+            py2, px2 = 2 * yq + 2, 2 * xq + 2
+            pad_c2 = jnp.pad(rd.astype(jnp.uint8), ((py2, py2), (px2, px2)),
+                             mode="edge")
+            h2c, w2c = sd16.shape
+            qxs = jnp.asarray([q[0] for q in grid], jnp.int32)
+            qys = jnp.asarray([q[1] for q in grid], jnp.int32)
+            for _ in range(GQ):
+                kq = jnp.argmax(hist_q).astype(jnp.int32)
+                hist_q = hist_q.at[kq].set(-1)
+                qx, qy = qxs[kq], qys[kq]
+                gsum = []
+                for oy in (-2, -1, 0, 1, 2):
+                    band = jax.lax.dynamic_slice(
+                        pad_c2, (py2 + 2 * qy + oy, px2 + 2 * qx - 2),
+                        (h2c, w2c + 4)).astype(jnp.int16)
+                    for ox in range(5):
+                        gsum.append(jnp.sum(jnp.abs(
+                            sd16 - band[:, ox:ox + w2c]).astype(jnp.int32)))
+                gbest = jnp.argmin(jnp.stack(gsum)).astype(jnp.int32)
+                far_centers.append((4 * qx + 2 * (gbest % 5 - 2),
+                                    4 * qy + 2 * (gbest // 5 - 2)))
+
         # offset list: exact +-4 fine sweep, then shortlist neighbourhoods
         # (same order as golden hier_pel_fields: argmin first-min == the
         # golden sequential strict-< scan)
@@ -164,10 +231,13 @@ class TpuInterEncoder:
         for kg in short16 + short32:
             all_dx.append(2 * (kg % side - R) + grid_dx)
             all_dy.append(2 * (kg // side - R) + grid_dy)
+        for cdx, cdy in far_centers:
+            all_dx.append(cdx + grid_dx)
+            all_dy.append(cdy + grid_dy)
         all_dx = jnp.concatenate(all_dx)
         all_dy = jnp.concatenate(all_dy)
         n_offs_r = all_dx.shape[0]
-        P = 2 * R + 2
+        P = self.reach
         pad8F = jnp.pad(ry.astype(jnp.uint8), P, mode="edge")
         sy16 = sy.astype(jnp.int16)
 
@@ -185,6 +255,15 @@ class TpuInterEncoder:
         for kg in short16 + short32:
             cdx = 2 * (kg % side - R)
             cdy = 2 * (kg // side - R)
+            for oy in (-2, -1, 0, 1, 2):
+                band = jax.lax.dynamic_slice(
+                    pad8F, (P + cdy + oy, P + cdx - 2),
+                    (self.h, self.w + 4)).astype(jnp.int16)
+                for ox in range(5):
+                    d = jnp.abs(sy16 - band[:, ox:ox + self.w]) \
+                        .astype(jnp.int32)
+                    sads_list.append(bsum16(d))
+        for cdx, cdy in far_centers:
             for oy in (-2, -1, 0, 1, 2):
                 band = jax.lax.dynamic_slice(
                     pad8F, (P + cdy + oy, P + cdx - 2),
@@ -237,7 +316,7 @@ class TpuInterEncoder:
         from homerhevc_tpu.ops.interp import LUMA_TAPS, mc_chroma_batch
         from homerhevc_tpu.ops.interp import _windowed
         B = gh * gw
-        padL = 2 * R + 2 + 8      # hier ME roams up to 2R+2 full-pel
+        padL = self.reach + 8     # hier ME roams up to `reach` full-pel
         ref_padL = jnp.pad(ry, padL, mode="edge")
         taps = jnp.asarray(LUMA_TAPS)
         x0s = (jnp.arange(B) % gw) * cu
@@ -315,7 +394,7 @@ class TpuInterEncoder:
                         jnp.clip(pred + rres, 0, 255), pred)
 
         # ---- chroma MC (batched per-CU fractional filters) + residual ----
-        padC = R + 1 + 4          # (2R+2)//2 full-pel chroma + filter taps
+        padC = self.reach // 2 + 4    # full-pel chroma reach + filter taps
         cx0s, cy0s = x0s // 2, y0s // 2
 
         def chroma(src_c, ref_c):
@@ -601,8 +680,8 @@ class TpuInterEncoder:
         taps = jnp.asarray(LUMA_TAPS)
         B = gh * gw
         B2 = gh2 * gw2
-        padL = 2 * R + 2 + 8
-        padC = R + 1 + 4
+        padL = self.reach + 8
+        padC = self.reach // 2 + 4
 
         mvs0, pr0, mv32_0, pr2_0 = self._hier_me(sy, ry0, lam16)
         # uni-L1 candidate motion field: matched to the SOURCE

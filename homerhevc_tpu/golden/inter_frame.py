@@ -211,14 +211,48 @@ def hier_pel_field(sy: np.ndarray, ref: np.ndarray, n: int, rng_c: int,
     return mv.astype(np.int32), prior_q
 
 
+def far_range(ps, search: int) -> int:
+    """FAR-level range from config: me_range beyond the default +-32 reach
+    (and beyond the 2x sweep's +-2*search) activates the 4x pyramid
+    level. The default me_range=32 never activates it."""
+    mr = int(getattr(ps.cfg, "me_range", 32))
+    return mr if mr > max(32, 2 * search) else 0
+
+
+def far_grid(rng_c: int, far: int):
+    """Dense offset grid for the 4x-decimated FAR pyramid level: covers
+    +-far horizontal / +-min(far,64) vertical full-pel (reference search
+    window +-128x64, hmr_private.h:76-77). Step 1 — coarser strides alias
+    on noise-like texture (a 4-full-pel shift maps 2x2 pools onto disjoint
+    pixels, erasing the SAD signal). Returns (offsets, vote_mask): offsets
+    in 4x-pel units raster order; vote_mask False where the 2x sweep
+    already covers the offset (those never enter the FAR shortlist)."""
+    xq, yq = far // 4, min(far // 4, 16)
+    inner = 2 * rng_c - 4          # full-res reach safely inside the 2x sweep
+    grid = [(qx, qy)
+            for qy in range(-yq, yq + 1)
+            for qx in range(-xq, xq + 1)]
+    mask = np.asarray([not (abs(4 * qx) <= inner and abs(4 * qy) <= inner)
+                       for qx, qy in grid], bool)
+    return grid, mask
+
+
 def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
                     lam16: int, K: int = 3, G16: int = 8, G32: int = 4,
-                    want32: bool = False, want64: bool = False, G64: int = 2):
+                    want32: bool = False, want64: bool = False, G64: int = 2,
+                    far: int = 0, GQ: int = 4):
     """Joint 16-/32-(/64-)block hierarchical full-pel ME sharing one set of
     full-res shifted-plane block sums (32-level SADs are 2x2 sums of the
     16-level sums, 64-level 2x2 sums of those — no second sweep). See
     hier_pel_field for the search structure. Returns (mv16, prior16, mv32,
-    prior32[, mv64, prior64]); higher levels are None unless requested."""
+    prior32[, mv64, prior64]); higher levels are None unless requested.
+
+    far > 0 adds a THIRD (4x-decimated) pyramid level covering +-far
+    full-pel horizontally (vertical capped at +-64, the reference window):
+    a step-2 sweep outside the 2x coverage -> per-block votes -> GQ global
+    candidates, each refined at the 2x level (+-2) and handed to the
+    full-res +-2 neighbourhood refine. Matches the reference's +-128x64
+    roam (hmr_motion_inter.c:1404 diamond) with data-parallel sweeps."""
     H, W = sy.shape
     gh, gw = H // 16, W // 16
     gh2, gw2 = H // 32, W // 32
@@ -271,6 +305,54 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
     else:
         prior64, short64 = None, []
 
+    # ---- FAR (4x-decimated) level: global candidates beyond the 2x reach
+    far_centers = []
+    if far > 2 * rng_c:
+        grid, vote_mask = far_grid(rng_c, far)
+        xq, yq = far // 4, min(far // 4, 16)
+        sd4 = decimate2(sd)
+        rd4 = decimate2(rd)
+        m4 = 4                                 # 16-block side at 4x scale
+        gh4x, gw4x = sd4.shape[0] // m4, sd4.shape[1] // m4
+        sd4 = sd4[:gh4x * m4, :gw4x * m4]
+        pad_q = np.pad(rd4, ((yq, yq), (xq, xq)), mode="edge")
+        sads_q = np.empty((len(grid), gh4x, gw4x), np.int32)
+        for i, (qx, qy) in enumerate(grid):
+            sh = pad_q[yq + qy:yq + qy + gh4x * m4,
+                       xq + qx:xq + qx + gw4x * m4]
+            sads_q[i] = np.abs(sd4 - sh).reshape(gh4x, m4, gw4x, m4) \
+                .sum(axis=(1, 3))
+        gx = np.asarray([16 * q[0] for q in grid], np.int32)
+        gy = np.asarray([16 * q[1] for q in grid], np.int32)
+        rate_q = mv_rate(gx, gy, prior16)
+        cost_q = 16 * sads_q + ((lam16 * rate_q.astype(np.int32)) >> 4)[
+            :, None, None]
+        cq = cost_q.reshape(len(grid), -1).copy()
+        cq[~vote_mask] = np.int32(1 << 30)    # 2x-covered offsets don't vote
+        hist_q = np.zeros(len(grid), np.int64)
+        for _ in range(K):
+            kb = cq.argmin(axis=0)
+            hist_q += np.bincount(kb, minlength=len(grid))
+            cq[kb, np.arange(cq.shape[1])] = np.int32(1 << 30)
+        # 2x-level +-2 refine of each candidate by GLOBAL decimated SAD
+        py2, px2 = 2 * yq + 2, 2 * xq + 2
+        pad_c2 = np.pad(rd, ((py2, py2), (px2, px2)), mode="edge")
+        h2c, w2c = sd.shape
+        for _ in range(GQ):
+            kq = int(hist_q.argmax())
+            hist_q[kq] = -1
+            qx, qy = grid[kq]
+            bestg = (1 << 62, 0, 0)
+            for oy in (-2, -1, 0, 1, 2):
+                for ox in (-2, -1, 0, 1, 2):
+                    sh = pad_c2[py2 + 2 * qy + oy:py2 + 2 * qy + oy + h2c,
+                                px2 + 2 * qx + ox:px2 + 2 * qx + ox + w2c]
+                    g = int(np.abs(sd - sh).sum())
+                    if g < bestg[0]:
+                        bestg = (g, ox, oy)
+            far_centers.append((4 * qx + 2 * bestg[1],
+                                4 * qy + 2 * bestg[2]))
+
     # offset list: exact fine sweep, then shortlist neighbourhoods
     offs = [(k % 9 - 4, k // 9 - 4) for k in range(81)]
     for kg in short16 + short32 + short64:
@@ -278,8 +360,13 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
         for oy in (-2, -1, 0, 1, 2):
             for ox in (-2, -1, 0, 1, 2):
                 offs.append((cdx + ox, cdy + oy))
+    for cdx, cdy in far_centers:
+        for oy in (-2, -1, 0, 1, 2):
+            for ox in (-2, -1, 0, 1, 2):
+                offs.append((cdx + ox, cdy + oy))
 
-    P = 2 * rng_c + 2
+    # FAR centers reach +-(far+4); their +-2 neighbourhoods +-(far+6)
+    P = max(2 * rng_c + 2, far + 8 if far else 0)
     pad_f = np.pad(ref, P, mode="edge").astype(np.int32)
     src_pl = sy[:gh * 16, :gw * 16].astype(np.int32)
     bc16 = np.full(gh * gw, 1 << 30, np.int32)
@@ -361,7 +448,8 @@ def _deblock_inter_luma(ps, desc, recon_y, qp):
     from homerhevc_tpu.golden import deblock as gdb
     cu_sz = (ps.ctu_size >> desc.cu_depth).astype(np.int32)
     tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-    qp8 = np.full_like(tu8, qp)
+    qp8 = (gdb.decoder_qp_map8(desc, ps, qp, wpp=ps.cfg.wpp)
+           if desc.qp_map is not None else np.full_like(tu8, qp))
     bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
     return gdb.deblock_plane_luma(recon_y, tu8, qp8, bs_v, bs_h)
 
@@ -376,7 +464,8 @@ def _deblock_inter_chroma(ps, desc, recon_u, recon_v, qp):
     from homerhevc_tpu.golden import deblock as gdb
     cu_sz = (ps.ctu_size >> desc.cu_depth).astype(np.int32)
     tu8 = (cu_sz >> desc.tr_depth).astype(np.int32)
-    qp8 = np.full_like(tu8, qp)
+    qp8 = (gdb.decoder_qp_map8(desc, ps, qp, wpp=ps.cfg.wpp)
+           if desc.qp_map is not None else np.full_like(tu8, qp))
     bs_v, bs_h = gdb.inter_bs_maps(desc, tu8)
     recon_u = gdb.deblock_plane_chroma(recon_u, qp8, bs_v, bs_h,
                                        ps.cb_qp_offset)
@@ -388,11 +477,16 @@ def _deblock_inter_chroma(ps, desc, recon_u, recon_v, qp):
 def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
                        is_b: bool = False, avg_dist: float = 1000.0,
-                       merge_rd: bool = False, rect_pu: bool = False):
+                       merge_rd: bool = False, rect_pu: bool = False,
+                       qp_map=None):
     """Encode one P frame (2Nx2N CUs, optional per-CU intra fallback).
+    qp_map: optional per-CTB luma QP map (AQ / row-granular RC; QG = CTB).
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
     desc, recon_y, recon_u, recon_v, prior_q = _encode_level16(
-        ps, src_planes, ref_planes, qp, search, avg_dist, cu_size)
+        ps, src_planes, ref_planes, qp, search, avg_dist, cu_size,
+        qp_map=qp_map)
+    if qp_map is not None:
+        merge_rd = rect_pu = False   # post-passes code at the slice QP
     if (rect_pu or merge_rd) and not is_b:
         sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
         ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
@@ -405,7 +499,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
             merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
                        recon_y, recon_u, recon_v, qp,
                        zf_multiplier(avg_dist, qp), prior_q)
-    if ps.cfg.intra_in_p and cu_size == 16:
+    if ps.cfg.intra_in_p and cu_size == 16 and qp_map is None:
         intra_fallback_p(ps, desc, np.asarray(src_planes[0], np.int32),
                          np.asarray(src_planes[1], np.int32),
                          np.asarray(src_planes[2], np.int32),
@@ -420,7 +514,7 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
 
 def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
                     search: int, avg_dist: float, cu_size: int = 16,
-                    fp16=None):
+                    fp16=None, qp_map=None):
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
@@ -434,9 +528,18 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     recon_u = np.zeros_like(su)
     recon_v = np.zeros_like(sv)
     sl = ps.scaling_list_enabled
-    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
     zf_mult = zf_multiplier(avg_dist, qp)
     lam = float(T.rd_lambda(qp, "P"))
+    ctu = ps.ctu_size
+
+    def cu_qps(x0, y0):
+        """(luma, chroma) QP of the CU at (x0, y0): the slice QP, or its
+        quantization group's entry of the per-CTB AQ/RC map (QG = CTB).
+        Lambdas/zero-forcing stay slice-level (non-normative)."""
+        if qp_map is None:
+            return qp, T.chroma_qp(qp + ps.cb_qp_offset)
+        q = int(qp_map[y0 // ctu, x0 // ctu])
+        return q, T.chroma_qp(q + ps.cb_qp_offset)
 
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
@@ -444,7 +547,8 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     if fp16 is not None:
         fp_mv, prior_q = fp16            # shared 16/32 field from the tree
     elif n == 16:
-        fp_mv, prior_q, _, _ = hier_pel_fields(sy, ry_ref, search, lam16)
+        fp_mv, prior_q, _, _ = hier_pel_fields(sy, ry_ref, search, lam16,
+                                               far=far_range(ps, search))
     else:
         fp_mv, prior_q = hier_pel_field(sy, ry_ref, n, search, lam16)
     for gy in range(gh):
@@ -459,14 +563,17 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
                 mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
                                    prior_q, lam16)
             desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
+            qp_cu, qp_c = cu_qps(x0, y0)
             pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
             resid = src_blk - pred
             coef = forward_transform(resid, False)
-            lvl = quantize(coef, qp, False, sl)
+            lvl = quantize(coef, qp_cu, False, sl)
             if ps.sign_hiding and np.any(lvl):
-                lvl = sign_bit_hiding(lvl, coef, qp, False, T.SCAN_DIAG, sl)
+                lvl = sign_bit_hiding(lvl, coef, qp_cu, False, T.SCAN_DIAG,
+                                      sl)
             if np.any(lvl):
-                r = inverse_transform(dequantize(lvl, qp, False, sl), False)
+                r = inverse_transform(dequantize(lvl, qp_cu, False, sl),
+                                      False)
                 if zero_force(resid, lvl, r, zf_mult):
                     lvl = np.zeros_like(lvl)
                     recon_y[y0:y0 + n, x0:x0 + n] = pred
@@ -503,6 +610,10 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     # bottom 8 rows): coded as zero-MV CU8s with no residual — recon is a
     # straight copy of the reference; syntax selection assigns merge/AMVP
     # so a decoder derives the same zero motion
+    if qp_map is not None:
+        desc.qp_map = np.repeat(np.repeat(np.asarray(qp_map), ctu // 8, 0),
+                                ctu // 8, 1)[:h // 8, :w // 8] \
+            .astype(np.int8)
     h16, w16 = gh * n, gw * n
     if h16 < h:
         recon_y[h16:, :] = ry_ref[h16:, :]
@@ -530,12 +641,21 @@ def _code_tu(resid, qp, sl, sign_hiding, zf_mult, lam):
     return lvl, r
 
 
-def _cu_cost(src_blk, rec_blk, lvl, mv, prior_q, lam):
-    """float32 cost of one coded luma CU: final SSD + lambda * rate estimate
-    (3 bins/nonzero + 1/|level| unit + ~6 CU syntax bins + mvd bins).
-    Same arithmetic on device (engine.inter_encoder)."""
+def _cu_cost(src_blk, rec_blk, lvl, mv, prior_q, lam, rb=None):
+    """float32 cost of one coded luma CU: final SSD + lambda * rate.
+
+    rb=None: fast proxy rate (3 bins/nonzero + 1/|level| unit + ~6 CU
+    syntax bins + mvd bins; same arithmetic as the device twin,
+    engine.inter_encoder). rb=RdBits: counted CABAC bits — the real
+    residual_coding bins measured through CabacCounter plus the AMVP
+    merge_flag=0 / mvp flag / mvd bins (reference FAST_BIT_EST env,
+    hmr_binary_encoding.c:280-351)."""
     d = (src_blk - rec_blk).astype(np.float32)
     ssd = np.float32(np.sum(d * d))
+    if rb is not None:
+        bits = (rb.luma_bits(lvl) + rb.amvp_flag_bits() + 1.0
+                + float(mv_rate(mv[0], mv[1], prior_q)))
+        return ssd + np.float32(lam) * np.float32(bits)
     nnz = np.float32(np.count_nonzero(lvl))
     lsum = np.float32(np.sum(np.abs(lvl)))
     bits = 3.0 * nnz + lsum + 6.0 + np.float32(mv_rate(mv[0], mv[1], prior_q))
@@ -559,6 +679,8 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
     final syntax selection is guaranteed to re-find the merge.
 
     Returns the number of flipped CUs."""
+    from homerhevc_tpu.golden.rd_bits import RdBits
+    rb = RdBits(ps, "P", qp)
     lam = float(T.rd_lambda(qp, "P"))
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
     sl = ps.scaling_list_enabled
@@ -598,7 +720,7 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
         src_blk = sy[y0:y0 + n, x0:x0 + n]
         cur_cost = _cu_cost(src_blk, recon_y[y0:y0 + n, x0:x0 + n],
                             desc.coef_y[y0:y0 + n, x0:x0 + n], mv_cur,
-                            prior_q, lam)
+                            prior_q, lam, rb)
         best = None
         seen = set()
         for idx, c in enumerate(cands[:max_cand]):
@@ -610,8 +732,7 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
             lvl, rec = code_luma(pred, src_blk, n)
             d = (src_blk - rec).astype(np.float32)
             ssd = np.float32(np.sum(d * d))
-            rate = (3.0 * np.count_nonzero(lvl)
-                    + np.sum(np.abs(lvl)) + 4.0 + idx)
+            rate = rb.luma_bits(lvl) + rb.merge_bits(idx)
             cost = ssd + np.float32(lam * rate)
             if cost < cur_cost and (best is None or cost < best[0]):
                 best = (cost, mv, lvl, rec)
@@ -683,6 +804,8 @@ def rect_pu_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
     neighbour MVs) and adopt when the re-coded cost wins (reference:
     inter partition evaluation in motion_inter_full,
     hmr_motion_inter.c:3746 — 2NxN/Nx2N PU loop). Returns adopted count."""
+    from homerhevc_tpu.golden.rd_bits import RdBits
+    rb = RdBits(ps, "P", qp)
     lam = float(T.rd_lambda(qp, "P"))
     lam16 = T.lambda_me_x16(qp)
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
@@ -732,7 +855,7 @@ def rect_pu_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
             mv_cur = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
             cur_cost = _cu_cost(src_blk, recon_y[y0:y0 + cu_n, x0:x0 + cu_n],
                                 desc.coef_y[y0:y0 + cu_n, x0:x0 + cu_n],
-                                mv_cur, prior_q, lam)
+                                mv_cur, prior_q, lam, rb)
             best = None
             for part, pus in (
                     (1, [(x0, y0, 16, 8), (x0, y0 + 8, 16, 8)]),
@@ -763,8 +886,11 @@ def rect_pu_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
                 rec = np.clip(pred + r, 0, 255)
                 d = (src_blk - rec).astype(np.float32)
                 ssd = np.float32(np.sum(d * d))
-                rate = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl))
-                        + 10.0
+                # counted residual bins + per-PU AMVP syntax (part_mode
+                # costs ~2 extra bins vs 2Nx2N; each PU pays merge_flag=0
+                # + mvp flag + mvd bins)
+                rate = (rb.luma_bits(lvl) + 2.0
+                        + 2.0 * (rb.amvp_flag_bits() + 1.0)
                         + float(mv_rate(mvs[0][0], mvs[0][1], prior_q))
                         + float(mv_rate(mvs[1][0], mvs[1][1], prior_q)))
                 cost = ssd + np.float32(lam * rate)
@@ -857,7 +983,9 @@ def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
     that *wanted* intra in round 1 (scene-change statistic, reference
     analog hmr_motion_inter.c:3791-3806)."""
     from homerhevc_tpu.golden import intra_pred as ip
+    from homerhevc_tpu.golden.rd_bits import RdBits
     from homerhevc_tpu.hevc.syntax import MODE_INTRA
+    rb = RdBits(ps, slice_type, qp)
     h, w = sy.shape
     gh, gw = h // 16, w // 16
     avail = ip.Availability(w, h, ps.ctu_size)
@@ -915,18 +1043,16 @@ def intra_fallback_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
                     rec = pred
                 d = (src_blk - rec).astype(np.float32)
                 ssd = np.float32(np.sum(d * d))
-                nnz = np.float32(np.count_nonzero(lvl))
-                lsum = np.float32(np.sum(np.abs(lvl)))
                 mb = INTRA_P_MODE_BITS_MPM if mode in mpm \
                     else INTRA_P_MODE_BITS_REM
-                cost_i = ssd + lam * (np.float32(3.0) * nnz + lsum
-                                      + np.float32(6.0) + mb)
+                cost_i = ssd + lam * np.float32(
+                    rb.luma_bits(lvl) + 2.0 + float(mb))
                 mv = (int(desc.mv[y0 // 8, x0 // 8, 0]),
                       int(desc.mv[y0 // 8, x0 // 8, 1]))
                 s16 = sy[y0:y0 + 16, x0:x0 + 16]
                 l16 = desc.coef_y[y0:y0 + 16, x0:x0 + 16]
                 r16 = recon_y[y0:y0 + 16, x0:x0 + 16]
-                cost_p = _cu_cost(s16, r16, l16, mv, prior_q, lam)
+                cost_p = _cu_cost(s16, r16, l16, mv, prior_q, lam, rb)
                 if cost_i < cost_p:
                     want[gy, gx] = True
                     cand[(gy, gx)] = (mode, lvl, rec)
@@ -989,7 +1115,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                             search: int = 16, is_b: bool = False,
                             avg_dist: float = 1000.0,
                             merge_rd: bool = False,
-                            rect_pu: bool = False):
+                            rect_pu: bool = False, qp_map=None):
     """CTB32/CTB64 P/B frame with a multi-level CU tree: each full 32x32
     region is coded either as one 2Nx2N CU32 (TU32 luma) or four CU16s,
     chosen by SSD + lambda*rate; with CTB64 a third pass then evaluates a
@@ -1006,14 +1132,18 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     lam16_ = T.lambda_me_x16(qp)
     if want64:
         fp16_mv, pr16, fp32, prior_q, fp64, prior64 = hier_pel_fields(
-            sy0, ry0, search, lam16_, want32=True, want64=True)
+            sy0, ry0, search, lam16_, want32=True, want64=True,
+            far=far_range(ps, search))
     else:
         fp16_mv, pr16, fp32, prior_q = hier_pel_fields(
-            sy0, ry0, search, lam16_, want32=True)
+            sy0, ry0, search, lam16_, want32=True,
+            far=far_range(ps, search))
     # level-16 pass: reuse the flat encoder wholesale (fills desc at depth 1)
     desc, recon_y, recon_u, recon_v, _ = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist,
-        fp16=(fp16_mv, pr16))
+        fp16=(fp16_mv, pr16), qp_map=qp_map)
+    if qp_map is not None:
+        merge_rd = rect_pu = False   # post-passes code at the slice QP
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
@@ -1023,6 +1153,14 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     lam = T.rd_lambda(qp, "P")
     lam16 = T.lambda_me_x16(qp)
     me_prec = int(ps.cfg.motion_estimation_precision)
+
+    def cu_qps(x0, y0):
+        """Per-CTB (luma, chroma) QP under AQ/row-RC maps (QG = CTB)."""
+        if qp_map is None:
+            return qp, qp_c
+        q = int(qp_map[y0 // ps.ctu_size, x0 // ps.ctu_size])
+        return q, T.chroma_qp(q + ps.cb_qp_offset)
+
     # performance modes (reference hmr_encoder_lib.c:921-947): FAST adds a
     # fast-skip loop (consolidation passes skip regions whose sub-CU
     # motion already disagrees — the merged CU can't win); UFAST also
@@ -1052,9 +1190,11 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
             if me_prec >= 2:
                 mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
                                    prior_q, lam16)
+            qp_cu, qp_c_cu = cu_qps(x0, y0)
             pred = mc_luma(ry_ref, x0, y0, 32, mv[0], mv[1])
             resid = src_blk - pred
-            lvl, r = _code_tu(resid, qp, sl, ps.sign_hiding, zf_mult, lam)
+            lvl, r = _code_tu(resid, qp_cu, sl, ps.sign_hiding, zf_mult,
+                              lam)
             rec32 = np.clip(pred + r, 0, 255)
             c32 = _cu_cost(src_blk, rec32, lvl, mv, prior_q, lam)
             c16 = np.float32(0.0)
@@ -1081,7 +1221,8 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                     (sv, rv_ref, recon_v, desc.coef_v, ps.cr_qp_offset)):
                 cpred = mc_chroma(rplane, cx0, cy0, 16, mv[0], mv[1])
                 cres = splane[cy0:cy0 + 16, cx0:cx0 + 16] - cpred
-                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding, zf_mult, lam)
+                clvl, cr = _code_tu(cres, qp_c_cu, sl, ps.sign_hiding,
+                                    zf_mult, lam)
                 coefs[cy0:cy0 + 16, cx0:cx0 + 16] = clvl.astype(np.int16)
                 recon_c[cy0:cy0 + 16, cx0:cx0 + 16] = \
                     np.clip(cpred + cr, 0, 255)
@@ -1117,6 +1258,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 if me_prec >= 2:
                     mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
                                        prior_q, lam16)
+                qp_cu, qp_c_cu = cu_qps(x0, y0)
                 pred = mc_luma(ry_ref, x0, y0, 64, mv[0], mv[1])
                 resid = src_blk - pred
                 # luma: four forced-split TU32s (spec: log2 64 > max TB 32)
@@ -1125,8 +1267,8 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                 for qy in (0, 32):
                     for qx in (0, 32):
                         lq, rq = _code_tu(resid[qy:qy + 32, qx:qx + 32],
-                                          qp, sl, ps.sign_hiding, zf_mult,
-                                          lam)
+                                          qp_cu, sl, ps.sign_hiding,
+                                          zf_mult, lam)
                         lvl64[qy:qy + 32, qx:qx + 32] = lq
                         r64[qy:qy + 32, qx:qx + 32] = rq
                 rec64 = np.clip(pred + r64, 0, 255)
@@ -1154,7 +1296,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                     for qy in (0, 16):
                         for qx in (0, 16):
                             clvl, cr = _code_tu(
-                                cres[qy:qy + 16, qx:qx + 16], qp_c, sl,
+                                cres[qy:qy + 16, qx:qx + 16], qp_c_cu, sl,
                                 ps.sign_hiding, zf_mult, lam)
                             coefs[cy0 + qy:cy0 + qy + 16,
                                   cx0 + qx:cx0 + qx + 16] = \
@@ -1170,7 +1312,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     if merge_rd and not is_b:
         merge_rd_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
                    recon_y, recon_u, recon_v, qp, zf_mult, prior_q)
-    if ps.cfg.intra_in_p:
+    if ps.cfg.intra_in_p and qp_map is None:
         intra_fallback_p(ps, desc, sy, su, sv, recon_y, recon_u, recon_v,
                          qp, prior_q)
     select_inter_syntax_tree(ps, desc, is_b=is_b)
@@ -1530,12 +1672,14 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     lam = T.rd_lambda(qp, "P")
     lam16 = T.lambda_me_x16(qp)
     me_prec = int(ps.cfg.motion_estimation_precision)
+    farv = far_range(ps, search)
     f16_0, p16_0, f32_0, p32_0 = hier_pel_fields(sy, r0[0], search, lam16,
-                                                 want32=True)
+                                                 want32=True, far=farv)
     # uni-L1 candidate motion: matched to the SOURCE (unlike the bi list-1
     # field below, which is matched to the bi target 2*src - pred0)
     f16_1s, p16_1s, f32_1s, p32_1s = hier_pel_fields(sy, r1[0], search,
-                                                     lam16, want32=True)
+                                                     lam16, want32=True,
+                                                     far=farv)
     desc = FrameDesc.alloc(w, h)
     desc.pred_mode[:] = MODE_INTER
     desc.cu_depth[:] = 1
@@ -1572,7 +1716,7 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
                 np.clip((v0 + 32) >> 6, 0, 255)
     target = 2 * sy[:gh * 16, :gw * 16] - pred0_plane
     f16_1, p16_1, f32_1, p32_1 = hier_pel_fields(target, r1[0], search,
-                                                 lam16, want32=True)
+                                                 lam16, want32=True, far=farv)
 
     def code_bi_cu(x0, y0, n, mv0, mv1):
         """Bi MC + TU coding for one n x n CU; returns

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("-nref", type=int, default=1)
     ap.add_argument("-intra-in-p", action="store_true")
     ap.add_argument("-intra-rdo", action="store_true")
+    ap.add_argument("-scaling-lists", action="store_true")
+    ap.add_argument("-num-b", type=int, default=0)
     ap.add_argument("-o", default=None)
     ap.add_argument("-label", default="rd")
     ap.add_argument("-qps", default=None,
@@ -64,6 +66,8 @@ def main():
                         num_ref_frames=args.nref,
                         intra_in_p=args.intra_in_p,
                         intra_rdo=args.intra_rdo,
+                        scaling_lists=args.scaling_lists,
+                        num_b=args.num_b,
                         reinit_gop_on_scene_change=False)
     pipe = EncoderPipeline(cfg, backend=args.backend)
     fsz = w * h * 3 // 2
@@ -143,6 +147,8 @@ def run_multi(args):
                             num_ref_frames=args.nref,
                             intra_in_p=args.intra_in_p,
                             intra_rdo=args.intra_rdo,
+                            scaling_lists=args.scaling_lists,
+                            num_b=args.num_b,
                             reinit_gop_on_scene_change=False)
         pipe = EncoderPipeline(cfg, backend=args.backend)
         for k, v in shared.items():
