@@ -480,13 +480,30 @@ class TpuIntraTreeEncoder:
             return buf[:gh * gw].reshape(gh, gw, n, n) \
                 .transpose(0, 2, 1, 3).reshape(hh, ww)
         w, h = self.w, self.h
-        # in-loop deblocking for the tree path is host-side (golden BS-map
-        # filter over the decided maps); the device path requires it off
-        assert not ps.deblocking_enabled, \
-            "device tree path requires deblocking off (use golden backend)"
         recon_y = assemble(rec.astype(jnp.uint8), 32, h, w)
         recon_u = assemble(rec_u.astype(jnp.uint8), 16, h // 2, w // 2)
         recon_v = assemble(rec_v.astype(jnp.uint8), 16, h // 2, w // 2)
+        if ps.deblocking_enabled:
+            # in-loop deblock over the DECIDED maps: BS=2 on every TU edge
+            # of the 8-grid (golden twin: deblock.intra_bs_maps +
+            # deblock_plane_luma/chroma; tr_depth==0 on this path so the
+            # TU size is the CU size)
+            from homerhevc_tpu.ops.deblock import (deblock_chroma_bs,
+                                                   deblock_luma_bs)
+            h8u, w8u = h // 8, w // 8
+            tu8 = (ps.ctu_size >> depth8).astype(jnp.int32)
+            ux8 = jnp.arange(w8u, dtype=jnp.int32) * 8
+            uy8 = jnp.arange(h8u, dtype=jnp.int32) * 8
+            bs_v = jnp.where((ux8[None, :] % tu8) == 0, 2, 0) \
+                .at[:, 0].set(0)
+            bs_h = jnp.where((uy8[:, None] % tu8) == 0, 2, 0) \
+                .at[0, :].set(0)
+            recon_y = deblock_luma_bs(recon_y.astype(jnp.int32),
+                                      bs_v, bs_h, qp).astype(jnp.uint8)
+            recon_u = deblock_chroma_bs(recon_u, bs_v == 2, bs_h == 2, qp,
+                                        ps.cb_qp_offset).astype(jnp.uint8)
+            recon_v = deblock_chroma_bs(recon_v, bs_v == 2, bs_h == 2, qp,
+                                        ps.cr_qp_offset).astype(jnp.uint8)
         ly = assemble(lvl.astype(jnp.int16), 32, h, w)
         lu = assemble(lvl_u.astype(jnp.int16), 16, h // 2, w // 2)
         lv = assemble(lvl_v.astype(jnp.int16), 16, h // 2, w // 2)

@@ -182,6 +182,56 @@ def test_device_tree_encode_matches_golden(rng):
         assert np.array_equal(desc.coef_v, gdesc.coef_v)
 
 
+def test_device_tree_deblock_matches_golden(rng):
+    """Tree device path with deblocking ON: in-loop BS-map deblock must be
+    bit-exact to the golden intra_bs_maps + deblock_plane_* chain the
+    pipeline's golden backend applies."""
+    from homerhevc_tpu.engine.intra_tree_encoder import TpuIntraTreeEncoder
+    from homerhevc_tpu.golden import deblock as gdb
+    from homerhevc_tpu.golden.intra_tree import (decide_intra_tree,
+                                                 encode_intra_tree_frame)
+
+    import dataclasses
+    w, h = 96, 64
+    qp = 30
+    cfg = dataclasses.replace(_tree_cfg(w, h, qp=qp), deblocking=True)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = _mixed_frame(rng, w, h)
+    gdec = decide_intra_tree(ps, y, u, v, qp, ctb=32)
+    gdesc, gy_, gu_, gv_ = encode_intra_tree_frame(ps, y, u, v, qp, gdec,
+                                                   ctb=32)
+    cu_sz = (ps.ctu_size >> gdesc.cu_depth).astype(np.int32)
+    tu8 = (cu_sz >> gdesc.tr_depth).astype(np.int32)
+    qp8 = np.full_like(tu8, qp)
+    bs_v, bs_h = gdb.intra_bs_maps(tu8)
+    gy2 = gdb.deblock_plane_luma(gy_, tu8, qp8, bs_v, bs_h)
+    gu2 = gdb.deblock_plane_chroma(gu_, qp8, bs_v, bs_h, ps.cb_qp_offset)
+    gv2 = gdb.deblock_plane_chroma(gv_, qp8, bs_v, bs_h, ps.cr_qp_offset)
+    desc, ry, ru, rv = TpuIntraTreeEncoder(ps, cfg).encode_frame(y, u, v, qp)
+    assert np.array_equal(np.asarray(ry), gy2.astype(np.uint8))
+    assert np.array_equal(np.asarray(ru), gu2.astype(np.uint8))
+    assert np.array_equal(np.asarray(rv), gv2.astype(np.uint8))
+    desc.densify()
+    assert np.array_equal(desc.coef_y, gdesc.coef_y)
+
+
+def test_device_tree_deblock_pipeline_e2e(rng, tmp_path):
+    """Pipeline auto-backend with intra_rdo + deblocking now rides the
+    device tree path; the stream must FFmpeg-decode bit-exact."""
+    import dataclasses
+    w, h = 96, 64
+    cfg = dataclasses.replace(_tree_cfg(w, h, num_frames_in_flight=2),
+                              deblocking=True)
+    frames = [_mixed_frame(rng, w, h) for _ in range(2)]
+    bits, nals, recons = _encode_bits(cfg, frames)
+    path = tmp_path / "tree_dbk.265"
+    path.write_bytes(nals)
+    decoded = decode_annexb(path)
+    assert len(decoded) == 2
+    for i in range(2):
+        assert np.array_equal(decoded[i], recons[i]["y"]), f"frame {i}"
+
+
 def test_device_tree_pipeline_e2e(rng, tmp_path):
     """Full pipeline with the device tree backend (batched, packed wire):
     stream must FFmpeg-decode bit-exact to recon across a 3-frame batch."""
