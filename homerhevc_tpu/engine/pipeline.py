@@ -149,6 +149,26 @@ class EncoderPipeline:
         return aq_qp_map(np.asarray(y), self.ps.ctu_size, qp,
                          self.cfg.aq_strength)
 
+    def _inter_qp_map(self, y, qp):
+        """Per-CTB QP map for inter frames: AQ variance modulation and/or
+        row-granular RC offsets (reference per-CTU RC QP analog,
+        hmr_rc_calc_cu_qp hmr_rate_control.c:266-347; QG = CTB)."""
+        if not self.ps.cu_qp_delta_enabled:
+            return None
+        ctu = self.ps.ctu_size
+        rows = -(-self.cfg.height // ctu)
+        cols = -(-self.cfg.width // ctu)
+        base = None
+        if self.cfg.aq_strength > 0:
+            from homerhevc_tpu.engine.rate_control import aq_qp_map
+            base = aq_qp_map(np.asarray(y), ctu, qp, self.cfg.aq_strength)
+        if self.cfg.rc_ctu and self.rc.enabled:
+            off = self.rc.row_offsets(rows)
+            if base is None:
+                base = np.full((rows, cols), qp, np.int32)
+            base = np.clip(base + off[:, None], 0, 51).astype(np.int32)
+        return base
+
     def _analyze_intra_golden(self, y, u, v, qp):
         from homerhevc_tpu.golden.intra_frame import encode_intra_frame
         qp_map = None
@@ -214,16 +234,19 @@ class EncoderPipeline:
             self._cand_recon_dev = None
             from homerhevc_tpu.golden.inter_frame import (
                 encode_inter_frame, encode_inter_frame_tree)
+            qp_map = self._inter_qp_map(y, qp)
             if self.ps.ctu_size in (32, 64):
                 desc, ry, ru, rv = encode_inter_frame_tree(
                     self.ps, (y, u, v), ref, qp, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True)
+                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True,
+                    qp_map=qp_map)
             else:
                 desc, ry, ru, rv = encode_inter_frame(
                     self.ps, (y, u, v), ref, qp, cu_size=16, is_b=is_b,
                     search=self._inter_search_range(),
-                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True)
+                    avg_dist=self.avg_dist, merge_rd=True, rect_pu=True,
+                    qp_map=qp_map)
         # in-loop deblocking now runs inside both inter backends (device:
         # engine/inter_encoder deblock_inter; golden: _deblock_inter_luma);
         # chroma needs no pass in pure-inter frames (BS<2, spec 8.7.2.5.5)
@@ -428,6 +451,23 @@ class EncoderPipeline:
                 ssd = int(np.dot(d, d))
             avg = float(ssd) / (np.asarray(src[0]).size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
+        if (self.cfg.rc_ctu and self.rc.enabled and slice_type != SLICE_I
+                and desc.coef_y is not None):
+            # per-CTB-row coded-mass proxy feeding next frame's row offsets
+            # (bits ~ 3*nnz + sum|lvl| — the device cost model's arithmetic)
+            ctu = self.ps.ctu_size
+            rows = -(-self.cfg.height // ctu)
+
+            def row_mass(plane, unit):
+                p = np.abs(plane.astype(np.int64))
+                pad = rows * unit - p.shape[0]
+                if pad > 0:
+                    p = np.pad(p, ((0, pad), (0, 0)))
+                return (p + 2 * (p != 0)).reshape(rows, -1).sum(axis=1)
+            mass = (row_mass(desc.coef_y, ctu)
+                    + row_mass(desc.coef_u, ctu // 2)
+                    + row_mass(desc.coef_v, ctu // 2))
+            self.rc.note_row_shares(mass + 1)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         oh, ow = self.out_h, self.out_w
 
@@ -764,11 +804,11 @@ class EncoderPipeline:
         return cut
 
     def _tpu_tree_ok(self) -> bool:
-        """Device intra CU-tree path (decide + CTB32 wavefront encode)."""
+        """Device intra CU-tree path (decide + CTB32 wavefront encode +
+        in-loop BS-map deblock)."""
         from homerhevc_tpu.config import RDMode
         return (self.backend in ("auto", "tpu") and self.cfg.intra_rdo
                 and self.cfg.cu_size in (32, 64)
-                and not self.ps.deblocking_enabled
                 and not self.ps.cu_qp_delta_enabled
                 and self.cfg.rd_mode != RDMode.RD_FULL
                 and self.cfg.width % 32 == 0 and self.cfg.height % 32 == 0)

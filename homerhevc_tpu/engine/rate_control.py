@@ -54,9 +54,15 @@ class RateControl:
         self.fullness = cfg.vbv_init * self.vbv_size
         self.qp = cfg.qp
         self.intra_period = cfg.intra_period if cfg.intra_period > 0 else 100
-        # I frames get an amortized budget multiple (reference :89-140)
+        # I frames get an amortized budget multiple (reference :89-140).
+        # The prior starts at the reference's 2.25*sqrt(period) heuristic
+        # and then ADAPTS to the measured I/P cost ratio — a fixed weight
+        # reserves budget for I frames that may cost far less, leaving a
+        # persistent bitrate bias.
         self.i_weight = min(2.25 * math.sqrt(self.intra_period), 8.0)
         self._ema_ratio = 1.0
+        self._ema_i = None
+        self._ema_p = None
 
     def pic_qp(self, is_intra: bool) -> int:
         if not self.enabled:
@@ -75,11 +81,47 @@ class RateControl:
         target_p = self.avg_bits * n / (n - 1 + self.i_weight)
         return target_p * self.i_weight if is_intra else target_p
 
+    # ---- row-granular QP (the SURVEY §7(4) relaxation of the reference's
+    # per-CTU bits-so-far QP, hmr_rc_calc_cu_qp hmr_rate_control.c:266-347):
+    # the intra-frame "consumed vs expected" corrector is computed from the
+    # PREVIOUS frame's per-CTB-row bit distribution (one-frame lag — the
+    # same lag the engine pipeline already accepts for the picture QP).
+
+    def note_row_shares(self, row_mass: np.ndarray) -> None:
+        """Record the per-CTB-row coded-bits distribution of the frame just
+        emitted (any proportional proxy works; callers use coefficient
+        mass). Drives next frame's row offsets."""
+        m = np.asarray(row_mass, np.float64)
+        tot = m.sum()
+        self._row_share = (m / tot) if tot > 0 else None
+
+    def row_offsets(self, n_rows: int, max_off: int = 3) -> np.ndarray:
+        """Per-CTB-row QP offsets: rows that start after cumulative
+        overshoot (vs a uniform budget) get a higher QP, undershoot a
+        lower one — the reference's consumed-vs-expected corrector at row
+        granularity."""
+        share = getattr(self, "_row_share", None)
+        if share is None or len(share) != n_rows or n_rows < 2:
+            return np.zeros(n_rows, np.int32)
+        cum = np.concatenate([[0.0], np.cumsum(share)[:-1]])
+        expect = np.arange(n_rows) / n_rows
+        off = np.rint(8.0 * (cum - expect)).astype(np.int32)
+        return np.clip(off, -max_off, max_off)
+
     def end_pic(self, bits: int, is_intra: bool) -> None:
         if not self.enabled:
             return
         self.fullness += bits - self.avg_bits
         self.fullness = min(max(self.fullness, 0.0), 2.0 * self.vbv_size)
+        if is_intra:
+            self._ema_i = bits if self._ema_i is None \
+                else 0.5 * self._ema_i + 0.5 * bits
+        else:
+            self._ema_p = bits if self._ema_p is None \
+                else 0.85 * self._ema_p + 0.15 * bits
+        if self._ema_i is not None and self._ema_p is not None:
+            self.i_weight = min(max(self._ema_i / max(self._ema_p, 1.0),
+                                    0.5), 10.0)
         target = self.target_bits(is_intra)
         ratio = bits / max(target, 1.0)
         self._ema_ratio = 0.6 * self._ema_ratio + 0.4 * ratio

@@ -61,7 +61,8 @@ class ParamSets:
             sign_hiding=cfg.sign_hiding,
             # per-CTB adaptive quantization signals cu_qp_delta (QG = CTB;
             # diff_cu_qp_delta_depth stays 0)
-            cu_qp_delta_enabled=cfg.aq_strength > 0,
+            cu_qp_delta_enabled=(cfg.aq_strength > 0
+                                 or getattr(cfg, "rc_ctu", False)),
             wpp=cfg.wpp,
             num_ref=max(1, cfg.num_ref_frames),
             reorder_pics=1 if cfg.gop_size >= 2 else 0,
