@@ -60,6 +60,14 @@ class _AsyncFetch:
         return self._result, self.frames, self.qp
 
 
+def _mref(desc, refs_before, poc):
+    """(num_ref_l0, ref_dists_l0) for a multi-reference slice, or (1, None)
+    when the desc carries no per-CU ref_idx."""
+    if getattr(desc, "ref_idx", None) is None:
+        return 1, None
+    return len(refs_before), tuple(poc - rp for rp in refs_before)
+
+
 def _ref_dists(poc, refs_before, refs_after, l1_swap):
     """POC(cur) - POC(first entry) of each reference list. L0 leads with
     the closest past ref; L1 leads with the first future ref, or (under
@@ -267,10 +275,12 @@ class EncoderPipeline:
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         poc_val = self.gop_poc if poc is None else poc
         dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
-        # native fast path
+        num_ref_l0, rdl0 = _mref(desc, refs_before, poc_val)
+        # native fast path (bails to python when the desc carries
+        # per-CU ref_idx — multi-ref syntax is python-only for now)
         from homerhevc_tpu import native
         with PROFILER.scope("ser_native"):
-            res = native.encode_slice_native(
+            res = None if rdl0 is not None else native.encode_slice_native(
                 ps, desc, init_contexts(st, qp), ps.sign_hiding,
                 slice_type=slice_type, sao_params=sao_params, wpp=True,
                 ref_dists=dists, slice_qp=qp)
@@ -286,7 +296,8 @@ class EncoderPipeline:
                              sao_luma=sao_params is not None,
                              sao_chroma=sao_params is not None,
                              ref_pocs_before=refs_before,
-                             ref_pocs_after=refs_after, l1_swap=l1_swap)
+                             ref_pocs_after=refs_after, l1_swap=l1_swap,
+                             num_ref_l0=num_ref_l0)
             bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
             return make_nal(nal_type, bw.get_bytes() + payload)
         rows = []
@@ -300,7 +311,8 @@ class EncoderPipeline:
             bw_row = BitWriter()
             enc = CabacEncoder(bw_row, ctx)
             sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
-                                  sao_params=sao_params, ref_dists=dists)
+                                  sao_params=sao_params, ref_dists=dists,
+                                  ref_dists_l0=rdl0)
             saved = None
             for cx in range(ps.ctus_x):
                 sd.encode_ctu(cx, cy)
@@ -322,7 +334,8 @@ class EncoderPipeline:
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
                          ref_pocs_before=refs_before,
-                         ref_pocs_after=refs_after, l1_swap=l1_swap)
+                         ref_pocs_after=refs_after, l1_swap=l1_swap,
+                         num_ref_l0=num_ref_l0)
         bw = write_slice_header(ps, sp, entry_point_offsets=offsets)
         return make_nal(nal_type, bw.get_bytes() + payload)
 
@@ -341,18 +354,20 @@ class EncoderPipeline:
                                              refs_before=refs_before,
                                              refs_after=refs_after,
                                              l1_swap=l1_swap)
+        poc_val = self.gop_poc if poc is None else poc
+        num_ref_l0, rdl0 = _mref(desc, refs_before, poc_val)
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
-                         poc=self.gop_poc if poc is None else poc, qp=qp,
+                         poc=poc_val, qp=qp,
                          sao_luma=sao_params is not None,
                          sao_chroma=sao_params is not None,
                          ref_pocs_before=refs_before,
-                         ref_pocs_after=refs_after, l1_swap=l1_swap)
+                         ref_pocs_after=refs_after, l1_swap=l1_swap,
+                         num_ref_l0=num_ref_l0)
         bw = write_slice_header(ps, sp)
         st = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         ctx = init_contexts(st, qp)
-        poc_val = self.gop_poc if poc is None else poc
         dists = _ref_dists(poc_val, refs_before, refs_after, l1_swap)
-        if use_native:
+        if use_native and rdl0 is None:
             from homerhevc_tpu import native
             with PROFILER.scope("ser_native"):
                 payload = native.encode_slice_native(
@@ -363,7 +378,8 @@ class EncoderPipeline:
                     return make_nal(nal_type, bw.get_bytes() + payload)
         enc = CabacEncoder(bw, ctx)
         sd = SliceDataEncoder(ps, desc, enc, slice_type, qp,
-                              sao_params=sao_params, ref_dists=dists)
+                              sao_params=sao_params, ref_dists=dists,
+                              ref_dists_l0=rdl0)
         n_ctus = ps.ctus_x * ps.ctus_y
         for i in range(n_ctus):
             sd.encode_ctu(i % ps.ctus_x, i // ps.ctus_x)
@@ -428,6 +444,12 @@ class EncoderPipeline:
             self._prev_recon2 = (None if slice_type == SLICE_I
                                  else self._last_recon)
             self._last_recon = (ry, ru, rv)
+            # multi-reference pool (most recent first; refs never cross an
+            # IDR — reference ref_wnds analog, hmr_private.h:1407)
+            q = [] if slice_type == SLICE_I \
+                else getattr(self, "_ref_queue", [])
+            self._ref_queue = ([(ry, ru, rv)] + q)[
+                :max(1, self.cfg.num_ref_frames)]
             cand = getattr(self, "_cand_recon_dev", None)
             if sao_params is not None and not device_sao:
                 self._last_recon_dev = None   # host filter modified the recon
@@ -531,6 +553,32 @@ class EncoderPipeline:
                     yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
                     yield self._emit(desc, ry, ru, rv, src=(y, u, v), qp=qp)
+                elif (self.cfg.num_ref_frames > 2
+                      and len(getattr(self, "_ref_queue", ())) >= 2):
+                    # multi-reference L0 (N > 2): per-CU ref choice +
+                    # ref_idx_l0 coding on the golden path (the 2-ref case
+                    # rides the device two-list GPB machinery instead)
+                    yield from self._drain_p_pending()
+                    nref = min(self.cfg.num_ref_frames,
+                               len(self._ref_queue))
+                    refs = [tuple(np.asarray(pl, np.int32) for pl in r)
+                            for r in self._ref_queue[:nref]]
+                    from homerhevc_tpu.golden.inter_frame import \
+                        encode_inter_frame
+                    dists = tuple(i + 1 for i in range(nref))
+                    self._cand_recon_dev = None
+                    self._last_recon_dev = None
+                    with PROFILER.scope("analyze_inter_mref"):
+                        desc, ry, ru, rv = encode_inter_frame(
+                            self.ps, (y, u, v), refs[0], qp, cu_size=16,
+                            search=self._inter_search_range(),
+                            avg_dist=self.avg_dist, ref_list=refs,
+                            ref_dists=dists)
+                    pnow = self.gop_poc
+                    yield self._emit(
+                        desc, ry, ru, rv, src=(y, u, v),
+                        slice_type=SLICE_P, qp=qp,
+                        refs_before=tuple(pnow - d for d in dists))
                 elif self._p_pipeline_ok():
                     # P-chain software pipeline: dispatch frame i on device
                     # (its ME reads the device-resident recon of frame i-1),

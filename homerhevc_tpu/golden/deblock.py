@@ -262,6 +262,10 @@ def inter_bs_maps(desc, tu_size8: np.ndarray):
         da, db = int(dirs[uy, ux]), int(dirs[vy, vx])
         if bin(da).count("1") != bin(db).count("1") or da != db:
             return 1
+        # multi-reference: different reference pictures -> BS 1
+        if desc.ref_idx is not None and (
+                int(desc.ref_idx[uy, ux]) != int(desc.ref_idx[vy, vx])):
+            return 1
         if (da & 1) and (
                 abs(int(mv[uy, ux, 0]) - int(mv[vy, vx, 0])) >= 4
                 or abs(int(mv[uy, ux, 1]) - int(mv[vy, vx, 1])) >= 4):

@@ -478,33 +478,38 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                        cu_size: int = 16, search: int = 16,
                        is_b: bool = False, avg_dist: float = 1000.0,
                        merge_rd: bool = False, rect_pu: bool = False,
-                       qp_map=None):
+                       qp_map=None, ref_list=None, ref_dists=None):
     """Encode one P frame (2Nx2N CUs, optional per-CU intra fallback).
     qp_map: optional per-CTB luma QP map (AQ / row-granular RC; QG = CTB).
+    ref_list: optional list of reference plane triplets (multi-reference
+    L0, nearest first) with ref_dists their POC distances — per-CU ref
+    choice + ref_idx_l0 coding (reference ref-pool, hmr_private.h:1407).
     Returns (FrameDesc, recon_y, recon_u, recon_v)."""
     desc, recon_y, recon_u, recon_v, prior_q = _encode_level16(
         ps, src_planes, ref_planes, qp, search, avg_dist, cu_size,
-        qp_map=qp_map)
-    if qp_map is not None:
-        merge_rd = rect_pu = False   # post-passes code at the slice QP
-    if (rect_pu or merge_rd) and not is_b:
+        qp_map=qp_map, ref_list=ref_list, ref_dists=ref_dists)
+    if qp_map is not None or ref_list is not None:
+        merge_rd = rect_pu = False   # post-passes assume slice QP + 1 ref
+    if rect_pu or merge_rd:
         sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
         ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
-        if rect_pu and cu_size == 16:
+        if rect_pu and cu_size == 16 and not is_b:
             rect_pu_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
                       recon_y, recon_u, recon_v, qp,
                       zf_multiplier(avg_dist, qp), prior_q,
                       int(ps.cfg.motion_estimation_precision))
-        if merge_rd:
+        if merge_rd and not (is_b and desc.mv_l1 is not None):
             merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
                        recon_y, recon_u, recon_v, qp,
-                       zf_multiplier(avg_dist, qp), prior_q)
-    if ps.cfg.intra_in_p and cu_size == 16 and qp_map is None:
+                       zf_multiplier(avg_dist, qp), prior_q, is_b=is_b)
+    if (ps.cfg.intra_in_p and cu_size == 16 and qp_map is None
+            and ref_list is None):
         intra_fallback_p(ps, desc, np.asarray(src_planes[0], np.int32),
                          np.asarray(src_planes[1], np.int32),
                          np.asarray(src_planes[2], np.int32),
                          recon_y, recon_u, recon_v, qp, prior_q)
-    select_inter_syntax(ps, desc, cu_size, is_b=is_b)
+    select_inter_syntax(ps, desc, cu_size, is_b=is_b,
+                        ref_dists_l0=ref_dists)
     if ps.deblocking_enabled:
         recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
         recon_u, recon_v = _deblock_inter_chroma(ps, desc, recon_u,
@@ -514,8 +519,10 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
 
 def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
                     search: int, avg_dist: float, cu_size: int = 16,
-                    fp16=None, qp_map=None):
+                    fp16=None, qp_map=None, ref_list=None, ref_dists=None):
     sy, su, sv = [np.asarray(p, np.int32) for p in src_planes]
+    if ref_list is not None:
+        ref_planes = ref_list[0]
     ry_ref, ru_ref, rv_ref = [np.asarray(p, np.int32) for p in ref_planes]
     h, w = sy.shape
     n = cu_size
@@ -544,7 +551,18 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
     # ---- phase 1: independent per-CU ME + residual -------------------------
     me_prec = int(ps.cfg.motion_estimation_precision)
     lam16 = T.lambda_me_x16(qp)
-    if fp16 is not None:
+    mrefs = mfields = None
+    if ref_list is not None:
+        # multi-reference L0 (reference ref-pool analog,
+        # hmr_private.h:1407): one hierarchical field per reference;
+        # per-CU choice by SAD + lambda*(mvd + ref_idx bins)
+        mrefs = [[np.asarray(p, np.int32) for p in rp] for rp in ref_list]
+        mfields = [hier_pel_fields(sy, r[0], search, lam16,
+                                   far=far_range(ps, search))
+                   for r in mrefs]
+        desc.ref_idx = np.zeros(desc.pred_mode.shape, np.int8)
+        fp_mv, prior_q = mfields[0][0], mfields[0][1]
+    elif fp16 is not None:
         fp_mv, prior_q = fp16            # shared 16/32 field from the tree
     elif n == 16:
         fp_mv, prior_q, _, _ = hier_pel_fields(sy, ry_ref, search, lam16,
@@ -555,16 +573,41 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
         for gx in range(gw):
             x0, y0 = gx * n, gy * n
             src_blk = sy[y0:y0 + n, x0:x0 + n]
-            mv = (4 * int(fp_mv[gy, gx, 0]), 4 * int(fp_mv[gy, gx, 1]))
-            if me_prec >= 1:  # half-pel
-                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2,
-                                   prior_q, lam16)
-            if me_prec >= 2:  # quarter-pel
-                mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
-                                   prior_q, lam16)
-            desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
-            qp_cu, qp_c = cu_qps(x0, y0)
-            pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
+            ry_cur, ru_cur, rv_cur = ry_ref, ru_ref, rv_ref
+            if mrefs is not None:
+                best = None
+                for r, (rr, fld) in enumerate(zip(mrefs, mfields)):
+                    fpr, prr = fld[0], fld[1]
+                    mvr = (4 * int(fpr[gy, gx, 0]), 4 * int(fpr[gy, gx, 1]))
+                    if me_prec >= 1:
+                        mvr = subpel_refine(src_blk, rr[0], x0, y0, mvr, 2,
+                                            prr, lam16)
+                    if me_prec >= 2:
+                        mvr = subpel_refine(src_blk, rr[0], x0, y0, mvr, 1,
+                                            prr, lam16)
+                    predr = mc_luma(rr[0], x0, y0, n, mvr[0], mvr[1])
+                    sad = int(np.abs(src_blk - predr).sum())
+                    rate = int(mv_rate(mvr[0], mvr[1], prr)) + 2 * r + 1
+                    cost = sad + ((lam16 * rate) >> 4)
+                    if best is None or cost < best[0]:
+                        best = (cost, r, mvr, predr, prr)
+                _, rbest, mv, pred, prior_cu = best
+                desc.ref_idx[y0 // 8:(y0 + n) // 8,
+                             x0 // 8:(x0 + n) // 8] = rbest
+                ry_cur, ru_cur, rv_cur = mrefs[rbest]
+                desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
+                qp_cu, qp_c = cu_qps(x0, y0)
+            else:
+                mv = (4 * int(fp_mv[gy, gx, 0]), 4 * int(fp_mv[gy, gx, 1]))
+                if me_prec >= 1:  # half-pel
+                    mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 2,
+                                       prior_q, lam16)
+                if me_prec >= 2:  # quarter-pel
+                    mv = subpel_refine(src_blk, ry_ref, x0, y0, mv, 1,
+                                       prior_q, lam16)
+                desc.mv[y0 // 8:(y0 + n) // 8, x0 // 8:(x0 + n) // 8] = mv
+                qp_cu, qp_c = cu_qps(x0, y0)
+                pred = mc_luma(ry_ref, x0, y0, n, mv[0], mv[1])
             resid = src_blk - pred
             coef = forward_transform(resid, False)
             lvl = quantize(coef, qp_cu, False, sl)
@@ -585,8 +628,8 @@ def _encode_level16(ps: ParamSets, src_planes, ref_planes, qp: int,
             # chroma
             cx0, cy0 = x0 // 2, y0 // 2
             for splane, rplane, recon_c, coefs in (
-                    (su, ru_ref, recon_u, desc.coef_u),
-                    (sv, rv_ref, recon_v, desc.coef_v)):
+                    (su, ru_cur, recon_u, desc.coef_u),
+                    (sv, rv_cur, recon_v, desc.coef_v)):
                 cpred = mc_chroma(rplane, cx0, cy0, nc, mv[0], mv[1])
                 cres = splane[cy0:cy0 + nc, cx0:cx0 + nc] - cpred
                 ccoef = forward_transform(cres, False)
@@ -668,7 +711,8 @@ INTRA_P_MODE_BITS_REM = np.float32(7.0)   # pred_mode bin + rem 6 bins
 
 def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
                ry_ref, ru_ref, rv_ref, recon_y, recon_u, recon_v,
-               qp: int, zf_mult: float, prior_q, max_cand: int = 2) -> int:
+               qp: int, zf_mult: float, prior_q, max_cand: int = 2,
+               is_b: bool = False) -> int:
     """RD-checked merge for P frames: walk CUs in decode order and flip a
     CU's motion to its best merge candidate when the re-coded cost beats
     the ME coding (reference check_rd_cost_merge_2nx2n,
@@ -680,7 +724,7 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
 
     Returns the number of flipped CUs."""
     from homerhevc_tpu.golden.rd_bits import RdBits
-    rb = RdBits(ps, "P", qp)
+    rb = RdBits(ps, "B" if is_b else "P", qp)
     lam = float(T.rd_lambda(qp, "P"))
     qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
     sl = ps.scaling_list_enabled
@@ -716,14 +760,19 @@ def merge_rd_p(ps: ParamSets, desc: FrameDesc, sy, su, sv,
         if desc.inter_part is not None and desc.inter_part[uy, ux]:
             return    # rect CUs keep their per-PU coding
         mv_cur = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
-        cands, _ = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+        cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size,
+                                            w, h)
+        # in (uni-)B slices the decoder's fill candidates are
+        # bi-predictive — only the spatial entries are selectable, and
+        # their indices coincide with the B merge list's spatial part
+        limit = min(max_cand, n_spatial) if is_b else max_cand
         src_blk = sy[y0:y0 + n, x0:x0 + n]
         cur_cost = _cu_cost(src_blk, recon_y[y0:y0 + n, x0:x0 + n],
                             desc.coef_y[y0:y0 + n, x0:x0 + n], mv_cur,
                             prior_q, lam, rb)
         best = None
         seen = set()
-        for idx, c in enumerate(cands[:max_cand]):
+        for idx, c in enumerate(cands[:limit]):
             mv = (int(c[0]), int(c[1]))
             if c[2] != 0 or mv == mv_cur or mv in seen:
                 continue
@@ -1309,9 +1358,10 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
         rect_pu_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
                   recon_y, recon_u, recon_v, qp, zf_mult, prior_q,
                   me_prec)
-    if merge_rd and not is_b:
+    if merge_rd and not (is_b and desc.mv_l1 is not None):
         merge_rd_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
-                   recon_y, recon_u, recon_v, qp, zf_mult, prior_q)
+                   recon_y, recon_u, recon_v, qp, zf_mult, prior_q,
+                   is_b=is_b)
     if ps.cfg.intra_in_p and qp_map is None:
         intra_fallback_p(ps, desc, sy, su, sv, recon_y, recon_u, recon_v,
                          qp, prior_q)
@@ -1389,8 +1439,10 @@ def _select_rect_syntax(ps, desc, mf, x0, y0, n, part):
     desc.root_cbf[sl8] = 1 if has_res else 0
 
 
-def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
+def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1),
+                      ref_dists_l0=None):
     from homerhevc_tpu.hevc.inter import (amvp_candidates_2,
+                                          amvp_candidates_mref,
                                           merge_candidates_b)
     w, h = desc.width, desc.height
     bi_lists = is_b and desc.mv_l1 is not None
@@ -1400,7 +1452,8 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
         dirs = np.full(inter.shape, 3 if bi_lists else 1, np.uint8)
     mf = MotionField(*desc.pred_mode.shape)
     mf.mv = desc.mv
-    mf.ref = np.where(inter & ((dirs & 1) != 0), 0, -1)
+    r0m = desc.ref_idx.astype(np.int32) if desc.ref_idx is not None else 0
+    mf.ref = np.where(inter & ((dirs & 1) != 0), r0m, -1)
     if bi_lists:
         mf.mv1 = desc.mv_l1
         mf.ref1 = np.where(inter & ((dirs & 2) != 0), 0, -1)
@@ -1428,10 +1481,14 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
                         if c == (cdir, mv0t, mv1t)), None)
     else:
         cdir = 1
+        cur_ref = int(desc.ref_idx[uy, ux]) if desc.ref_idx is not None \
+            else 0
         cands, n_spatial = merge_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
+        # zero-fill candidates carry ref 0; with multi-ref they are only
+        # selectable for ref-0 CUs (matching any conformant decoder)
         limit = n_spatial if is_b else len(cands)
         merge_k = next((k for k, c in enumerate(cands[:limit])
-                        if (c[0], c[1]) == mv and c[2] == 0), None)
+                        if (c[0], c[1]) == mv and c[2] == cur_ref), None)
     sl8 = (slice(uy, (y0 + n) // 8), slice(ux, (x0 + n) // 8))
     if merge_k is not None and not has_res:
         desc.skip[sl8] = 1
@@ -1458,6 +1515,12 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
                 d0 = abs(mv1t[0] - mvp1[0][0]) + abs(mv1t[1] - mvp1[0][1])
                 d1 = abs(mv1t[0] - mvp1[1][0]) + abs(mv1t[1] - mvp1[1][1])
                 desc.mvp_flag_l1[sl8] = 0 if d0 <= d1 else 1
+        elif ref_dists_l0 is not None and len(ref_dists_l0) > 1:
+            mvp = amvp_candidates_mref(mf, x0, y0, n, ps.ctu_size, w, h,
+                                       cur_ref, ref_dists_l0)
+            c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
+            c1 = abs(mv[0] - mvp[1][0]) + abs(mv[1] - mvp[1][1])
+            desc.mvp_flag[sl8] = 0 if c0 <= c1 else 1
         else:
             mvp = amvp_candidates(mf, x0, y0, n, ps.ctu_size, w, h)
             c0 = abs(mv[0] - mvp[0][0]) + abs(mv[1] - mvp[0][1])
@@ -1466,20 +1529,23 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1)):
 
 
 def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
-                        is_b: bool = False) -> None:
+                        is_b: bool = False, ref_dists_l0=None) -> None:
     """Choose skip/merge/AMVP syntax per CU from final MVs + residuals.
     Shared by the golden and device paths (pure host logic). In B slices the
     zero-fill merge candidates are bi-predictive, so matching is restricted
     to the spatial candidates (L0-uni B path)."""
     has_rect = desc.inter_part is not None and desc.inter_part.any()
+    mref = desc.ref_idx is not None
     if (cu_size == ps.ctu_size and desc.width % cu_size == 0
-            and desc.height % cu_size == 0 and not has_rect):
+            and desc.height % cu_size == 0 and not has_rect and not mref):
         _select_inter_syntax_vec(ps, desc, cu_size, is_b)
     else:
         # the vectorized pass samples neighbour motion at CU origins,
-        # which is wrong once a neighbour carries per-PU (rect) motion —
-        # the loop samples the exact spec positions per unit
-        _select_inter_syntax_loop(ps, desc, cu_size, is_b)
+        # which is wrong once a neighbour carries per-PU (rect) motion
+        # or a per-CU ref_idx — the loop samples the exact spec
+        # positions per unit
+        _select_inter_syntax_loop(ps, desc, cu_size, is_b,
+                                  ref_dists_l0=ref_dists_l0)
     if has_rect and not is_b:
         # the passes above assume 2Nx2N; re-select rectangular CUs
         # per-PU (and clear any skip they may have set — skip implies
@@ -1598,17 +1664,26 @@ def _select_inter_syntax_vec(ps: ParamSets, desc: FrameDesc, n: int,
 
 
 def _select_inter_syntax_loop(ps: ParamSets, desc: FrameDesc, cu_size: int,
-                              is_b: bool = False) -> None:
+                              is_b: bool = False, ref_dists_l0=None) -> None:
     w, h = desc.width, desc.height
     n = cu_size
     # boundary bands not covered by the n-grid: CU8 zero-MV units
     h16, w16 = (h // n) * n, (w // n) * n
     for y0 in range(h16, h, 8):
         for x0 in range(0, w, 8):
-            _select_cu_syntax(ps, desc, x0, y0, 8, is_b)
+            _select_cu_syntax(ps, desc, x0, y0, 8, is_b,
+                              ref_dists_l0=ref_dists_l0)
     for y0 in range(0, h16, 8):
         for x0 in range(w16, w, 8):
-            _select_cu_syntax(ps, desc, x0, y0, 8, is_b)
+            _select_cu_syntax(ps, desc, x0, y0, 8, is_b,
+                              ref_dists_l0=ref_dists_l0)
+    if desc.ref_idx is not None:
+        # multi-reference: the per-CU path samples ref-aware candidates
+        for gy in range(h // n):
+            for gx in range(w // n):
+                _select_cu_syntax(ps, desc, gx * n, gy * n, n, is_b,
+                                  ref_dists_l0=ref_dists_l0)
+        return
     mf = MotionField(*desc.pred_mode.shape)
     mf.mv = desc.mv
     mf.ref = np.where(desc.pred_mode == MODE_INTER, 0, -1)

@@ -250,6 +250,9 @@ class SliceParams:
     # ref_pic_list_modification (list_entry_l1[0] = 1), so a "P" frame
     # bi-predicts from t-1 (L0) and t-2 (L1) with refidx 0 in both lists
     l1_swap: bool = False
+    # multi-reference L0: active refs in list 0 (>1 writes the
+    # num_ref_idx_active override; per-PU ref_idx_l0 follows in the CUs)
+    num_ref_l0: int = 1
 
     @property
     def is_irap(self) -> bool:
@@ -293,7 +296,13 @@ def write_slice_header(ps: ParamSets, sp: SliceParams,
         bw.write(int(sp.sao_luma), 1)
         bw.write(int(sp.sao_chroma), 1)
     if sp.slice_type != SLICE_I:
-        bw.write(0, 1)  # num_ref_idx_active_override_flag
+        if sp.num_ref_l0 > 1:
+            bw.write(1, 1)  # num_ref_idx_active_override_flag
+            bw.write_ue(sp.num_ref_l0 - 1)
+            if sp.slice_type == SLICE_B:
+                bw.write_ue(0)  # num_ref_idx_l1_active_minus1
+        else:
+            bw.write(0, 1)  # num_ref_idx_active_override_flag
         # ref_pic_list_modification (PPS lists_modification_present_flag=1;
         # spec 7.3.6.2) — present whenever NumPicsTotalCurr > 1
         npt = len(sp.ref_pocs_before) + len(sp.ref_pocs_after)

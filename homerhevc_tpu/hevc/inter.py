@@ -451,3 +451,52 @@ def amvp_candidates(mf: MotionField, x0: int, y0: int, n: int,
     while len(lst) < 2:
         lst.append((0, 0))
     return lst[:2]
+
+
+def amvp_candidates_mref(mf: MotionField, x0: int, y0: int, n: int,
+                         ctu: int, pic_w: int, pic_h: int,
+                         cur_ref: int, ref_dists) -> list:
+    """AMVP list for a multi-reference L0 (spec 8.5.3.2.5-8): neighbours
+    carrying a DIFFERENT reference contribute through the POC-distance
+    scaling branch. ref_dists[r] = POC(cur) - POC(ref r). A-candidate
+    scaling runs whenever no same-ref A hit exists; the scaled B pass runs
+    only when no A neighbour is available (isScaledFlagLX == 0), as in
+    the two-list variant. Reference analog: hmr_motion_inter.c:2218."""
+    def nb(x, y):
+        if x < 0 or y < 0 or x >= pic_w or y >= pic_h:
+            return None
+        if not _coded_before(x, y, x0, y0, ctu, pic_w):
+            return None
+        return mf.at(x, y)           # (mvx, mvy, ref)
+
+    A = [nb(x0 - 1, y0 + n), nb(x0 - 1, y0 + n - 1)]
+    Bc = [nb(x0 + n, y0 - 1), nb(x0 + n - 1, y0 - 1), nb(x0 - 1, y0 - 1)]
+    tb = int(ref_dists[cur_ref])
+
+    def same_ref(c):
+        if c is None or c[2] != cur_ref:
+            return None
+        return (c[0], c[1])
+
+    def scaled(c):
+        if c is None:
+            return None
+        if c[2] == cur_ref:
+            return (c[0], c[1])
+        return scale_mv(c[0], c[1], tb, int(ref_dists[c[2]]))
+
+    mv_a = next((r for r in map(same_ref, A) if r is not None), None)
+    avail_a = any(c is not None for c in A)
+    if mv_a is None and avail_a:
+        mv_a = next((r for r in map(scaled, A) if r is not None), None)
+    mv_b = next((r for r in map(same_ref, Bc) if r is not None), None)
+    if mv_b is None and not avail_a:
+        mv_b = next((r for r in map(scaled, Bc) if r is not None), None)
+    lst = []
+    if mv_a is not None:
+        lst.append(mv_a)
+    if mv_b is not None and (mv_a is None or mv_b != mv_a):
+        lst.append(mv_b)
+    while len(lst) < 2:
+        lst.append((0, 0))
+    return lst[:2]

@@ -26,11 +26,18 @@ class SliceDataParser:
                  dec: CabacDecoder, slice_type: int = SLICE_I,
                  slice_qp: int = 32, trace: bool = False,
                  sao_enabled: bool = False, mvd_l1_zero: bool = False,
-                 ref_dists=(1, 1)):
+                 ref_dists=(1, 1), ref_dists_l0=None):
         self.ps = ps
         self.d = FrameDesc.alloc(width, height)
         # POC distances of each list's first ref (AMVP scaling, B slices)
         self.ref_dists = tuple(ref_dists)
+        # multi-reference L0: POC distance per ref index (> 1 entry
+        # activates ref_idx_l0 parsing — twin of the encoder's coding)
+        self.ref_dists_l0 = (tuple(ref_dists_l0)
+                             if ref_dists_l0 is not None
+                             else (self.ref_dists[0],))
+        if len(self.ref_dists_l0) > 1:
+            self.d.ref_idx = np.zeros(self.d.pred_mode.shape, np.int8)
         if slice_type == SLICE_B:
             self.d.mv_l1 = np.zeros_like(self.d.mv)
             self.d.mvp_flag_l1 = np.zeros_like(self.d.mvp_flag)
@@ -276,7 +283,9 @@ class SliceDataParser:
             mf.ref1 = np.where(coded_inter & ((self.d.inter_dir & 2) != 0),
                                0, -1)
         else:
-            mf.ref = np.where(coded_inter, 0, -1)
+            r0 = (self.d.ref_idx.astype(np.int32)
+                  if self.d.ref_idx is not None else 0)
+            mf.ref = np.where(coded_inter, r0, -1)
         return mf
 
     def _apply_merge(self, x0, y0, size, idx, sl8, pw=None, ph=None,
@@ -310,6 +319,8 @@ class SliceDataParser:
         mv = cands[idx]
         self.d.mv[sl8[0], sl8[1], 0] = mv[0]
         self.d.mv[sl8[0], sl8[1], 1] = mv[1]
+        if self.d.ref_idx is not None:
+            self.d.ref_idx[sl8] = mv[2]    # merge inherits the neighbour ref
         if self.d.inter_dir is not None:
             self.d.inter_dir[sl8] = 1
         self._mark_coded(sl8)
@@ -335,6 +346,21 @@ class SliceDataParser:
                 v = -v
             out.append(v)
         return out[0], out[1]
+
+    def _parse_ref_idx(self, num_ref: int) -> int:
+        """Decoder twin of SliceDataEncoder._encode_ref_idx (TR cMax
+        num_ref-1; ctxInc 0, 1, bypass)."""
+        e = self.e
+        if not e.decode_bin(OFF["ref_pic"]):
+            return 0
+        r = 1
+        while r < num_ref - 1:
+            b = (e.decode_bin(OFF["ref_pic"] + 1) if r == 1
+                 else e.decode_bypass())
+            if not b:
+                break
+            r += 1
+        return r
 
     def _parse_cu_qp_delta(self) -> None:
         """Decoder twin of SliceDataEncoder._encode_cu_qp_delta (spec
@@ -399,8 +425,15 @@ class SliceDataParser:
         self.pu_stats["bi" if bi else ("l1" if lst else "l0")] += 1
         from homerhevc_tpu.hevc.inter import (amvp_candidates,
                                               amvp_candidates_2,
+                                              amvp_candidates_mref,
                                               amvp_candidates_rect)
         two_list = d.inter_dir is not None and self.slice_type == SLICE_B
+        num_ref = len(self.ref_dists_l0)
+        cur_ref = 0
+        if num_ref > 1 and (bi or not lst):
+            cur_ref = self._parse_ref_idx(num_ref)
+            if d.ref_idx is not None:
+                d.ref_idx[sl8] = cur_ref
         cdir = 3 if bi else (2 if lst else 1)
         mv = None
         for ref_list in ((0, 1) if bi else (lst,)):
@@ -418,6 +451,11 @@ class SliceDataParser:
                                            pw, ph, ps.ctu_size, d.width,
                                            d.height, part=part,
                                            pu_idx=pu_idx)
+            elif num_ref > 1:
+                mvp = amvp_candidates_mref(self._motion_field(), x0, y0,
+                                           max(pw, ph), ps.ctu_size,
+                                           d.width, d.height, cur_ref,
+                                           self.ref_dists_l0)
             else:
                 mvp = amvp_candidates(self._motion_field(), x0, y0,
                                       max(pw, ph), ps.ctu_size, d.width,

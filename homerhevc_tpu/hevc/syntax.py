@@ -73,6 +73,8 @@ class FrameDesc:
     mvp_flag: Optional[np.ndarray] = None
     mv: Optional[np.ndarray] = None          # (h8,w8,2) quarter-pel (L0)
     root_cbf: Optional[np.ndarray] = None
+    # multi-reference L0: per-unit ref_idx (0..N-1); None = all ref 0
+    ref_idx: Optional[np.ndarray] = None
     # B slices: list-1 motion + mvp flag
     mv_l1: Optional[np.ndarray] = None       # (h8,w8,2) quarter-pel (L1)
     mvp_flag_l1: Optional[np.ndarray] = None
@@ -179,7 +181,7 @@ class SliceDataEncoder:
 
     def __init__(self, ps: ParamSets, desc: FrameDesc, enc: CabacEncoder,
                  slice_type: int = SLICE_I, slice_qp: int = 32,
-                 sao_params=None, ref_dists=(1, 1)):
+                 sao_params=None, ref_dists=(1, 1), ref_dists_l0=None):
         self.ps = ps
         self.d = desc.densify()    # python path reads dense coef planes
         self.e = enc
@@ -191,6 +193,10 @@ class SliceDataEncoder:
         # POC distances (cur - ref) of the first entry of each list; feeds
         # the AMVP spatial-scaling branch (spec 8.5.3.2.6)
         self.ref_dists = tuple(ref_dists)
+        # multi-reference L0: POC distance per L0 ref index (ref_idx_l0
+        # coding is active when more than one entry is given)
+        self.ref_dists_l0 = (tuple(ref_dists_l0) if ref_dists_l0 is not None
+                             else (self.ref_dists[0],))
         # cu_qp_delta state
         self.qp_pred = slice_qp
         self.cu_qp_delta_coded = False
@@ -206,7 +212,9 @@ class SliceDataEncoder:
                 dirs = np.full(desc.pred_mode.shape,
                                3 if desc.mv_l1 is not None else 1, np.uint8)
             self.dirs = dirs
-            mf.ref = np.where(inter & ((dirs & 1) != 0), 0, -1)
+            r0 = (desc.ref_idx.astype(np.int32)
+                  if desc.ref_idx is not None else 0)
+            mf.ref = np.where(inter & ((dirs & 1) != 0), r0, -1)
             if desc.mv_l1 is not None:
                 mf.mv1 = desc.mv_l1
                 mf.ref1 = np.where(inter & ((dirs & 2) != 0), 0, -1)
@@ -342,6 +350,23 @@ class SliceDataEncoder:
             ctx += 1
         self.e.encode_bin(OFF["skip_flag"] + ctx, skip)
 
+    def _encode_ref_idx(self, r: int, num_ref: int) -> None:
+        """ref_idx_l0 (spec 9.3.3: TR cMax = num_ref-1; ctxInc 0, 1, then
+        bypass — Table 9-41)."""
+        e = self.e
+        e.encode_bin(OFF["ref_pic"], int(r > 0))
+        if r > 0 and num_ref > 2:
+            for i in range(1, min(r, num_ref - 1)):
+                if i == 1:
+                    e.encode_bin(OFF["ref_pic"] + 1, 1)
+                else:
+                    e.encode_bypass(1)
+            if r < num_ref - 1:
+                if r == 1:
+                    e.encode_bin(OFF["ref_pic"] + 1, 0)
+                else:
+                    e.encode_bypass(0)
+
     def _encode_merge_idx(self, idx: int, max_cand: int = 5) -> None:
         """merge_idx: TR cMax = max_cand-1; bin0 ctx, rest bypass."""
         e = self.e
@@ -400,7 +425,8 @@ class SliceDataEncoder:
             self._encode_merge_idx(int(d.merge_idx[uy, ux]))
         else:
             from homerhevc_tpu.hevc.inter import (amvp_candidates,
-                                                  amvp_candidates_2)
+                                                  amvp_candidates_2,
+                                                  amvp_candidates_mref)
             n = 1 << log2_size
             if self.slice_type == SLICE_B and d.mv_l1 is not None:
                 cdir = int(self.dirs[uy, ux])
@@ -413,6 +439,11 @@ class SliceDataEncoder:
                 e.encode_bin(OFF["inter_dir"] + depth, int(cdir == 3))
                 if cdir != 3:
                     e.encode_bin(OFF["inter_dir"] + 4, int(cdir == 2))
+            num_ref = len(self.ref_dists_l0)
+            cur_ref = (int(d.ref_idx[uy, ux])
+                       if d.ref_idx is not None else 0)
+            if num_ref > 1 and (cdir & 1):
+                self._encode_ref_idx(cur_ref, num_ref)
             if self.slice_type == SLICE_B and d.mv_l1 is not None:
                 # mixed-direction neighbours: per-list AMVP with the
                 # spec 8.5.3.2.6 POC-distance scaling branch
@@ -420,6 +451,11 @@ class SliceDataEncoder:
                     return amvp_candidates_2(
                         self.motion_field, x0, y0, n, ps.ctu_size,
                         d.width, d.height, lx, self.ref_dists)
+            elif num_ref > 1:
+                def mvp_list(lx):
+                    return amvp_candidates_mref(
+                        self.motion_field, x0, y0, n, ps.ctu_size,
+                        d.width, d.height, cur_ref, self.ref_dists_l0)
             else:
                 def mvp_list(lx):
                     return amvp_candidates(self.motion_field, x0, y0, n,

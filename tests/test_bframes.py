@@ -72,3 +72,34 @@ def test_e2e_ibp_ctb32(tmp_path, rng):
     assert len(dec) == 6
     for ef, dp in zip(efs, [0, 2, 1, 4, 3, 5]):
         assert np.array_equal(dec[dp], ef.recon["y"]), dp
+
+
+def test_uni_b_merge_rd_conformance(tmp_path, rng):
+    """IBP where the held B falls back to the L0-uni golden tree path
+    (CTB32, width not a multiple of 32): merge-RD now runs in B slices
+    (restricted to the spatial candidates the decoder's B merge list
+    shares); streams must stay bit-exact through FFmpeg."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    w, h, n = 112, 64, 5
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=2,
+                        intra_period=0, sao=False, deblocking=True,
+                        sign_hiding=True, cu_size=32, intra_in_p=True,
+                        reinit_gop_on_scene_change=False)
+    pipe = EncoderPipeline(cfg, backend="golden")
+    y, u, v = make_yuv(rng, w, h)
+    recons = {}
+    path = tmp_path / "unib_mrd.265"
+    nals = b""
+    for t in range(n):
+        y2 = np.roll(y, 3 * t, axis=1)
+        for ef in pipe.push(y2, u, v):
+            nals += ef.annex_b()
+            recons[ef.poc] = ef.recon
+    for ef in pipe.flush():
+        nals += ef.annex_b()
+        recons[ef.poc] = ef.recon
+    path.write_bytes(nals)
+    dec = decode_annexb(path)
+    assert len(dec) == n
+    for i in range(n):
+        assert np.array_equal(dec[i], recons[i]["y"]), f"frame {i}"
