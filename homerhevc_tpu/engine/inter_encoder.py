@@ -292,7 +292,8 @@ class TpuInterEncoder:
 
     # ---- device program -----------------------------------------------------
 
-    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult, qp):
+    def _impl(self, src_y, src_u, src_v, ref_y, ref_u, ref_v, zf_mult, qp,
+              qp_map=None):
         cu, cuc = self.cu, self.cu // 2
         gw, gh = self.gw, self.gh
         R = self.search
@@ -304,6 +305,23 @@ class TpuInterEncoder:
         qp = qp.astype(jnp.int32)
         qp_c = jnp.asarray(T.CHROMA_QP_MAP)[
             jnp.clip(qp + self.ps.cb_qp_offset, 0, 57)]
+        # per-CTB AQ / row-RC map (QG = CTB): per-block QP vectors in the
+        # quant tier; lambdas/zero-forcing stay slice-level (golden twin:
+        # _encode_level16 cu_qps). Deblock + AQ stays on the host paths
+        # (decoder-view QP inference); intra-in-P is disabled with maps.
+        if qp_map is not None:
+            qpm = qp_map.astype(jnp.int32)
+            rep16 = self.ps.ctu_size // cu
+            qp16 = jnp.repeat(jnp.repeat(qpm, rep16, 0), rep16, 1)[
+                :gh, :gw].reshape(-1)
+            qpc16 = jnp.asarray(T.CHROMA_QP_MAP)[
+                jnp.clip(qp16 + self.ps.cb_qp_offset, 0, 57)]
+            qp32v = qpm[:self.gh2, :self.gw2].reshape(-1)
+            qpc32 = jnp.asarray(T.CHROMA_QP_MAP)[
+                jnp.clip(qp32v + self.ps.cb_qp_offset, 0, 57)]
+        else:
+            qp16, qpc16 = qp, qp_c
+            qp32v, qpc32 = qp, qp_c
         lam16 = jnp.asarray(T.LAMBDA_ME_X16_TAB)[qp]
         mvd_bits = jnp.asarray(T.MVD_BITS)
         mvs, prior, mv32, prior2 = self._hier_me(sy, ry, lam16)
@@ -382,11 +400,12 @@ class TpuInterEncoder:
         pred = mc_v16(v16, ix0, iy0, mvs, cu)
         resid = src_blk - pred
         coef = forward_transform(resid, False)
-        lvl = quantize(coef, cu, qp, False, self.ps.scaling_list_enabled)
+        lvl = quantize(coef, cu, qp16, False, self.ps.scaling_list_enabled)
         if self.ps.sign_hiding:
-            lvl = sign_bit_hiding(lvl, coef, cu, qp, False, 0,
+            lvl = sign_bit_hiding(lvl, coef, cu, qp16, False, 0,
                                   self.ps.scaling_list_enabled)
-        deq = dequantize(lvl, cu, qp, False, self.ps.scaling_list_enabled)
+        deq = dequantize(lvl, cu, qp16, False,
+                         self.ps.scaling_list_enabled)
         rres = inverse_transform(deq, False)
         lvl, rres = self._zero_force(resid, lvl, rres, zf_mult)
         nz = jnp.any(lvl != 0, axis=(-1, -2))
@@ -404,12 +423,12 @@ class TpuInterEncoder:
                 gh, cuc, gw, cuc).transpose(0, 2, 1, 3).reshape(B, cuc, cuc)
             resc = src_cb - predc
             coefc = forward_transform(resc, False)
-            lvlc = quantize(coefc, cuc, qp_c, False,
+            lvlc = quantize(coefc, cuc, qpc16, False,
                             self.ps.scaling_list_enabled)
             if self.ps.sign_hiding:
-                lvlc = sign_bit_hiding(lvlc, coefc, cuc, qp_c, False, 0,
+                lvlc = sign_bit_hiding(lvlc, coefc, cuc, qpc16, False, 0,
                                        self.ps.scaling_list_enabled)
-            deqc = dequantize(lvlc, cuc, qp_c, False,
+            deqc = dequantize(lvlc, cuc, qpc16, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
             lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
@@ -484,7 +503,7 @@ class TpuInterEncoder:
         if not self.tree:
             extra = [mvs16]
             intra8 = None
-            if self.cfg.intra_in_p:
+            if self.cfg.intra_in_p and qp_map is None:
                 def cu_cost16(src_b, rec_b, lvl_b, mv_b):
                     dd = (src_b - rec_b).astype(jnp.float32)
                     ssd = jnp.sum(dd * dd, axis=(-1, -2))
@@ -538,12 +557,12 @@ class TpuInterEncoder:
         pred32 = mc_v16(v16b, ix0b, iy0b, mv32, 32)
         resid32 = src32 - pred32
         coef32 = forward_transform(resid32, False)
-        lvl32 = quantize(coef32, 32, qp, False,
+        lvl32 = quantize(coef32, 32, qp32v, False,
                          self.ps.scaling_list_enabled)
         if self.ps.sign_hiding:
-            lvl32 = sign_bit_hiding(lvl32, coef32, 32, qp, False, 0,
+            lvl32 = sign_bit_hiding(lvl32, coef32, 32, qp32v, False, 0,
                                     self.ps.scaling_list_enabled)
-        deq32 = dequantize(lvl32, 32, qp, False,
+        deq32 = dequantize(lvl32, 32, qp32v, False,
                            self.ps.scaling_list_enabled)
         rres32 = inverse_transform(deq32, False)
         lvl32, rres32 = self._zero_force(resid32, lvl32, rres32, zf_mult)
@@ -576,12 +595,12 @@ class TpuInterEncoder:
                 .reshape(B2, 16, 16)
             resc = src_cb - predc
             coefc = forward_transform(resc, False)
-            lvlc = quantize(coefc, 16, qp_c, False,
+            lvlc = quantize(coefc, 16, qpc32, False,
                             self.ps.scaling_list_enabled)
             if self.ps.sign_hiding:
-                lvlc = sign_bit_hiding(lvlc, coefc, 16, qp_c, False, 0,
+                lvlc = sign_bit_hiding(lvlc, coefc, 16, qpc32, False, 0,
                                        self.ps.scaling_list_enabled)
-            deqc = dequantize(lvlc, 16, qp_c, False,
+            deqc = dequantize(lvlc, 16, qpc32, False,
                               self.ps.scaling_list_enabled)
             rrc = inverse_transform(deqc, False)
             lvlc, rrc = self._zero_force(resc, lvlc, rrc, zf_mult)
@@ -611,7 +630,7 @@ class TpuInterEncoder:
         extra = [mvs16, choose.astype(jnp.uint8),
                  mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
         intra8 = None
-        if self.cfg.intra_in_p:
+        if self.cfg.intra_in_p and qp_map is None:
             # CU16 cells covered by an adopted CU32 are excluded (golden
             # twin skips cu_depth == 0 nodes)
             ch16 = jnp.repeat(jnp.repeat(choose, 2, 0), 2, 1)
@@ -1169,7 +1188,8 @@ class TpuInterEncoder:
 
     # ---- host driver ----------------------------------------------------------
 
-    def dispatch(self, src, ref, avg_dist: float = 1000.0, qp=None):
+    def dispatch(self, src, ref, avg_dist: float = 1000.0, qp=None,
+                 qp_map=None):
         """Launch the device program; returns the device output tuple
         without forcing any transfer. self.last_dev immediately holds the
         (device-resident) post-deblock recon for chaining the next frame.
@@ -1180,6 +1200,11 @@ class TpuInterEncoder:
         ry, ru, rv = ref
         qp = self.cfg.qp if qp is None else int(qp)
         zf_mult = zf_multiplier(avg_dist, qp)
+        if qp_map is not None:
+            assert not self.ps.deblocking_enabled, \
+                "device AQ needs deblocking off (decoder-view QP on host)"
+            assert not self.cfg.intra_in_p, \
+                "device AQ excludes intra-in-P (golden twin parity)"
 
         def as_dev(a):
             # device arrays (the chained reference recon) pass through
@@ -1188,9 +1213,12 @@ class TpuInterEncoder:
                 return a
             return jnp.asarray(np.asarray(a, np.uint8))
 
+        qpm_dev = (None if qp_map is None
+                   else jnp.asarray(np.asarray(qp_map, np.int32)))
         out = self._jit(as_dev(y), as_dev(u), as_dev(v),
                         as_dev(ry), as_dev(ru), as_dev(rv),
-                        jnp.float32(zf_mult), jnp.int32(qp))
+                        jnp.float32(zf_mult), jnp.int32(qp),
+                        qp_map=qpm_dev)
         # post-deblock recon stays resident for the next frame in the chain
         self.last_dev = (out[0], out[1], out[2])
         # start the metadata + values-head downloads now; they complete
@@ -1202,7 +1230,7 @@ class TpuInterEncoder:
         return out
 
     def fetch(self, out, is_b: bool = False, bi: bool = False,
-              ref_dists=(1, 2)):
+              ref_dists=(1, 2), qp_map=None):
         """Download one dispatched frame's compact wire data and build the
         FrameDesc (host half of encode_frame). Reconstruction planes are
         returned device-resident (lazily materialized by consumers).
@@ -1276,6 +1304,11 @@ class TpuInterEncoder:
         desc.coef_v = np.ascontiguousarray(pv, np.int16)
         desc.row_ssd_y = row_ssd     # exact luma SSD per row vs source
         desc.sao_params = sao_params  # device-decided (recon pre-filtered)
+        if qp_map is not None:
+            r = self.ps.ctu_size // 8
+            desc.qp_map = np.repeat(np.repeat(
+                np.asarray(qp_map), r, 0), r, 1)[
+                :self.h // 8, :self.w // 8].astype(np.int8)
         if intra16 is not None and intra16.any():
             from homerhevc_tpu.hevc.syntax import MODE_INTRA
             m8 = np.repeat(np.repeat(intra16, 2, 0), 2, 1)
@@ -1318,6 +1351,11 @@ class TpuInterEncoder:
             self._jit_b = jax.jit(self._impl_b)
         qp = self.cfg.qp if qp is None else int(qp)
         zf_mult = zf_multiplier(avg_dist, qp)
+        if qp_map is not None:
+            assert not self.ps.deblocking_enabled, \
+                "device AQ needs deblocking off (decoder-view QP on host)"
+            assert not self.cfg.intra_in_p, \
+                "device AQ excludes intra-in-P (golden twin parity)"
 
         def as_dev(a):
             if isinstance(a, jax.Array):
@@ -1341,6 +1379,7 @@ class TpuInterEncoder:
                           bi=True, ref_dists=ref_dists)
 
     def encode_frame(self, src, ref, is_b: bool = False,
-                     avg_dist: float = 1000.0, qp=None):
-        return self.fetch(self.dispatch(src, ref, avg_dist, qp=qp),
-                          is_b=is_b)
+                     avg_dist: float = 1000.0, qp=None, qp_map=None):
+        return self.fetch(self.dispatch(src, ref, avg_dist, qp=qp,
+                                        qp_map=qp_map),
+                          is_b=is_b, qp_map=qp_map)

@@ -230,10 +230,11 @@ class EncoderPipeline:
         assert ref is not None
         if self._tpu_inter_ok():
             enc = self._get_tpu_inter()
+            qp_map = None if is_b else self._inter_qp_map(y, qp)
             with PROFILER.scope("analyze_inter_device"):
                 desc, ry, ru, rv = enc.encode_frame(
                     (y, u, v), ref, is_b=is_b, avg_dist=self.avg_dist,
-                    qp=qp)
+                    qp=qp, qp_map=qp_map)
             # the recon stays resident on device; chain it for the next P
             # (only when this frame will be the reference and no host-side
             # filter (SAO) modifies the recon afterwards — _emit gates that)
@@ -896,8 +897,10 @@ class EncoderPipeline:
         the reference accepts across engines (hmr_encoder_lib.c:3268).
         SAO is compatible: the device program decides and applies it
         in-loop (ops/sao_dev.py). Scene-change detection is compatible:
-        it reads only consecutive source frames."""
-        return self._tpu_inter_ok()
+        it reads only consecutive source frames. Per-CTB QP maps run on
+        the inline path only (the map rides dispatch; row-RC feedback
+        needs emits in step with analysis)."""
+        return self._tpu_inter_ok() and not self.ps.cu_qp_delta_enabled
 
     def _drain_p_pending(self, one: bool = False):
         while self._p_pendings:
@@ -916,12 +919,17 @@ class EncoderPipeline:
                 return
 
     def _tpu_inter_ok(self) -> bool:
-        # the inter engine also supports the CTB32 two-level CU tree
+        # the inter engine also supports the CTB32 two-level CU tree.
+        # per-CTB QP maps (AQ / row-RC) ride per-block QP vectors in the
+        # quant tier; deblock+AQ needs the host decoder-view QP inference
+        # and intra-in-P is excluded with maps (golden twin parity)
         if self._tpu_ok():
             return True
+        aq_ok = (not self.ps.cu_qp_delta_enabled
+                 or (not self.ps.deblocking_enabled
+                     and not self.cfg.intra_in_p))
         return (self.backend in ("auto", "tpu")
-                and self.cfg.cu_size == 32
-                and not self.ps.cu_qp_delta_enabled
+                and self.cfg.cu_size == 32 and aq_ok
                 and self.cfg.width % 32 == 0 and self.cfg.height % 16 == 0)
 
     def _get_tpu(self):

@@ -209,3 +209,70 @@ def test_aq_device_batched_pipeline(tmp_path):
     assert len(decoded) == 6
     for i, dy in enumerate(decoded):
         assert np.array_equal(dy, recons[i]["y"]), f"frame {i} mismatch"
+
+
+def test_inter_device_aq_matches_golden(rng):
+    """Device inter program with a per-CTB QP map == golden
+    encode_inter_frame(qp_map): MVs, coefficients, recon, qp_map."""
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame
+    from homerhevc_tpu.hevc.headers import ParamSets
+
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1,
+                        intra_period=0, sao=False, deblocking=False,
+                        sign_hiding=True, cu_size=16, aq_strength=2.0,
+                        reinit_gop_on_scene_change=False)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = make_yuv(rng, w, h)
+    y[:16] = 80                      # flat band -> nonzero deltas
+    ry = np.roll(y.astype(np.int32), 3, axis=1)
+    ru = np.roll(u.astype(np.int32), 1, axis=1)
+    rv = np.roll(v.astype(np.int32), 1, axis=1)
+    from homerhevc_tpu.engine.rate_control import aq_qp_map
+    qmap = aq_qp_map(y, 16, 30, 2.0)
+    assert (qmap != 30).any()
+    gd, gy, gu, gv = encode_inter_frame(ps, (y, u, v), (ry, ru, rv), 30,
+                                        qp_map=qmap)
+    enc = TpuInterEncoder(ps, cfg)
+    dd, dy, du, dv = enc.encode_frame((y, u, v), (ry, ru, rv), qp=30,
+                                      qp_map=qmap)
+    dd.densify()
+    assert np.array_equal(gd.mv, dd.mv)
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gd.coef_u, dd.coef_u)
+    assert np.array_equal(gd.coef_v, dd.coef_v)
+    assert np.array_equal(np.asarray(gy), np.asarray(dy))
+    assert np.array_equal(gd.qp_map, dd.qp_map)
+
+
+def test_inter_aq_e2e_pipeline(tmp_path):
+    """IPPP with AQ riding the DEVICE inter path (deblock off): streams
+    decode bit-exact; P slices carry cu_qp_delta."""
+    rng = np.random.RandomState(3)
+    w, h, n = 128, 64, 4
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1,
+                        intra_period=0, sao=False, deblocking=False,
+                        sign_hiding=True, cu_size=16, aq_strength=2.0,
+                        reinit_gop_on_scene_change=False)
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    pipe = EncoderPipeline(cfg)
+    assert pipe._tpu_inter_ok(), "device inter must accept AQ w/o deblock"
+    y, u, v = make_yuv(rng, w, h)
+    y[: h // 4] = 90
+    recons = []
+    path = tmp_path / "aq_inter_dev.265"
+    with open(path, "wb") as f:
+        for t in range(n):
+            y2 = np.roll(y, 2 * t, axis=1)
+            y2[: h // 4] = 90
+            for ef in pipe.push(y2, u, v):
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+        for ef in pipe.flush():
+            f.write(ef.annex_b())
+            recons.append(ef.recon)
+    decoded = decode_annexb(path)
+    assert len(decoded) == n
+    for i, d in enumerate(decoded):
+        assert np.array_equal(d, recons[i]["y"]), f"frame {i}"
