@@ -83,6 +83,10 @@ class EncoderConfig:
     # per-CTU bits-so-far QP, hmr_rate_control.c:266-347). Enables the
     # PPS cu_qp_delta machinery; effective with CBR/VBR.
     rc_ctu: bool = False
+    # batched merge-RD stage inside the DEVICE CU16 inter program (the
+    # fast-path analog of the golden decode-order merge-RD post-pass);
+    # golden twin merge_rd_fast. Off: pre-round-4 device streams.
+    merge_rd_device: bool = True
     scaling_lists: bool = False       # default lists on/off (flat when off)
     rd_mode: RDMode = RDMode.RD_FAST
     # intra CU-tree RDO (two-pass: open-loop batched decision + closed-loop

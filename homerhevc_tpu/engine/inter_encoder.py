@@ -46,6 +46,9 @@ class TpuInterEncoder:
         self.search = search
         self.w, self.h = cfg.width, cfg.height
         assert self.w % cu == 0 and self.h % cu == 0
+        # batched merge-RD stage on the flat CU16 program (golden twin:
+        # merge_rd_fast)
+        self.merge_rd = bool(getattr(cfg, "merge_rd_device", True))
         # FAR (4x-decimated) pyramid level beyond the 2x sweep's +-2*search
         # reach (golden twin: far_grid / hier_pel_fields far block); reach =
         # the maximum full-pel roam of any ME candidate (sets ref padding)
@@ -412,7 +415,107 @@ class TpuInterEncoder:
         rec = jnp.where(nz[:, None, None],
                         jnp.clip(pred + rres, 0, 255), pred)
 
+        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
+
+        def cu_cost16(src_b, rec_b, lvl_b, mv_b):
+            dd = (src_b - rec_b).astype(jnp.float32)
+            ssd = jnp.sum(dd * dd, axis=(-1, -2))
+            nnzf = jnp.sum((lvl_b != 0),
+                           axis=(-1, -2)).astype(jnp.float32)
+            lsum = jnp.sum(jnp.abs(lvl_b),
+                           axis=(-1, -2)).astype(jnp.float32)
+            rt = (mvd_bits[jnp.abs(mv_b[:, 0] - prior[0])]
+                  + mvd_bits[jnp.abs(mv_b[:, 1] - prior[1])]) \
+                .astype(jnp.float32)
+            return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
+
+        # ---- batched merge-RD (golden twin: merge_rd_fast): first two
+        # spec merge candidates from the pre-pass field, re-coded and
+        # model-costed; a king-independent improving subset flips ----
+        if (not self.tree) and self.merge_rd and qp_map is None:
+            from homerhevc_tpu.golden.inter_frame import \
+                MERGE_FAST_BITS_BASE
+            mvg = mvs.reshape(gh, gw, 2)
+            pad_m = jnp.pad(mvg, ((1, 1), (1, 1), (0, 0)))
+            gxs_g = jnp.arange(gw)[None, :]
+            gys_g = jnp.arange(gh)[:, None]
+            zb = jnp.zeros((gh, gw), bool)
+            va1 = (gxs_g > 0) | zb
+            vb1 = (gys_g > 0) | zb
+            vb0 = ((gys_g > 0) & (gxs_g < gw - 1)) | zb
+            vb2 = ((gys_g > 0) & (gxs_g > 0)) | zb
+            a1 = pad_m[1:1 + gh, 0:gw]
+            b1 = pad_m[0:gh, 1:1 + gw]
+            b0 = pad_m[0:gh, 2:2 + gw]
+            b2 = pad_m[0:gh, 0:gw]
+
+            def neq(pm, qm, vq):
+                return ~vq | jnp.any(pm != qm, axis=-1)
+            k1 = va1
+            k2 = vb1 & neq(b1, a1, va1)
+            k3 = vb0 & neq(b0, b1, vb1)
+            k4 = vb2 & neq(b2, a1, va1) & neq(b2, b1, vb1)
+            kept = jnp.stack([k1, k2, k3, k4])
+            mvs_k = jnp.stack([a1, b1, b0, b2])
+            order = jnp.cumsum(kept, axis=0) * kept
+            cand = []
+            for c in range(2):
+                sel_c = jnp.zeros((gh, gw, 2), jnp.int32)
+                for sslot in range(4):
+                    m = (order[sslot] == c + 1)[..., None]
+                    sel_c = jnp.where(m, mvs_k[sslot], sel_c)
+                cand.append(sel_c.reshape(-1, 2))
+            # CU_AMVP_BITS == the 6.0 CU-overhead constant of cu_cost16
+            cur_cost = cu_cost16(src_blk, rec, lvl, mvs)
+            best_cost = jnp.full((B,), jnp.inf, jnp.float32)
+            best_lvl, best_rec = lvl, rec
+            best_mv = mvs
+            for c in range(2):
+                mvc = cand[c]
+                vC, ixC, iyC = make_v16(x0s, y0s, mvc, cu)
+                predc = mc_v16(vC, ixC, iyC, mvc, cu)
+                residc = src_blk - predc
+                coefc_ = forward_transform(residc, False)
+                lvlc_ = quantize(coefc_, cu, qp, False,
+                                 self.ps.scaling_list_enabled)
+                if self.ps.sign_hiding:
+                    lvlc_ = sign_bit_hiding(lvlc_, coefc_, cu, qp, False,
+                                            0, self.ps.scaling_list_enabled)
+                deqc_ = dequantize(lvlc_, cu, qp, False,
+                                   self.ps.scaling_list_enabled)
+                rrc_ = inverse_transform(deqc_, False)
+                lvlc_, rrc_ = self._zero_force(residc, lvlc_, rrc_, zf_mult)
+                nzc_ = jnp.any(lvlc_ != 0, axis=(-1, -2))
+                recc_ = jnp.where(nzc_[:, None, None],
+                                  jnp.clip(predc + rrc_, 0, 255), predc)
+                dd = (src_blk - recc_).astype(jnp.float32)
+                ssd = jnp.sum(dd * dd, axis=(-1, -2))
+                nnzf = jnp.sum((lvlc_ != 0),
+                               axis=(-1, -2)).astype(jnp.float32)
+                lsum = jnp.sum(jnp.abs(lvlc_),
+                               axis=(-1, -2)).astype(jnp.float32)
+                cost = ssd + lam * (3.0 * nnzf + lsum
+                                    + MERGE_FAST_BITS_BASE + c)
+                same = jnp.all(mvc == mvs, axis=-1)
+                if c == 1:
+                    same = same | jnp.all(cand[1] == cand[0], axis=-1)
+                cost = jnp.where(same, jnp.inf, cost)
+                better = cost < best_cost
+                best_cost = jnp.where(better, cost, best_cost)
+                best_lvl = jnp.where(better[:, None, None], lvlc_,
+                                     best_lvl)
+                best_rec = jnp.where(better[:, None, None], recc_,
+                                     best_rec)
+                best_mv = jnp.where(better[:, None], mvc, best_mv)
+            want = (best_cost < cur_cost).reshape(gh, gw)
+            selm = select_intra_independent_j(want).reshape(-1)
+            mvs = jnp.where(selm[:, None], best_mv, mvs)
+            lvl = jnp.where(selm[:, None, None], best_lvl, lvl)
+            rec = jnp.where(selm[:, None, None], best_rec, rec)
+            nz = jnp.any(lvl != 0, axis=(-1, -2))
+
         # ---- chroma MC (batched per-CU fractional filters) + residual ----
+        # (after merge-RD so flipped CUs' chroma codes at the final MV)
         padC = self.reach // 2 + 4    # full-pel chroma reach + filter taps
         cx0s, cy0s = x0s // 2, y0s // 2
 
@@ -498,23 +601,10 @@ class TpuInterEncoder:
                                     self.ps.cr_qp_offset)
             return ru_, rv_
 
-        lam = jnp.asarray(T.RD_LAMBDA_P_TAB)[qp]
-
         if not self.tree:
             extra = [mvs16]
             intra8 = None
             if self.cfg.intra_in_p and qp_map is None:
-                def cu_cost16(src_b, rec_b, lvl_b, mv_b):
-                    dd = (src_b - rec_b).astype(jnp.float32)
-                    ssd = jnp.sum(dd * dd, axis=(-1, -2))
-                    nnzf = jnp.sum((lvl_b != 0),
-                                   axis=(-1, -2)).astype(jnp.float32)
-                    lsum = jnp.sum(jnp.abs(lvl_b),
-                                   axis=(-1, -2)).astype(jnp.float32)
-                    rt = (mvd_bits[jnp.abs(mv_b[:, 0] - prior[0])]
-                          + mvd_bits[jnp.abs(mv_b[:, 1] - prior[1])]) \
-                        .astype(jnp.float32)
-                    return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
                 c16 = cu_cost16(src_blk, rec, lvl, mvs).reshape(gh, gw)
                 (recon_y, recon_u, recon_v, ly, lu, lv, intra16,
                  imode16) = self._intra_fallback(

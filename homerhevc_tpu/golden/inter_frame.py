@@ -498,7 +498,12 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
                       recon_y, recon_u, recon_v, qp,
                       zf_multiplier(avg_dist, qp), prior_q,
                       int(ps.cfg.motion_estimation_precision))
-        if merge_rd and not (is_b and desc.mv_l1 is not None):
+        if merge_rd == "fast" and cu_size == 16 and not is_b:
+            # device-twin batched variant (TpuInterEncoder merge-RD stage)
+            merge_rd_fast(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
+                          recon_y, recon_u, recon_v, qp,
+                          zf_multiplier(avg_dist, qp), prior_q)
+        elif merge_rd and not (is_b and desc.mv_l1 is not None):
             merge_rd_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
                        recon_y, recon_u, recon_v, qp,
                        zf_multiplier(avg_dist, qp), prior_q, is_b=is_b)
@@ -1931,3 +1936,152 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
     if ps.deblocking_enabled:
         recon_y = _deblock_inter_luma(ps, desc, recon_y, qp)
     return desc, recon_y, recon_u, recon_v
+
+
+MERGE_FAST_BITS_BASE = 4.0     # merge syntax bins (flag + idx TR base)
+CU_AMVP_BITS = 6.0             # 2Nx2N AMVP CU overhead (device cost model)
+
+
+def merge_rd_fast(ps: ParamSets, desc: FrameDesc, sy, su, sv,
+                  ry_ref, ru_ref, rv_ref, recon_y, recon_u, recon_v,
+                  qp: int, zf_mult: float, prior_q) -> int:
+    """Batched merge-RD for the flat CU16 path — the DEVICE-twin variant
+    of merge_rd_p (tests/test_tpu_inter.py pins bit-exactness against the
+    merge-RD stage of TpuInterEncoder._impl).
+
+    TPU-first redesign of the reference's sequential merge check
+    (check_rd_cost_merge_2nx2n, hmr_motion_inter.c:3493): candidates for
+    EVERY CU derive from the PRE-pass motion field in one batch (first
+    two spec 8.5.3.2.3 entries, exact sample positions + pruning), both
+    are re-coded and costed with the device model (3*nnz + sum|lvl| +
+    syntax constants), and a king-graph-independent subset of improving
+    CUs flips — so no flipped CU can change another flipped CU's
+    candidate list, and the final syntax selection re-finds every merge
+    against the post-flip field. Returns the number of flipped CUs."""
+    lam = np.float32(T.rd_lambda(qp, "P"))
+    qp_c = T.chroma_qp(qp + ps.cb_qp_offset)
+    sl = ps.scaling_list_enabled
+    h, w = desc.height, desc.width
+    gh, gw = h // 16, w // 16
+    mv = desc.mv.astype(np.int64)
+    BIG = np.float32(np.inf)
+
+    def unit(uy, ux):
+        """Packed mv at 8-unit (uy, ux) per CU, invalid -> None mask."""
+        oy, ox = uy, ux
+        val = np.zeros((gh, gw), bool)
+        out = np.zeros((gh, gw, 2), np.int64)
+        ys = 2 * np.arange(gh)[:, None] + oy
+        xs = 2 * np.arange(gw)[None, :] + ox
+        ok = (ys >= 0) & (ys < h // 8) & (xs >= 0) & (xs < w // 8)
+        ysc = np.clip(ys, 0, h // 8 - 1)
+        xsc = np.clip(xs, 0, w // 8 - 1)
+        out = mv[ysc, xsc]
+        val = ok & (desc.pred_mode[ysc, xsc] == MODE_INTER)
+        return val, out
+
+    # spec sample positions for a 16x16 PU at 8-unit origin (2gy, 2gx)
+    va1, a1 = unit(1, -1)
+    vb1, b1 = unit(-1, 1)
+    vb0, b0 = unit(-1, 2)
+    vb2, b2 = unit(-1, -1)
+    # B0 availability also needs coded-before: above-right CU in raster
+    # CTB16 order is coded; at the tree geometry this helper isn't used.
+
+    def neq(p, q, vq):
+        return ~vq | (p[..., 0] != q[..., 0]) | (p[..., 1] != q[..., 1])
+
+    k1 = va1
+    k2 = vb1 & neq(b1, a1, va1)
+    k3 = vb0 & neq(b0, b1, vb1)
+    k4 = vb2 & neq(b2, a1, va1) & neq(b2, b1, vb1)
+    kept = np.stack([k1, k2, k3, k4])                 # (4, gh, gw)
+    mvs_k = np.stack([a1, b1, b0, b2])                # (4, gh, gw, 2)
+    order = np.cumsum(kept, axis=0) * kept            # 1-based slot index
+    cand = np.zeros((2, gh, gw, 2), np.int64)         # zero-fill = (0,0)
+    for s in range(4):
+        for c in range(2):
+            m = order[s] == c + 1
+            cand[c][m] = mvs_k[s][m]
+    n_spat = kept.sum(axis=0)
+
+    cur = mv[::2, ::2]
+    flips = 0
+    costs = np.full((2, gh, gw), BIG, np.float32)
+    lvl_cand = np.zeros((2, gh, gw, 16, 16), np.int32)
+    rec_cand = np.zeros((2, gh, gw, 16, 16), np.int32)
+    lam16 = T.lambda_me_x16(qp)
+    for gy in range(gh):
+        for gx in range(gw):
+            x0, y0 = gx * 16, gy * 16
+            if desc.pred_mode[2 * gy, 2 * gx] != MODE_INTER:
+                continue
+            if desc.inter_part is not None and desc.inter_part[2 * gy,
+                                                               2 * gx]:
+                continue
+            src_blk = sy[y0:y0 + 16, x0:x0 + 16]
+            for c in range(2):
+                mvc = (int(cand[c, gy, gx, 0]), int(cand[c, gy, gx, 1]))
+                if mvc == (int(cur[gy, gx, 0]), int(cur[gy, gx, 1])):
+                    continue
+                if c == 1 and tuple(cand[0, gy, gx]) == tuple(
+                        cand[1, gy, gx]):
+                    continue
+                pred = mc_luma(ry_ref, x0, y0, 16, mvc[0], mvc[1])
+                lvl, rr = _code_tu(src_blk - pred, qp, sl, ps.sign_hiding,
+                                   zf_mult, float(lam))
+                rec = np.clip(pred + rr, 0, 255)
+                d = (src_blk - rec).astype(np.float32)
+                ssd = np.float32(np.sum(d * d))
+                rate = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl))
+                        + MERGE_FAST_BITS_BASE + c)
+                costs[c, gy, gx] = ssd + lam * np.float32(rate)
+                lvl_cand[c, gy, gx] = lvl
+                rec_cand[c, gy, gx] = rec
+
+    # current cost (device cu_cost16 arithmetic)
+    cur_cost = np.full((gh, gw), BIG, np.float32)
+    for gy in range(gh):
+        for gx in range(gw):
+            x0, y0 = gx * 16, gy * 16
+            if desc.pred_mode[2 * gy, 2 * gx] != MODE_INTER:
+                continue
+            src_blk = sy[y0:y0 + 16, x0:x0 + 16]
+            rec = recon_y[y0:y0 + 16, x0:x0 + 16]
+            lvl = desc.coef_y[y0:y0 + 16, x0:x0 + 16]
+            d = (src_blk - rec).astype(np.float32)
+            ssd = np.float32(np.sum(d * d))
+            rate = (3.0 * np.count_nonzero(lvl) + np.sum(np.abs(lvl))
+                    + CU_AMVP_BITS
+                    + float(mv_rate(int(cur[gy, gx, 0]),
+                                    int(cur[gy, gx, 1]), prior_q)))
+            cur_cost[gy, gx] = ssd + lam * np.float32(rate)
+
+    best_c = np.argmin(costs, axis=0)                 # (gh, gw) 0/1
+    best = np.take_along_axis(costs, best_c[None], axis=0)[0]
+    want = best < cur_cost
+    sel = select_intra_independent(want)
+    for gy in range(gh):
+        for gx in range(gw):
+            if not sel[gy, gx]:
+                continue
+            c = int(best_c[gy, gx])
+            x0, y0 = gx * 16, gy * 16
+            mvc = (int(cand[c, gy, gx, 0]), int(cand[c, gy, gx, 1]))
+            flips += 1
+            desc.mv[2 * gy:2 * gy + 2, 2 * gx:2 * gx + 2] = mvc
+            desc.coef_y[y0:y0 + 16, x0:x0 + 16] = \
+                lvl_cand[c, gy, gx].astype(np.int16)
+            recon_y[y0:y0 + 16, x0:x0 + 16] = rec_cand[c, gy, gx]
+            cx0, cy0 = x0 // 2, y0 // 2
+            for splane, rplane, recon_c, coefs in (
+                    (su, ru_ref, recon_u, desc.coef_u),
+                    (sv, rv_ref, recon_v, desc.coef_v)):
+                cpred = mc_chroma(rplane, cx0, cy0, 8, mvc[0], mvc[1])
+                cres = splane[cy0:cy0 + 8, cx0:cx0 + 8] - cpred
+                clvl, cr = _code_tu(cres, qp_c, sl, ps.sign_hiding,
+                                    zf_mult, float(lam))
+                coefs[cy0:cy0 + 8, cx0:cx0 + 8] = clvl.astype(np.int16)
+                recon_c[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                    np.clip(cpred + cr, 0, 255)
+    return flips

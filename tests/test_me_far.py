@@ -62,7 +62,8 @@ def test_device_far_matches_golden(rng):
     ry = np.roll(y.astype(np.int32), 40, axis=1)
     ru = np.roll(u.astype(np.int32), 20, axis=1)
     rv = np.roll(v.astype(np.int32), 20, axis=1)
-    gd, gy, gu, gv = encode_inter_frame(ps, (y, u, v), (ry, ru, rv), cfg.qp)
+    gd, gy, gu, gv = encode_inter_frame(ps, (y, u, v), (ry, ru, rv), cfg.qp,
+                                        merge_rd="fast")
     assert (np.abs(gd.mv[:, :, 0]) > 32 * 4).any(), \
         "test content did not produce far MVs"
     enc = TpuInterEncoder(ps, cfg)

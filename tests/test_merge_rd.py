@@ -6,6 +6,7 @@ import numpy as np
 
 from homerhevc_tpu.api import Encoder
 from homerhevc_tpu.config import EncoderConfig
+from homerhevc_tpu.hevc.headers import ParamSets
 from tests.conftest import decode_annexb, make_yuv
 
 
@@ -66,3 +67,71 @@ def test_merge_rd_e2e_ippp(tmp_path):
     assert len(decoded) == len(recons) == 3
     for i, dy in enumerate(decoded):
         assert np.array_equal(dy, recons[i]["y"]), f"frame {i} mismatch"
+
+
+def test_merge_rd_fast_device_twin_with_flips(rng):
+    """Batched merge-RD (device program stage) == golden merge_rd_fast,
+    on content that actually provokes flips (per-frame noise makes per-CU
+    ME lock onto noise minima a neighbour's MV beats)."""
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame
+
+    w, h = 128, 64
+    r2 = np.random.RandomState(1)
+    cfg = EncoderConfig(width=w, height=h, qp=35, gop_size=1,
+                        intra_period=0, sao=False, deblocking=False,
+                        sign_hiding=True, cu_size=16)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = make_yuv(r2, w, h)
+    ry = np.roll(y, 3, axis=1).astype(np.int32)
+    ru = np.roll(u, 1, axis=1).astype(np.int32)
+    rv = np.roll(v, 1, axis=1).astype(np.int32)
+    y2 = np.clip(y.astype(int) + r2.randint(-12, 13, y.shape),
+                 0, 255).astype(np.uint8)
+    base, *_ = encode_inter_frame(ps, (y2, u, v), (ry, ru, rv), 35)
+    gd, gy, gu, gv = encode_inter_frame(ps, (y2, u, v), (ry, ru, rv), 35,
+                                        merge_rd="fast")
+    assert (base.mv != gd.mv).any(), "content provoked no flips - vacuous"
+    dd, dy, du, dv = TpuInterEncoder(ps, cfg).encode_frame(
+        (y2, u, v), (ry, ru, rv), qp=35)
+    dd.densify()
+    assert np.array_equal(gd.mv, dd.mv)
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gd.coef_u, dd.coef_u)
+    assert np.array_equal(gd.coef_v, dd.coef_v)
+    assert np.array_equal(np.asarray(gy), np.asarray(dy))
+    assert np.array_equal(np.asarray(gu), np.asarray(du))
+    assert np.array_equal(np.asarray(gv), np.asarray(dv))
+    for f in ("skip", "inter_mode", "merge_idx", "mvp_flag"):
+        assert np.array_equal(getattr(gd, f), getattr(dd, f)), f
+
+
+def test_merge_rd_fast_e2e_device_pipeline(tmp_path):
+    """IPPP on the device CU16 path with the in-program merge-RD stage:
+    noisy-content streams decode bit-exact through FFmpeg."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    r2 = np.random.RandomState(4)
+    w, h, n = 128, 64, 4
+    cfg = EncoderConfig(width=w, height=h, qp=34, gop_size=1,
+                        intra_period=0, sao=False, deblocking=True,
+                        sign_hiding=True, cu_size=16,
+                        reinit_gop_on_scene_change=False)
+    pipe = EncoderPipeline(cfg)
+    y, u, v = make_yuv(r2, w, h)
+    recons = []
+    path = tmp_path / "mrd_dev.265"
+    with open(path, "wb") as f:
+        for t in range(n):
+            y2 = np.clip(np.roll(y, 2 * t, axis=1).astype(int)
+                         + r2.randint(-10, 11, y.shape),
+                         0, 255).astype(np.uint8)
+            for ef in pipe.push(y2, u, v):
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+        for ef in pipe.flush():
+            f.write(ef.annex_b())
+            recons.append(ef.recon)
+    decoded = decode_annexb(path)
+    assert len(decoded) == n
+    for i, d in enumerate(decoded):
+        assert np.array_equal(d, recons[i]["y"]), f"frame {i}"

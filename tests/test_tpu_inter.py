@@ -23,7 +23,10 @@ def test_device_inter_matches_golden(sbh, rng):
     ry = np.roll(y, 3, axis=1).astype(np.int32)
     ru = np.roll(u, 1, axis=1).astype(np.int32)
     rv = np.roll(v, 1, axis=1).astype(np.int32)
-    gd, gy, gu, gv = encode_inter_frame(ps, (y, u, v), (ry, ru, rv), cfg.qp)
+    # the device CU16 program includes the batched merge-RD stage;
+    # merge_rd="fast" selects its golden twin (merge_rd_fast)
+    gd, gy, gu, gv = encode_inter_frame(ps, (y, u, v), (ry, ru, rv), cfg.qp,
+                                        merge_rd="fast")
     enc = TpuInterEncoder(ps, cfg)
     dd, dy, du, dv = enc.encode_frame((y, u, v), (ry, ru, rv))
     assert np.array_equal(gd.mv, dd.mv), "MVs differ"
