@@ -1441,11 +1441,6 @@ class TpuInterEncoder:
             self._jit_b = jax.jit(self._impl_b)
         qp = self.cfg.qp if qp is None else int(qp)
         zf_mult = zf_multiplier(avg_dist, qp)
-        if qp_map is not None:
-            assert not self.ps.deblocking_enabled, \
-                "device AQ needs deblocking off (decoder-view QP on host)"
-            assert not self.cfg.intra_in_p, \
-                "device AQ excludes intra-in-P (golden twin parity)"
 
         def as_dev(a):
             if isinstance(a, jax.Array):
