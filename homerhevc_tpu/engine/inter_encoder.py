@@ -56,9 +56,16 @@ class TpuInterEncoder:
         # FAR centers reach +-(far+4); their +-2 neighbourhoods +-(far+6)
         self.reach = max(2 * search + 2, self.far + 8)
         self.gw, self.gh = self.w // cu, self.h // cu
-        # two-level CU tree (CU32 over CU16) when the stream CTB is 32
-        self.tree = ps.ctu_size == 32
+        # multi-level CU tree: CU32 over CU16 at CTB32; CTB64 adds the
+        # CU64 level (luma as four forced-split TU32s, golden twin:
+        # encode_inter_frame_tree want64)
+        self.tree = ps.ctu_size in (32, 64)
+        self.tree64 = ps.ctu_size == 64
+        if self.tree64:
+            assert self.w % 64 == 0 and self.h % 64 == 0, \
+                "device CTB64 path needs /64 dims (use golden otherwise)"
         self.gw2, self.gh2 = self.w // 32, self.h // 32
+        self.gw4, self.gh4 = self.w // 64, self.h // 64
         # QP is a traced input of the device programs (one compile serves
         # every QP — the CBR/VBR requirement); only the wire capacity is
         # sized from the nominal cfg QP (with RC-dip headroom)
@@ -160,6 +167,12 @@ class TpuInterEncoder:
             prior2, short32 = prior_votes(s4c, G32)
         else:
             prior2, short32 = None, []
+        prior4, short64 = None, []
+        if self.tree64 and self.gh4 > 0 and self.gw4 > 0:
+            gh4, gw4 = self.gh4, self.gw4
+            s8c = s4c[:, :gh4 * 2, :gw4 * 2].reshape(n_off, gh4, 2, gw4, 2) \
+                .sum(axis=(2, 4))
+            prior4, short64 = prior_votes(s8c, 2)       # golden G64 = 2
 
         # ---- FAR (4x-decimated) level: global candidates beyond the 2x
         # reach (golden twin: the far block of hier_pel_fields; reference
@@ -231,7 +244,7 @@ class TpuInterEncoder:
         all_dy = [fine_k // (2 * F + 1) - F]
         go = jnp.arange(25, dtype=jnp.int32)
         grid_dx, grid_dy = go % 5 - 2, go // 5 - 2
-        for kg in short16 + short32:
+        for kg in short16 + short32 + short64:
             all_dx.append(2 * (kg % side - R) + grid_dx)
             all_dy.append(2 * (kg // side - R) + grid_dy)
         for cdx, cdy in far_centers:
@@ -255,7 +268,7 @@ class TpuInterEncoder:
             sads_list.append(bsum16(jnp.abs(sy16 - sh).astype(jnp.int32)))
         # shortlist neighbourhoods: one dynamic row-band per (entry, oy),
         # static column shifts within the band
-        for kg in short16 + short32:
+        for kg in short16 + short32 + short64:
             cdx = 2 * (kg % side - R)
             cdy = 2 * (kg // side - R)
             for oy in (-2, -1, 0, 1, 2):
@@ -285,13 +298,19 @@ class TpuInterEncoder:
             bi = jnp.argmin(cost, axis=0)
             return jnp.stack([all_dx[bi], all_dy[bi]], axis=-1) * 4
         mvs = level_best(sads_r, prior)                     # (B, 2) qpel
+        mv64 = None
         if self.tree:
             s32r = sads_r[:, :gh2 * 2, :].reshape(n_offs_r, gh2, 2, gw2, 2) \
                 .sum(axis=(2, 4))
             mv32 = level_best(s32r, prior2)                 # (B2, 2) qpel
+            if self.tree64 and self.gh4 > 0 and self.gw4 > 0:
+                s64r = s32r[:, :self.gh4 * 2, :self.gw4 * 2] \
+                    .reshape(n_offs_r, self.gh4, 2, self.gw4, 2) \
+                    .sum(axis=(2, 4))
+                mv64 = level_best(s64r, prior4)             # (B4, 2) qpel
         if not self.tree:
             mv32, prior2 = None, None
-        return mvs, prior, mv32, prior2
+        return mvs, prior, mv32, prior2, mv64, prior4
 
     # ---- device program -----------------------------------------------------
 
@@ -319,15 +338,22 @@ class TpuInterEncoder:
                 :gh, :gw].reshape(-1)
             qpc16 = jnp.asarray(T.CHROMA_QP_MAP)[
                 jnp.clip(qp16 + self.ps.cb_qp_offset, 0, 57)]
-            qp32v = qpm[:self.gh2, :self.gw2].reshape(-1)
+            rep32 = self.ps.ctu_size // 32
+            qp32v = jnp.repeat(jnp.repeat(qpm, rep32, 0), rep32, 1)[
+                :self.gh2, :self.gw2].reshape(-1)
             qpc32 = jnp.asarray(T.CHROMA_QP_MAP)[
                 jnp.clip(qp32v + self.ps.cb_qp_offset, 0, 57)]
+            qp64v = qpm.reshape(-1)
+            qpc64 = jnp.asarray(T.CHROMA_QP_MAP)[
+                jnp.clip(qp64v + self.ps.cb_qp_offset, 0, 57)]
         else:
             qp16, qpc16 = qp, qp_c
             qp32v, qpc32 = qp, qp_c
+            qp64v, qpc64 = qp, qp_c
         lam16 = jnp.asarray(T.LAMBDA_ME_X16_TAB)[qp]
         mvd_bits = jnp.asarray(T.MVD_BITS)
-        mvs, prior, mv32, prior2 = self._hier_me(sy, ry, lam16)
+        mvs, prior, mv32, prior2, mv64, prior4 = self._hier_me(sy, ry,
+                                                               lam16)
 
         # ---- sub-pel refinement (half then quarter) ----
         # One (n+8)^2 patch gather per block per frame; all 16 quarter-pel
@@ -719,11 +745,125 @@ class TpuInterEncoder:
         lv = combine(lv, lvl_v32.astype(jnp.int16), 16, jnp.int16)
         extra = [mvs16, choose.astype(jnp.uint8),
                  mv32.reshape(gh2, gw2, 2).astype(jnp.int16)]
+
+        # ---- CU64 layer (CTB64): one CU64 per CTB, luma as four forced-
+        # split TU32s (golden twin: encode_inter_frame_tree want64,
+        # reference CU64 default homer_app.c:307-337) ----
+        choose64 = nzq8 = None
+        if self.tree64:
+            gh4, gw4 = self.gh4, self.gw4
+            B4 = gh4 * gw4
+            x0s4 = (jnp.arange(B4) % gw4) * 64
+            y0s4 = (jnp.arange(B4) // gw4) * 64
+            src64 = sy.reshape(gh4, 64, gw4, 64).transpose(0, 2, 1, 3) \
+                .reshape(B4, 64, 64)
+            v16d, ix0d, iy0d = make_v16(x0s4, y0s4, mv64, 64)
+            if me_prec >= 1:
+                mv64 = refine_with(v16d, ix0d, iy0d, src64, 64, mv64, 2,
+                                   prior2)
+            if me_prec >= 2:
+                mv64 = refine_with(v16d, ix0d, iy0d, src64, 64, mv64, 1,
+                                   prior2)
+            pred64 = mc_v16(v16d, ix0d, iy0d, mv64, 64)
+            resid64 = src64 - pred64
+            r4 = resid64.reshape(B4, 2, 32, 2, 32) \
+                .transpose(0, 1, 3, 2, 4).reshape(B4 * 4, 32, 32)
+            coef64 = forward_transform(r4, False)
+            qp64q = (qp64v if qp_map is None
+                     else jnp.repeat(qp64v, 4))
+            lvl64q = quantize(coef64, 32, qp64q, False,
+                              self.ps.scaling_list_enabled)
+            if self.ps.sign_hiding:
+                lvl64q = sign_bit_hiding(lvl64q, coef64, 32, qp64q, False,
+                                         0, self.ps.scaling_list_enabled)
+            deq64 = dequantize(lvl64q, 32, qp64q, False,
+                               self.ps.scaling_list_enabled)
+            rr64q = inverse_transform(deq64, False)
+            lvl64q, rr64q = self._zero_force(r4, lvl64q, rr64q, zf_mult)
+            nz64q = jnp.any(lvl64q != 0, axis=(-1, -2))    # (B4*4,)
+
+            def q2full(blocks, m):
+                return blocks.reshape(B4, 2, 2, m, m) \
+                    .transpose(0, 1, 3, 2, 4).reshape(B4, 2 * m, 2 * m)
+            lvl64 = q2full(lvl64q, 32)
+            rres64 = q2full(rr64q, 32)
+            rec64 = jnp.clip(pred64 + rres64, 0, 255)
+
+            def cu_cost64(src_b, rec_b, lvl_b, mv_b):
+                d = (src_b - rec_b).astype(jnp.float32)
+                ssd = jnp.sum(d * d, axis=(-1, -2))
+                nnzf = jnp.sum((lvl_b != 0),
+                               axis=(-1, -2)).astype(jnp.float32)
+                lsum = jnp.sum(jnp.abs(lvl_b),
+                               axis=(-1, -2)).astype(jnp.float32)
+                rt = (mvd_bits[jnp.abs(mv_b[:, 0] - prior2[0])]
+                      + mvd_bits[jnp.abs(mv_b[:, 1] - prior2[1])]) \
+                    .astype(jnp.float32)
+                return ssd + lam * (3.0 * nnzf + lsum + 6.0 + rt)
+            c64 = cu_cost64(src64, rec64, lvl64, mv64).reshape(gh4, gw4)
+            # adopted-region cost after the CU32 pass
+            r32 = jnp.where(choose, c32, c16p)
+            r64 = r32[:gh4 * 2, :gw4 * 2].reshape(gh4, 2, gw4, 2) \
+                .sum(axis=(1, 3))
+            choose64 = c64 <= r64
+
+            def combine64(plane, blocks, m, dt):
+                p64 = blocks.astype(dt).reshape(gh4, gw4, m, m) \
+                    .transpose(0, 2, 1, 3).reshape(gh4 * m, gw4 * m)
+                mask = jnp.repeat(jnp.repeat(choose64, m, 0), m, 1)
+                return jnp.where(mask, p64, plane)
+
+            recon_y = combine64(recon_y, rec64, 64, recon_y.dtype)
+            ly = combine64(ly, lvl64.astype(jnp.int16), 64, jnp.int16)
+
+            # chroma: four 16x16 TUs over the 32x32 chroma block
+            def chroma64(src_c, ref_c):
+                ref_padC = jnp.pad(ref_c.astype(jnp.int32), padC,
+                                   mode="edge")
+                predc = mc_chroma_batch(ref_padC, padC, x0s4 // 2,
+                                        y0s4 // 2, 32, mv64)
+                src_cb = src_c.astype(jnp.int32) \
+                    .reshape(gh4, 32, gw4, 32).transpose(0, 2, 1, 3) \
+                    .reshape(B4, 32, 32)
+                resc = src_cb - predc
+                rc4 = resc.reshape(B4, 2, 16, 2, 16) \
+                    .transpose(0, 1, 3, 2, 4).reshape(B4 * 4, 16, 16)
+                coefc = forward_transform(rc4, False)
+                qpc64q = (qpc64 if qp_map is None
+                          else jnp.repeat(qpc64, 4))
+                lvlc = quantize(coefc, 16, qpc64q, False,
+                                self.ps.scaling_list_enabled)
+                if self.ps.sign_hiding:
+                    lvlc = sign_bit_hiding(lvlc, coefc, 16, qpc64q, False,
+                                           0, self.ps.scaling_list_enabled)
+                deqc = dequantize(lvlc, 16, qpc64q, False,
+                                  self.ps.scaling_list_enabled)
+                rrc = inverse_transform(deqc, False)
+                lvlc, rrc = self._zero_force(rc4, lvlc, rrc, zf_mult)
+                lvl_f = q2full(lvlc, 16)
+                rr_f = q2full(rrc, 16)
+                recc = jnp.clip(predc + rr_f, 0, 255)
+                return lvl_f, recc
+            lvc_u, recc_u = chroma64(su, ref_u)
+            lvc_v, recc_v = chroma64(sv, ref_v)
+            recon_u = combine64(recon_u, recc_u, 32, recon_u.dtype)
+            recon_v = combine64(recon_v, recc_v, 32, recon_v.dtype)
+            lu = combine64(lu, lvc_u.astype(jnp.int16), 32, jnp.int16)
+            lv = combine64(lv, lvc_v.astype(jnp.int16), 32, jnp.int16)
+            # per-TU32 nonzero map at the 8-grid (deblock nz rule)
+            nzq8 = jnp.repeat(jnp.repeat(
+                nz64q.reshape(gh4, gw4, 2, 2).transpose(0, 2, 1, 3)
+                .reshape(gh4 * 2, gw4 * 2), 4, 0), 4, 1)
+            extra += [choose64.astype(jnp.uint8),
+                      mv64.reshape(gh4, gw4, 2).astype(jnp.int16)]
         intra8 = None
         if self.cfg.intra_in_p and qp_map is None:
-            # CU16 cells covered by an adopted CU32 are excluded (golden
-            # twin skips cu_depth == 0 nodes)
+            # CU16 cells covered by an adopted CU32/CU64 are excluded
+            # (golden twin skips consolidated nodes)
             ch16 = jnp.repeat(jnp.repeat(choose, 2, 0), 2, 1)
+            if choose64 is not None:
+                ch16 = ch16 | jnp.repeat(jnp.repeat(choose64, 4, 0), 4, 1)[
+                    :ch16.shape[0], :ch16.shape[1]]
             excl16 = jnp.pad(ch16, ((0, gh - ch16.shape[0]), (0, 0)))
             (recon_y, recon_u, recon_v, ly, lu, lv, intra16,
              imode16) = self._intra_fallback(
@@ -746,6 +886,14 @@ class TpuInterEncoder:
                 ((0, pad_rows), (0, 0), (0, 0)))
             mv8 = jnp.where(chf[..., None], mv32_8, mv8)
             ts8 = jnp.where(chf, 32, 16).astype(jnp.int32)
+            if choose64 is not None:
+                ch8_64 = jnp.repeat(jnp.repeat(choose64, 8, 0), 8, 1)
+                nz8 = jnp.where(ch8_64, nzq8, nz8)
+                mv64_8 = jnp.repeat(jnp.repeat(
+                    mv64.reshape(self.gh4, self.gw4, 2), 8, 0), 8, 1)
+                mv8 = jnp.where(ch8_64[..., None], mv64_8, mv8)
+                # CU64 luma TUs are the four forced-split TU32s
+                ts8 = jnp.where(ch8_64, 32, ts8)
             recon_y = deblock_inter(recon_y, nz8, mv8, ts8, intra8)
             if intra8 is not None:
                 recon_u, recon_v = deblock_chroma_intra(
@@ -792,9 +940,9 @@ class TpuInterEncoder:
         padL = self.reach + 8
         padC = self.reach // 2 + 4
 
-        mvs0, pr0, mv32_0, pr2_0 = self._hier_me(sy, ry0, lam16)
+        mvs0, pr0, mv32_0, pr2_0, _, _ = self._hier_me(sy, ry0, lam16)
         # uni-L1 candidate motion field: matched to the SOURCE
-        mvs1s, pr1s, mv32_1s, pr2_1s = self._hier_me(sy, ry1, lam16)
+        mvs1s, pr1s, mv32_1s, pr2_1s, _, _ = self._hier_me(sy, ry1, lam16)
 
         x0s = (jnp.arange(B) % gw) * cu
         y0s = (jnp.arange(B) // gw) * cu
@@ -924,7 +1072,8 @@ class TpuInterEncoder:
                                              x0s, y0s, cu)
         tgt_plane = 2 * sy - pu8_0.reshape(gh, gw, cu, cu) \
             .transpose(0, 2, 1, 3).reshape(self.h, self.w)
-        mvs1, pr1, mv32_1, pr2_1 = self._hier_me(tgt_plane, ry1, lam16)
+        mvs1, pr1, mv32_1, pr2_1, _, _ = self._hier_me(tgt_plane, ry1,
+                                                       lam16)
         tgt_blk = tgt_plane.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
             .reshape(B, cu, cu)
         mvs1, p14_1, _ = refine_and_pred(mkv1, mvs1, pr1, tgt_blk,
@@ -1352,6 +1501,11 @@ class TpuInterEncoder:
             if bi:
                 mv32_1 = take(gh2 * gw2 * 4, np.int16, (gh2, gw2, 2))
                 dir32 = take(gh2 * gw2, None, (gh2, gw2))
+        choose64 = mv64 = None
+        if self.tree64 and not bi:
+            gh4, gw4 = self.gh4, self.gw4
+            choose64 = take(gh4 * gw4, None, (gh4, gw4))
+            mv64 = take(gh4 * gw4 * 4, np.int16, (gh4, gw4, 2))
         intra16 = imode16 = None
         if self.cfg.intra_in_p and not bi:
             gih, giw = self.h // 16, self.w // 16
@@ -1416,8 +1570,16 @@ class TpuInterEncoder:
             m32 = np.repeat(np.repeat(mv32.astype(np.int32), 4, 0), 4, 1)
             full = np.zeros(desc.cu_depth.shape, bool)
             full[:ch.shape[0], :ch.shape[1]] = ch
-            desc.cu_depth[full] = 0
+            desc.cu_depth[full] = self.ps.log2_ctu - 5    # CU32 depth
             desc.mv[:ch.shape[0], :ch.shape[1]][ch] = m32[ch]
+            if choose64 is not None:
+                c64 = np.repeat(np.repeat(choose64.astype(bool), 8, 0),
+                                8, 1)
+                m64 = np.repeat(np.repeat(mv64.astype(np.int32), 8, 0),
+                                8, 1)
+                desc.cu_depth[c64] = 0
+                desc.tr_depth[c64] = 1        # forced TU32 split
+                desc.mv[c64] = m64[c64]
             if bi:
                 m32b = np.repeat(np.repeat(mv32_1.astype(np.int32),
                                            4, 0), 4, 1)

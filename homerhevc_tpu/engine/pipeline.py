@@ -928,9 +928,11 @@ class EncoderPipeline:
         aq_ok = (not self.ps.cu_qp_delta_enabled
                  or (not self.ps.deblocking_enabled
                      and not self.cfg.intra_in_p))
-        return (self.backend in ("auto", "tpu")
-                and self.cfg.cu_size == 32 and aq_ok
-                and self.cfg.width % 32 == 0 and self.cfg.height % 16 == 0)
+        geom_ok = ((self.cfg.cu_size == 32 and self.cfg.width % 32 == 0
+                    and self.cfg.height % 16 == 0)
+                   or (self.cfg.cu_size == 64 and self.cfg.width % 64 == 0
+                       and self.cfg.height % 64 == 0))
+        return self.backend in ("auto", "tpu") and aq_ok and geom_ok
 
     def _get_tpu(self):
         if self._tpu_intra is None:

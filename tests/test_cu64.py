@@ -112,3 +112,78 @@ def test_cu64_mixed_depths_parse(tmp_path):
     np.testing.assert_array_equal(p.d.coef_y, desc.coef_y)
     np.testing.assert_array_equal(p.d.cu_depth, desc.cu_depth)
     np.testing.assert_array_equal(p.d.mv, desc.mv)
+
+
+def test_device_ctb64_tree_matches_golden(rng):
+    """Device CTB64 three-level tree (CU64/32/16) == golden
+    encode_inter_frame_tree want64: depths, MVs, coefficients, recon."""
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame_tree
+    from homerhevc_tpu.hevc.headers import ParamSets
+
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1,
+                        intra_period=0, sao=False, deblocking=False,
+                        sign_hiding=True, cu_size=64,
+                        reinit_gop_on_scene_change=False)
+    ps = ParamSets.from_config(cfg)
+    # smooth gradient + global shift: CU64 should win on flat regions;
+    # a busy corner forces sub-splits
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    y0 = np.clip(60 + 0.4 * xx + 0.3 * yy, 0, 255).astype(np.uint8)
+    y0[:24, :24] = (rng.rand(24, 24) * 255).astype(np.uint8)
+    u0 = np.full((h // 2, w // 2), 120, np.uint8)
+    v0 = np.full((h // 2, w // 2), 136, np.uint8)
+    y1 = np.clip(np.roll(y0, 2, 1).astype(int)
+                 + rng.randint(-2, 3, y0.shape), 0, 255).astype(np.uint8)
+    refs = tuple(p.astype(np.int32) for p in (y0, u0, v0))
+    gd, gy_, gu_, gv_ = encode_inter_frame_tree(ps, (y1, u0, v0), refs, 32)
+    dd, dy_, du_, dv_ = TpuInterEncoder(ps, cfg).encode_frame(
+        (y1, u0, v0), (y0, u0, v0))
+    dd.densify()
+    assert np.array_equal(gd.cu_depth, dd.cu_depth)
+    assert (gd.cu_depth == 0).any(), "no CU64 chosen - content too hard"
+    assert np.array_equal(gd.tr_depth, dd.tr_depth)
+    assert np.array_equal(gd.mv, dd.mv)
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gd.coef_u, dd.coef_u)
+    assert np.array_equal(gd.coef_v, dd.coef_v)
+    assert np.array_equal(np.asarray(dy_), gy_.astype(np.uint8))
+    assert np.array_equal(np.asarray(du_), gu_.astype(np.uint8))
+    assert np.array_equal(np.asarray(dv_), gv_.astype(np.uint8))
+    for f in ("skip", "inter_mode", "merge_idx", "mvp_flag", "root_cbf"):
+        assert np.array_equal(getattr(gd, f), getattr(dd, f)), f
+
+
+def test_device_ctb64_e2e_conformance(tmp_path, rng):
+    """IPPP at CTB64 on the DEVICE path (deblock on): FFmpeg-bit-exact."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    w, h, n = 128, 64, 4
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1,
+                        intra_period=0, sao=False, deblocking=True,
+                        sign_hiding=True, cu_size=64,
+                        reinit_gop_on_scene_change=False)
+    pipe = EncoderPipeline(cfg)
+    assert pipe._tpu_inter_ok(), "CTB64 device gate"
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    y = np.clip(60 + 0.4 * xx + 30 * np.sin(yy / 9.0), 0, 255) \
+        .astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 136, np.uint8)
+    recons = []
+    path = tmp_path / "ctb64_dev.265"
+    with open(path, "wb") as f:
+        for t in range(n):
+            y2 = np.clip(np.roll(y, 2 * t, 1).astype(int)
+                         + rng.randint(-3, 4, y.shape), 0, 255) \
+                .astype(np.uint8)
+            for ef in pipe.push(y2, u, v):
+                f.write(ef.annex_b())
+                recons.append(ef.recon)
+        for ef in pipe.flush():
+            f.write(ef.annex_b())
+            recons.append(ef.recon)
+    decoded = decode_annexb(path)
+    assert len(decoded) == n
+    for i, d in enumerate(decoded):
+        assert np.array_equal(d, recons[i]["y"]), f"frame {i}"
