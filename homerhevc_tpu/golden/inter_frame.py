@@ -493,7 +493,8 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
     if rect_pu or merge_rd:
         sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
         ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
-        if rect_pu and cu_size == 16 and not is_b:
+        if rect_pu and cu_size == 16 \
+                and not (is_b and desc.mv_l1 is not None):
             rect_pu_p(ps, desc, sy_, su_, sv_, ry_, ru_, rv_,
                       recon_y, recon_u, recon_v, qp,
                       zf_multiplier(avg_dist, qp), prior_q,
@@ -1359,7 +1360,7 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
                                 cpred[qy:qy + 16, qx:qx + 16]
                                 + cr, 0, 255)
                     recon_c[cy0:cy0 + 32, cx0:cx0 + 32] = crec
-    if rect_pu and not is_b:
+    if rect_pu and not (is_b and desc.mv_l1 is not None):
         rect_pu_p(ps, desc, sy, su, sv, ry_ref, ru_ref, rv_ref,
                   recon_y, recon_u, recon_v, qp, zf_mult, prior_q,
                   me_prec)
@@ -1402,8 +1403,10 @@ def select_inter_syntax_tree(ps: ParamSets, desc: FrameDesc,
             walk(cx * ctu, cy * ctu, ctu, 0)
 
 
-def _select_rect_syntax(ps, desc, mf, x0, y0, n, part):
-    """Per-PU merge/AMVP selection for a rectangular inter CU (P slices).
+def _select_rect_syntax(ps, desc, mf, x0, y0, n, part, is_b=False):
+    """Per-PU merge/AMVP selection for a rectangular inter CU (P and
+    uni-L0 B slices — B restricts merge matching to the spatial
+    candidates, whose indices the decoder's B rect merge list shares).
     PU0 then PU1 in decode order: PU1's candidate lists see PU0's final
     motion exactly as a decoder will."""
     from homerhevc_tpu.hevc.inter import (amvp_candidates_rect,
@@ -1420,9 +1423,10 @@ def _select_rect_syntax(ps, desc, mf, x0, y0, n, part):
         puy, pux = py // 8, px // 8
         psl8 = (slice(puy, (py + ph) // 8), slice(pux, (px + pw) // 8))
         mv = (int(desc.mv[puy, pux, 0]), int(desc.mv[puy, pux, 1]))
-        cands, _ = merge_candidates_rect(mf, px, py, pw, ph, pname, i,
-                                         ps.ctu_size, w, h)
-        merge_k = next((k for k, c in enumerate(cands)
+        cands, n_spat = merge_candidates_rect(mf, px, py, pw, ph, pname, i,
+                                              ps.ctu_size, w, h)
+        limit = n_spat if is_b else len(cands)
+        merge_k = next((k for k, c in enumerate(cands[:limit])
                         if (c[0], c[1]) == mv and c[2] == 0), None)
         if merge_k is not None:
             desc.inter_mode[psl8] = 1
@@ -1468,7 +1472,7 @@ def _select_cu_syntax(ps, desc, x0, y0, n, is_b, dists=(1, 1),
     part = (int(desc.inter_part[uy, ux])
             if desc.inter_part is not None else 0)
     if part and not bi_lists:
-        _select_rect_syntax(ps, desc, mf, x0, y0, n, part)
+        _select_rect_syntax(ps, desc, mf, x0, y0, n, part, is_b=is_b)
         return
     mv = (int(desc.mv[uy, ux, 0]), int(desc.mv[uy, ux, 1]))
     has_res = (desc.coef_y[y0:y0 + n, x0:x0 + n].any()
@@ -1551,7 +1555,7 @@ def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
         # positions per unit
         _select_inter_syntax_loop(ps, desc, cu_size, is_b,
                                   ref_dists_l0=ref_dists_l0)
-    if has_rect and not is_b:
+    if has_rect and not (is_b and desc.mv_l1 is not None):
         # the passes above assume 2Nx2N; re-select rectangular CUs
         # per-PU (and clear any skip they may have set — skip implies
         # 2Nx2N)
@@ -1566,7 +1570,7 @@ def select_inter_syntax(ps: ParamSets, desc: FrameDesc, cu_size: int,
                 if part and inter[uy, ux]:
                     desc.skip[uy:uy + r, ux:ux + r] = 0
                     _select_rect_syntax(ps, desc, mf, ux * 8, uy * 8,
-                                        cu_size, part)
+                                        cu_size, part, is_b=is_b)
 
 
 def _select_inter_syntax_vec(ps: ParamSets, desc: FrameDesc, n: int,

@@ -295,6 +295,21 @@ class SliceDataParser:
                                               merge_candidates_rect)
         mf = self._motion_field()
         self.d.merge_idx[sl8] = idx
+        if pw is not None and pw != ph:
+            # rect PU merge: rect positions + exclusions (uni-L0 fields:
+            # the spatial part coincides with the decoder's B list)
+            cands, _ = merge_candidates_rect(
+                mf, x0, y0, pw, ph, part, pu_idx, self.ps.ctu_size,
+                self.d.width, self.d.height)
+            mv = cands[idx]
+            self.d.mv[sl8[0], sl8[1], 0] = mv[0]
+            self.d.mv[sl8[0], sl8[1], 1] = mv[1]
+            if self.d.ref_idx is not None:
+                self.d.ref_idx[sl8] = mv[2]
+            if self.d.inter_dir is not None:
+                self.d.inter_dir[sl8] = 1
+            self._mark_coded(sl8)
+            return
         if self.slice_type == SLICE_B and self.d.inter_dir is not None:
             cands = merge_candidates_b(mf, x0, y0, size, self.ps.ctu_size,
                                        self.d.width, self.d.height,
@@ -309,13 +324,8 @@ class SliceDataParser:
                 self.d.mv_l1[sl8[0], sl8[1], 1] = m1[1]
             self._mark_coded(sl8)
             return
-        if pw is not None and pw != ph:
-            cands, _ = merge_candidates_rect(
-                mf, x0, y0, pw, ph, part, pu_idx, self.ps.ctu_size,
-                self.d.width, self.d.height)
-        else:
-            cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
-                                        self.d.width, self.d.height)
+        cands, _ = merge_candidates(mf, x0, y0, size, self.ps.ctu_size,
+                                    self.d.width, self.d.height)
         mv = cands[idx]
         self.d.mv[sl8[0], sl8[1], 0] = mv[0]
         self.d.mv[sl8[0], sl8[1], 1] = mv[1]
@@ -442,15 +452,18 @@ class SliceDataParser:
             else:
                 mvd_x, mvd_y = self._parse_mvd()
             f = e.decode_bin(OFF["mvp_idx"])
-            if two_list:
-                mvp = amvp_candidates_2(self._motion_field(), x0, y0,
-                                        max(pw, ph), ps.ctu_size, d.width,
-                                        d.height, ref_list, self.ref_dists)
-            elif pw != ph:
+            if pw != ph:
+                # rect PUs sample rect positions + same-CB exclusions;
+                # emitted only uni-L0, so the single-list derivation is
+                # the decoder's list-0 result
                 mvp = amvp_candidates_rect(self._motion_field(), x0, y0,
                                            pw, ph, ps.ctu_size, d.width,
                                            d.height, part=part,
                                            pu_idx=pu_idx)
+            elif two_list:
+                mvp = amvp_candidates_2(self._motion_field(), x0, y0,
+                                        max(pw, ph), ps.ctu_size, d.width,
+                                        d.height, ref_list, self.ref_dists)
             elif num_ref > 1:
                 mvp = amvp_candidates_mref(self._motion_field(), x0, y0,
                                            max(pw, ph), ps.ctu_size,

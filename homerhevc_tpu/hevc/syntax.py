@@ -509,6 +509,12 @@ class SliceDataEncoder:
             if mode == 1:
                 self._encode_merge_idx(int(d.merge_idx[puy, pux]))
                 continue
+            if self.slice_type == 0:   # SLICE_B: uni-L0 rect PUs only
+                # inter_pred_idc (9.3.3.7): 16x8/8x16 PUs code the full
+                # 2-bin form (nPbW+nPbH > 12)
+                depth = int(d.cu_depth[puy, pux])
+                e.encode_bin(OFF["inter_dir"] + depth, 0)   # not BI
+                e.encode_bin(OFF["inter_dir"] + 4, 0)       # list 0
             mvp = amvp_candidates_rect(self.motion_field, px, py, pw, ph,
                                        ps.ctu_size, d.width, d.height,
                                        part=pname, pu_idx=i)

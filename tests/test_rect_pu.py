@@ -158,3 +158,49 @@ def test_rect_pu_native_serializer_matches_python():
                                            use_native=False,
                                            refs_before=(0,), poc=1)
         assert nal_native == nal_python, f"split={split} payload mismatch"
+
+
+def test_rect_pu_uni_b_conformance(tmp_path):
+    """Rect PUs in (uni-L0) B slices: inter_pred_idc per rect PU +
+    rect-position AMVP/merge derivation. Drives the uni-B tree path
+    directly (the gop2 pipeline upgrades its Bs to two-list bi, where
+    rect stays off by design) and FFmpeg-decodes the stream."""
+    from homerhevc_tpu.engine.pipeline import EncoderPipeline
+    from homerhevc_tpu.hevc.headers import SLICE_B
+    rng = np.random.RandomState(9)
+    w, h, n_b = 128, 64, 3
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1,
+                        intra_period=0, sao=False, deblocking=True,
+                        sign_hiding=True, cu_size=32,
+                        reinit_gop_on_scene_change=False)
+    pipe = EncoderPipeline(cfg, backend="golden")
+    y, u, v = make_yuv(rng, w, h)
+    recons = []
+    nals = b""
+    # IDR first
+    desc, ry, ru, rv = pipe._analyze_intra(y, u, v, qp=30)
+    ef = pipe._emit(desc, ry, ru, rv, src=(y, u, v), qp=30)
+    nals += ef.annex_b()
+    recons.append(ef.recon)
+    split = h // 2 + 8        # motion boundary mid-CU16 -> rect pays
+    rect_in_b = 0
+    for t in range(1, n_b + 1):
+        top = np.roll(y[:split], 4 * t, axis=1)
+        bot = np.roll(y[split:], -3 * t, axis=1)
+        y2 = np.vstack([top, bot])
+        d2, r2y, r2u, r2v = pipe._analyze_inter(y2, u, v, qp=30,
+                                                is_b=True)
+        if d2.inter_part is not None and d2.inter_part.any():
+            rect_in_b += 1
+        ef = pipe._emit(d2, r2y, r2u, r2v, src=(y2, u, v),
+                        slice_type=SLICE_B, qp=30,
+                        refs_before=(pipe.gop_poc - 1,))
+        nals += ef.annex_b()
+        recons.append(ef.recon)
+    path = tmp_path / "rect_b.265"
+    path.write_bytes(nals)
+    dec = decode_annexb(path)
+    assert len(dec) == n_b + 1
+    for i in range(n_b + 1):
+        assert np.array_equal(dec[i], recons[i]["y"]), f"frame {i}"
+    assert rect_in_b > 0, "no rect CU landed in a B slice - test vacuous"
