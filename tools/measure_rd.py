@@ -45,6 +45,9 @@ def main():
     ap.add_argument("-intra-rdo", action="store_true")
     ap.add_argument("-scaling-lists", action="store_true")
     ap.add_argument("-num-b", type=int, default=0)
+    ap.add_argument("-me-range", type=int, default=32)
+    ap.add_argument("-bitrate", type=int, default=0,
+                    help="kbps; >0 selects VBR (bitrate_mode=2)")
     ap.add_argument("-o", default=None)
     ap.add_argument("-label", default="rd")
     ap.add_argument("-qps", default=None,
@@ -55,7 +58,7 @@ def main():
         run_multi(args)
         return
 
-    from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.config import BitrateMode, EncoderConfig
     from homerhevc_tpu.engine.pipeline import EncoderPipeline
     w, h = args.w, args.ht
     cfg = EncoderConfig(width=w, height=h, qp=args.qp, gop_size=args.gop,
@@ -68,7 +71,12 @@ def main():
                         intra_rdo=args.intra_rdo,
                         scaling_lists=args.scaling_lists,
                         num_b=args.num_b,
-                        reinit_gop_on_scene_change=False)
+                        me_range=args.me_range,
+                        bitrate_mode=(BitrateMode.VBR if args.bitrate
+                                      else BitrateMode.FIXED_QP),
+                        bitrate_kbps=args.bitrate or 1250,
+                        frame_rate=args.fps,
+                        reinit_gop_on_scene_change=bool(args.bitrate))
     pipe = EncoderPipeline(cfg, backend=args.backend)
     fsz = w * h * 3 // 2
     raw = open(args.i, "rb")
@@ -149,6 +157,7 @@ def run_multi(args):
                             intra_rdo=args.intra_rdo,
                             scaling_lists=args.scaling_lists,
                             num_b=args.num_b,
+                            me_range=args.me_range,
                             reinit_gop_on_scene_change=False)
         pipe = EncoderPipeline(cfg, backend=args.backend)
         for k, v in shared.items():
