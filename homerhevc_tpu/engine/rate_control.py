@@ -49,7 +49,16 @@ class RateControl:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         self.enabled = cfg.bitrate_mode != BitrateMode.FIXED_QP
+        # VBR targets the LONG-RUN average (total bits / total time) and
+        # only uses the VBV as peak protection, so quality can follow
+        # content; CBR enforces the per-window rate (the reference keeps
+        # one VBV model for both but drives it with different budgets,
+        # hmr_rate_control.c:89-140 — this build makes the policy split
+        # explicit instead)
+        self.vbr = cfg.bitrate_mode == BitrateMode.VBR
         self.avg_bits = cfg.bitrate_kbps * 1000.0 / cfg.frame_rate
+        self._tot_bits = 0.0
+        self._tot_frames = 0
         self.vbv_size = cfg.bitrate_kbps * 1000.0 * cfg.vbv_size
         self.fullness = cfg.vbv_init * self.vbv_size
         self.qp = cfg.qp
@@ -72,7 +81,9 @@ class RateControl:
         # buffer draining (undershoot) -> lower QP
         dev = (self.fullness - self.cfg.vbv_init * self.vbv_size) \
             / max(self.vbv_size, 1.0)
-        qp = qp + dev * 6.0
+        # VBR: the VBV term is peak protection only (half gain); short-term
+        # rate is allowed to follow content complexity
+        qp = qp + dev * (3.0 if self.vbr else 6.0)
         return int(min(51, max(0, round(qp))))
 
     def target_bits(self, is_intra: bool) -> float:
@@ -108,6 +119,19 @@ class RateControl:
         off = np.rint(8.0 * (cum - expect)).astype(np.int32)
         return np.clip(off, -max_off, max_off)
 
+    def scene_pivot(self) -> None:
+        """Scene change: the old scene's cost statistics no longer predict
+        the new one (reference pivots RC state on pic-mode change,
+        hmr_rc_change_pic_mode hmr_rate_control.c:49-87). Re-seed the
+        P-cost EMA and the windowed ratio from the new scene's first
+        frames; stale per-row shares are dropped so row offsets restart
+        neutral."""
+        if not self.enabled:
+            return
+        self._ema_p = None
+        self._ema_ratio = 1.0
+        self._row_share = None
+
     def end_pic(self, bits: int, is_intra: bool) -> None:
         if not self.enabled:
             return
@@ -124,8 +148,20 @@ class RateControl:
                                     0.5), 10.0)
         target = self.target_bits(is_intra)
         ratio = bits / max(target, 1.0)
-        self._ema_ratio = 0.6 * self._ema_ratio + 0.4 * ratio
-        # log-domain QP correction, clipped to +-2 per picture
-        step = 3.0 * math.log2(max(self._ema_ratio, 1e-3))
-        step = min(2.0, max(-2.0, step))
+        if self.vbr:
+            # long-horizon policy: a slow windowed term plus a cumulative
+            # average-rate compensator (the encode converges to the target
+            # average even after a complex opening), gentle +-1 QP/pic
+            self._tot_bits += bits
+            self._tot_frames += 1
+            self._ema_ratio = 0.9 * self._ema_ratio + 0.1 * ratio
+            cum = self._tot_bits / (self._tot_frames * self.avg_bits)
+            step = (1.5 * math.log2(max(self._ema_ratio, 1e-3))
+                    + 1.0 * math.log2(max(cum, 1e-3)))
+            step = min(1.0, max(-1.0, step))
+        else:
+            self._ema_ratio = 0.6 * self._ema_ratio + 0.4 * ratio
+            # log-domain QP correction, clipped to +-2 per picture
+            step = 3.0 * math.log2(max(self._ema_ratio, 1e-3))
+            step = min(2.0, max(-2.0, step))
         self.qp = min(51.0, max(0.0, self.qp + step))

@@ -101,6 +101,59 @@ def test_vbv_clamp_and_pressure(rng):
     assert rc.pic_qp(False) < qps[-1]
 
 
+def test_vbr_policy_distinct_from_cbr():
+    """VBR is a long-horizon average-rate policy: under the same transient
+    overshoot it moves QP more gently than CBR (per-pic step +-1 vs +-2,
+    half VBV gain), while the cumulative compensator still converges the
+    long-run average (reference drives one VBV model with different
+    budgets, hmr_rate_control.c:89-140; this build splits the policy)."""
+    from homerhevc_tpu.engine.rate_control import RateControl
+
+    def run(mode, n, factor):
+        cfg = EncoderConfig(width=128, height=64, frame_rate=25.0,
+                            gop_size=1, qp=30, bitrate_mode=mode,
+                            bitrate_kbps=100, vbv_size=0.5)
+        rc = RateControl(cfg)
+        qps = []
+        for _ in range(n):
+            qps.append(rc.pic_qp(False))
+            rc.end_pic(int(factor * rc.avg_bits), False)
+        return rc, qps
+
+    _, q_cbr = run(BitrateMode.CBR, 6, 3.0)
+    _, q_vbr = run(BitrateMode.VBR, 6, 3.0)
+    assert q_vbr[-1] < q_cbr[-1], (q_vbr, q_cbr)   # gentler early reaction
+    rc_v, q_long = run(BitrateMode.VBR, 60, 3.0)
+    assert q_long[-1] > q_long[0] + 4              # but it still converges
+    # long-run average compensator: after overshoot, an exactly-on-target
+    # stretch keeps QP elevated (cumulative debt) instead of snapping back
+    for _ in range(5):
+        rc_v.end_pic(int(rc_v.avg_bits), False)
+    assert rc_v.qp > 30
+
+
+def test_scene_pivot_resets_stats():
+    """Scene pivot re-seeds the P-cost EMA / windowed ratio / row shares
+    (reference hmr_rc_change_pic_mode, hmr_rate_control.c:49-87)."""
+    from homerhevc_tpu.engine.rate_control import RateControl
+    cfg = EncoderConfig(width=128, height=64, frame_rate=25.0, gop_size=1,
+                        bitrate_mode=BitrateMode.CBR, bitrate_kbps=400,
+                        rc_ctu=True, cu_size=16)
+    rc = RateControl(cfg)
+    rc.end_pic(20000, True)
+    rc.end_pic(9000, False)
+    rc.note_row_shares(np.array([3.0, 1.0, 1.0, 1.0]))
+    assert rc._ema_p is not None
+    rc.scene_pivot()
+    assert rc._ema_p is None
+    assert rc._ema_ratio == 1.0
+    assert (rc.row_offsets(4) == 0).all()
+    # disabled RC: pivot is a no-op
+    cfg2 = EncoderConfig(width=128, height=64,
+                         bitrate_mode=BitrateMode.FIXED_QP)
+    RateControl(cfg2).scene_pivot()
+
+
 def test_row_rc_offsets_follow_overshoot():
     """Rows after cumulative overshoot get positive offsets, rows after
     undershoot negative (the bits-so-far corrector at row granularity,
