@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "2=ufast (early skip + min CU depth 1)")
     p.add_argument("-bitrate_mode", type=int, default=0,
                    help="0=FIXED_QP 1=CBR 2=VBR")
+    p.add_argument("-scene_change", type=int, default=1,
+                   help="1=reinit GOP (IDR) + RC pivot on scene change "
+                        "(reference -scene_change, homer_app.c:274)")
     p.add_argument("-bitrate", type=int, default=1250, help="kbps")
     p.add_argument("-vbv_size", type=float, default=1.0)
     p.add_argument("-vbv_init", type=float, default=0.35)
@@ -117,6 +120,7 @@ def main(argv=None) -> int:
         wpp=bool(args.wpp), scaling_lists=bool(args.scaling_lists),
         gpb=bool(args.gpb),
         performance_mode=PerformanceMode(args.performance_mode),
+        reinit_gop_on_scene_change=bool(args.scene_change),
         num_frames_in_flight=args.n_frames_in_flight)
     enc = Encoder(cfg)
     fsz = w * h * 3 // 2
