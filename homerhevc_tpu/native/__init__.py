@@ -75,6 +75,8 @@ def get_lib():
         + [ctypes.c_int]                 # n_threads (WPP row pool)
         + [_I32P] * 5                    # CG wire (nullable)
         + [ctypes.c_long] * 3)           # count / esc_count / cg_count
+    lib.hevcenc_prof_read.restype = None
+    lib.hevcenc_prof_read.argtypes = [_I32P]
     lib.hevcenc_unpack_sparse8.restype = ctypes.c_long
     lib.hevcenc_unpack_sparse8.argtypes = [
         _I32P, _I32P, ctypes.c_long, _I32P, _I32P, ctypes.c_long,
@@ -165,6 +167,22 @@ def unpack_sparse_cg_native(cg_bitmap, masks16, codes, count: int,
     return n >= 0
 
 
+def prof_read():
+    """Fetch-and-reset the serializer's HEVCENC_PROF counters (set the env
+    var before the first native call; zeros otherwise). None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_uint64 * 10)()
+    lib.hevcenc_prof_read(ctypes.cast(buf, ctypes.c_void_p))
+    return {"slice_cycles": int(buf[0]), "setup_cycles": int(buf[1]),
+            "residual_cycles": int(buf[2]), "ctx_bins": int(buf[3]),
+            "bypass_bins": int(buf[4]), "payload_bytes": int(buf[5]),
+            "slices": int(buf[6]), "luma_res_bins": int(buf[7]),
+            "chroma_res_bins": int(buf[8])}
+
+
 def wpp_threads() -> int:
     """WPP row-substream serializer pool size: HEVCENC_THREADS env
     override, else the host's core count (rows fork their CABAC context
@@ -195,7 +213,7 @@ def encode_slice_native(ps, desc, ctx_init: np.ndarray, sign_hiding: bool,
         # emits rect in P slices only; native implements the P syntax)
         return None
     cap = desc.width * desc.height * 4 + 65536
-    out = np.zeros(cap, np.uint8)
+    out = np.empty(cap, np.uint8)   # only payload[:n] is ever read
     ctus_y = -(-desc.height // ps.ctu_size)
     row_sizes = np.zeros(ctus_y, np.int64)
 

@@ -13,13 +13,39 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <thread>
 #include <vector>
+#include <x86intrin.h>
 
 namespace {
+
+// ---- profiling (env HEVCENC_PROF=1; hevcenc_prof_read to fetch) -------------
+// slots: 0=slice cycles, 1=setup (nzb4/wire expand) cycles, 2=residual cycles,
+// 3=ctx bins, 4=bypass bins, 5=payload bytes, 6=slices, 7=luma residual bins,
+// 8=chroma residual bins
+static std::atomic<uint64_t> g_prof[10];
+static bool prof_on() {
+  static int v = -1;
+  if (v < 0) v = std::getenv("HEVCENC_PROF") ? 1 : 0;
+  return v == 1;
+}
+
+#ifdef HEVCENC_FINEPROF
+// harness-only (single-thread) sub-scope cycle counters inside residual():
+// 0=prologue 1=gather 2=sig-loop 3=greater1/sign 4=remaining 5=CG count
+uint64_t g_fine[8];
+#define FP_T(v) uint64_t v = __rdtsc()
+#define FP_ADD(i, a, b) g_fine[i] += (b) - (a)
+#define FP_CNT(i) g_fine[i]++
+#else
+#define FP_T(v)
+#define FP_ADD(i, a, b)
+#define FP_CNT(i)
+#endif
 
 // ---- spec tables (identical values to hevc/tables.py) ----------------------
 
@@ -64,6 +90,7 @@ enum CtxOff {
 // replaces the branch + arithmetic in the hottest loop (bin())
 struct NextStateTables {
   uint8_t mps[128], lps[128];
+  uint8_t next2[256];   // fused: next2[(s << 1) | is_lps]
   NextStateTables() {
     for (int s = 0; s < 128; s++) {
       int idx = s >> 1, m = s & 1;
@@ -71,6 +98,8 @@ struct NextStateTables {
       mps[s] = (uint8_t)((nm << 1) | m);
       lps[s] = idx == 0 ? (uint8_t)(m ^ 1)
                         : (uint8_t)((kTransLps[idx] << 1) | m);
+      next2[(s << 1) | 0] = mps[s];
+      next2[(s << 1) | 1] = lps[s];
     }
   }
 };
@@ -82,6 +111,7 @@ struct Cabac {
   uint32_t low = 0, range = 510;
   int bits_left = 23, num_buffered = 0;
   uint32_t buffered = 0xFF;
+  uint64_t nbins = 0, nbyp = 0;   // published to g_prof under HEVCENC_PROF
   // bit-level writer (the payload starts byte-aligned; we only emit whole
   // bytes until finish(), which can leave a partial byte)
   uint32_t acc = 0; int accbits = 0;
@@ -111,29 +141,34 @@ struct Cabac {
       buffered = lead;
     }
   }
+  // Branchless bin: the MPS/LPS split, renorm count and state transition
+  // all become cmov/clz/table-load — sig/g1 bins carry ~50% unpredictable
+  // outcomes, so removing the branch removes the dominant misprediction
+  // cost of the serializer's hottest loop (same arithmetic as spec 9.3 /
+  // hmr_binary_encoding.c:173; renorm shift = clz(new_range) - 23 equals
+  // the kRenorm table for every reachable LPS value).
   inline void bin(int ctx_idx, uint32_t b) {
+    nbins++;
     uint8_t s = ctx[ctx_idx];
     uint32_t lps = kLps[s >> 1][(range >> 6) & 3];
-    range -= lps;
-    if (__builtin_expect(b == (s & 1), 1)) {   // MPS: the common path
-      ctx[ctx_idx] = g_next.mps[s];
-      if (__builtin_expect(range >= 256, 1)) return;
-      low <<= 1; range <<= 1; bits_left--;
-    } else {
-      int n = kRenorm[lps >> 3];
-      low = (low + range) << n;
-      range = lps << n;
-      ctx[ctx_idx] = g_next.lps[s];
-      bits_left -= n;
-    }
+    uint32_t mrange = range - lps;
+    uint32_t is_lps = (uint32_t)(b != (s & 1u));
+    uint32_t nr = is_lps ? lps : mrange;
+    low += mrange & (0u - is_lps);
+    int sh = __builtin_clz(nr) - 23;
+    low <<= sh;
+    range = nr << sh;
+    bits_left -= sh;
+    ctx[ctx_idx] = g_next.next2[((uint32_t)s << 1) | is_lps];
     if (__builtin_expect(bits_left < 12, 0)) write_out();
   }
   inline void bypass(uint32_t b) {
-    low <<= 1;
-    if (b) low += range;
+    nbyp++;
+    low = (low << 1) + (range & (0u - (uint32_t)(b != 0)));
     if (--bits_left < 12) write_out();
   }
   inline void bypass_bins(uint32_t v, int n) {
+    nbyp += n;
     while (n > 8) {
       n -= 8;
       uint32_t pat = v >> n;
@@ -181,6 +216,9 @@ struct Scans {
   // [log2size 2..5][scan 0..2] -> scan-pos -> raster
   std::vector<int> coeff[6][3];
   std::vector<int> cg[6][3];
+  // within-CG inverse map: raster position inside the 4x4 group (y*4+x)
+  // -> scan index 0..15 (the within-CG pattern is CG-independent)
+  uint8_t cg_inv[3][16];
   Scans() {
     for (int lg = 2; lg <= 5; lg++) {
       int n = 1 << lg;
@@ -188,6 +226,11 @@ struct Scans {
         coeff[lg][s] = build_coeff(n, s);
         cg[lg][s] = build_order(n / 4 ? n / 4 : 1, s);
       }
+    }
+    for (int s = 0; s < 3; s++) {
+      auto in = pos_order(4, s);
+      for (int k = 0; k < 16; k++)
+        cg_inv[s][in[k].second * 4 + in[k].first] = (uint8_t)k;
     }
   }
   static std::vector<std::pair<int,int>> diag(int n) {
@@ -419,9 +462,16 @@ struct Enc {
   // plane. Zero CGs cost one context bin and no memory traffic — at working
   // QPs ~95% of a TU's groups are zero, so this replaces the former
   // O(size^2) scan gather with a handful of 16-element reads.
+  uint64_t res_cycles = 0;   // published to g_prof under HEVCENC_PROF
+  uint64_t tot_nbins = 0, tot_nbyp = 0;   // WPP per-row Cabac roll-up
+  uint64_t res_bins[2] = {0, 0};          // luma/chroma residual bins
+
   void residual(const int16_t* plane, int stride, const uint8_t* nzb4,
                 int stride4, int bx, int by,
                 int log2, int cidx, int scan_sel) {
+    uint64_t t0 = prof_on() ? __rdtsc() : 0;
+    uint64_t b0 = t0 ? c.nbins + c.nbyp : 0;
+    FP_T(tp0);
     int size = 1 << log2;
     int szmask = size - 1;
     const std::vector<int>& scan = g_scans.coeff[log2][scan_sel];
@@ -459,21 +509,24 @@ struct Enc {
     // read the mask + packed values (rank via popcount), dense frames
     // gather from the plane
     int16_t sc16[16];
+    const uint8_t* cg_inv = g_scans.cg_inv[scan_sel];
     auto gather = [&](int ci) {
-      const int* sp = &scan[ci * 16];
       if (mf) {
+        // wire-direct: walk the set bits (ascending raster pos == packed
+        // value order) instead of 16 per-position popcount probes
         int r = cgo[ci];
         size_t cg = (size_t)(by4 + r / ncg) * stride4 + bx4 + r % ncg;
         unsigned m = mf[cg];
         const int16_t* vp = d.vals + voff[cg];
-        for (int k = 0; k < 16; k++) {
-          int rr = sp[k];
-          int pos = ((rr >> log2) & 3) * 4 + (rr & 3);
-          sc16[k] = (m >> pos) & 1
-              ? vp[__builtin_popcount(m & ((1u << pos) - 1))] : 0;
+        memset(sc16, 0, sizeof sc16);
+        while (m) {
+          int pos = __builtin_ctz(m);
+          m &= m - 1;
+          sc16[cg_inv[pos]] = *vp++;
         }
         return;
       }
+      const int* sp = &scan[ci * 16];
       for (int k = 0; k < 16; k++) {
         int r = sp[k];
         sc16[k] = plane[(size_t)(by + (r >> log2)) * stride + bx + (r & szmask)];
@@ -498,6 +551,8 @@ struct Enc {
       return res;
     };
 
+    FP_T(tp1);
+    FP_ADD(0, tp0, tp1);
     int c1 = 1;
     for (int ci = num_cg - 1; ci >= 0; ci--) {
       bool in_last = ci == num_cg - 1;
@@ -511,10 +566,14 @@ struct Enc {
         infer_dc = true;
       }
       if (!coded_sb) continue;
+      FP_CNT(5);
+      FP_T(tg0);
       if (!in_last) {
         if (has_nz) gather(ci);
         else memset(sc16, 0, sizeof sc16);   // DC CG inferred-coded, all zero
       }
+      FP_T(tg1);
+      FP_ADD(1, tg0, tg1);
       int cg_start = ci * 16;
       int start_n = in_last ? last_in : 15;
       int pos_list[16]; int n_nz = 0;         // local (within-CG) scan offsets
@@ -529,6 +588,8 @@ struct Enc {
         c.bin(sig_base + ctx_lut[cg_start + n], sig);
         if (sig) { pos_list[n_nz++] = n; num_found++; }
       }
+      FP_T(ts1);
+      FP_ADD(2, tg1, ts1);
       if (!n_nz) continue;
       int absv[16], sgn[16];
       for (int i = 0; i < n_nz; i++) {
@@ -555,6 +616,8 @@ struct Enc {
         c.bin(ABS + (cidx ? 4 : 0) + ctx_set, absv[first_g1] > 2);
       int n_signs = hide ? n_nz - 1 : n_nz;
       for (int i = 0; i < n_signs; i++) c.bypass(sgn[i]);
+      FP_T(tb1);
+      FP_ADD(3, ts1, tb1);
       if (c1 == 0 || n_nz > 8) {
         int rice = 0, fc2 = 1;
         for (int i = 0; i < n_nz; i++) {
@@ -565,7 +628,13 @@ struct Enc {
           }
           if (absv[i] >= 2) fc2 = 0;
         }
+        FP_T(tr1);
+        FP_ADD(4, tb1, tr1);
       }
+    }
+    if (t0) {
+      res_cycles += __rdtsc() - t0;
+      res_bins[cidx ? 1 : 0] += c.nbins + c.nbyp - b0;
     }
   }
 
@@ -1208,6 +1277,41 @@ long hevcenc_encode_slice2(
     const uint8_t* wire_codes, const int32_t* wire_esc_idx,
     const int16_t* wire_esc_val,
     long wire_count, long wire_esc_count, long wire_cg_count) {
+  uint64_t t_start = prof_on() ? __rdtsc() : 0;
+  uint64_t t_setup = 0;
+  if (const char* dp = std::getenv("HEVCENC_DUMP")) {
+    // capture the first intra wire-direct slice's inputs for the offline
+    // profiling harness (tools/hevcprof.cpp); format: scalars then
+    // length-prefixed buffers in a fixed order
+    static std::atomic<int> dumped{0};
+    if (slice_type == 2 && wire_cg_bitmap && !dumped.exchange(1)) {
+      FILE* f = fopen(dp, "wb");
+      if (f) {
+        long scal[16] = {width, height, log2_ctu, log2_min_cb, log2_min_tb,
+                         log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
+                         sign_hiding, slice_type, cu_qp_delta, slice_qp,
+                         wire_count, wire_esc_count, wire_cg_count, 0};
+        fwrite(scal, sizeof scal, 1, f);
+        long w8 = (long)(width >> 3) * (height >> 3);
+        long w4 = (long)(width >> 2) * (height >> 2);
+        long ncg_tot2 = w4 + 2 * w8;   // luma 4x4 CGs + 2 chroma planes
+        auto wr = [&](const void* p2, long n) {
+          fwrite(&n, sizeof n, 1, f);
+          if (n) fwrite(p2, 1, (size_t)n, f);
+        };
+        wr(ctx_init, NUM_CTX);
+        wr(cu_depth, w8); wr(part_nxn, w8);
+        wr(luma_mode, w4); wr(chroma_mode, w8);
+        wr(tr_depth, w8); wr(pred_mode, w8);
+        wr(wire_cg_bitmap, (ncg_tot2 + 7) >> 3);
+        wr(wire_masks16, wire_cg_count * 2);
+        wr(wire_codes, (wire_count + 3) >> 2);
+        wr(wire_esc_idx, wire_esc_count * 4);
+        wr(wire_esc_val, wire_esc_count * 2);
+        fclose(f);
+      }
+    }
+  }
   Enc e;
   e.p = Params{width, height, log2_ctu, log2_min_cb, log2_min_tb,
                log2_max_tb, max_tr_depth_intra, max_tr_depth_inter,
@@ -1299,6 +1403,21 @@ long hevcenc_encode_slice2(
   all.reserve(out_cap);
   uint8_t ctx[NUM_CTX];
   memcpy(ctx, ctx_init, NUM_CTX);
+  if (t_start) t_setup = __rdtsc();
+
+  auto publish = [&](uint64_t nb, uint64_t by, uint64_t res, long bytes,
+                     uint64_t rb0, uint64_t rb1) {
+    if (!t_start) return;
+    g_prof[0] += __rdtsc() - t_start;
+    g_prof[1] += t_setup - t_start;
+    g_prof[2] += res;
+    g_prof[3] += nb;
+    g_prof[4] += by;
+    g_prof[5] += (uint64_t)bytes;
+    g_prof[6] += 1;
+    g_prof[7] += rb0;
+    g_prof[8] += rb1;
+  };
 
   if (!wpp) {
     std::vector<uint8_t> out;
@@ -1316,6 +1435,8 @@ long hevcenc_encode_slice2(
     e.c.finish();
     if ((long)out.size() > out_cap) return -1;
     memcpy(out_buf, out.data(), out.size());
+    publish(e.c.nbins, e.c.nbyp, e.res_cycles, (long)out.size(),
+            e.res_bins[0], e.res_bins[1]);
     return (long)out.size();
   }
 
@@ -1358,6 +1479,8 @@ long hevcenc_encode_slice2(
     }
     if (cy != ch - 1) er.c.terminate(1);
     er.c.finish();
+    er.tot_nbins += er.c.nbins;     // Cabac{} resets per row; roll up
+    er.tot_nbyp += er.c.nbyp;
   };
 
   if (n_threads < 1) n_threads = 1;
@@ -1379,15 +1502,20 @@ long hevcenc_encode_slice2(
     }
   } else {
     std::vector<std::thread> pool;
+    std::atomic<uint64_t> pb{0}, py{0}, pr{0}, p0{0}, p1{0};
     for (int t = 1; t < n_threads; t++) {
       pool.emplace_back([&, t]() {
         Enc er;
         er.p = e.p; er.d = e.d;
         for (int cy = t; cy < ch; cy += n_threads) encode_row(er, cy);
+        pb += er.tot_nbins; py += er.tot_nbyp; pr += er.res_cycles;
+        p0 += er.res_bins[0]; p1 += er.res_bins[1];
       });
     }
     for (int cy = 0; cy < ch; cy += n_threads) encode_row(e, cy);
     for (auto& th : pool) th.join();
+    e.tot_nbins += pb; e.tot_nbyp += py; e.res_cycles += pr;
+    e.res_bins[0] += p0; e.res_bins[1] += p1;
   }
 
   for (int cy = 0; cy < ch; cy++) {
@@ -1396,7 +1524,16 @@ long hevcenc_encode_slice2(
   }
   if ((long)all.size() > out_cap) return -1;
   memcpy(out_buf, all.data(), all.size());
+  publish(e.tot_nbins, e.tot_nbyp, e.res_cycles, (long)all.size(),
+          e.res_bins[0], e.res_bins[1]);
   return (long)all.size();
+}
+
+// Fetch-and-reset the HEVCENC_PROF counters: [slice_cycles, setup_cycles,
+// residual_cycles, ctx_bins, bypass_bins, payload_bytes, slices,
+// luma_res_bins, chroma_res_bins, 0].
+void hevcenc_prof_read(uint64_t* out10) {
+  for (int i = 0; i < 10; i++) out10[i] = g_prof[i].exchange(0);
 }
 
 // Expand the device wire format (significance bitmap + compacted int8
