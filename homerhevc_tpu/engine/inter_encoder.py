@@ -989,12 +989,20 @@ class TpuInterEncoder:
                              jnp.where(idx == 1, c01,
                                        jnp.where(idx == 2, c10, c11)))
 
-        def refine_v(v16, ix0, iy0, src_b, nb, mv_cur, step, pr):
+        def refine_v(v16, ix0, iy0, src_b, nb, mv_cur, step, pr,
+                     bounds=None):
             bc = jnp.full((mv_cur.shape[0],), 1 << 30, jnp.int32)
             bmv = mv_cur
             for dy in (-step, 0, step):
                 for dx in (-step, 0, step):
                     cand = mv_cur + jnp.asarray([dx, dy], jnp.int32)
+                    if bounds is not None:
+                        # keep candidates inside the interpolation volume:
+                        # it covers only two integer positions per axis
+                        # ([4*ix0-4, 4*ix0+3] qpel); a volume centred at a
+                        # non-zero-phase MV could otherwise drift past it
+                        # and sel_phase would read the wrong pixels
+                        cand = jnp.clip(cand, bounds[0], bounds[1])
                     p = sel_phase(v16, ix0, iy0, cand, nb)
                     sad = jnp.sum(jnp.abs(src_b - p), axis=(-1, -2))
                     rt = (mvd_bits[jnp.abs(cand[:, 0] - pr[0])]
@@ -1076,16 +1084,48 @@ class TpuInterEncoder:
                                                        lam16)
         tgt_blk = tgt_plane.reshape(gh, cu, gw, cu).transpose(0, 2, 1, 3) \
             .reshape(B, cu, cu)
-        mvs1, p14_1, _ = refine_and_pred(mkv1, mvs1, pr1, tgt_blk,
-                                         x0s, y0s, cu)
+        mvs1, p14_1, pu8_1 = refine_and_pred(mkv1, mvs1, pr1, tgt_blk,
+                                             x0s, y0s, cu)
         mvs1s, _, pu8_1s = refine_and_pred(mkv1, mvs1s, pr1s, src_blk,
                                            x0s, y0s, cu)
         lvl_bi, rec_bi, nz_bi = code_bi(p14_0, p14_1, src_blk, cu, qp,
                                         zf_mult)
-        lvl_u0, rec_u0, nz_u0 = code_pred(pu8_0, src_blk, cu, qp, zf_mult)
-        lvl_u1, rec_u1, nz_u1 = code_pred(pu8_1s, src_blk, cu, qp, zf_mult)
         cbi = cu_cost(src_blk, rec_bi, lvl_bi,
                       rate_of(mvs0, pr0) + rate_of(mvs1, pr1))
+
+        def refine_bi0(mk, mv0c, pr_, pu8b, p14b, mv1c, pr1_, src_b,
+                       x0v, y0v, n, lvl_b, rec_b, nz_b, cb):
+            """Alternating bi refinement: re-refine list 0 against the
+            complement target 2*src - pred1, keep the refined bi coding
+            where it wins RD (golden twin: refine_l0_against; reference
+            hmr_bi_motion_estimation_HM, hmr_motion_inter.c:954,:1279)."""
+            tgt0 = 2 * src_b - pu8b
+            v16r, v14r, ixr, iyr = mk(x0v, y0v, mv0c, n)
+            bounds = (jnp.stack([4 * ixr - 4, 4 * iyr - 4], axis=1),
+                      jnp.stack([4 * ixr + 3, 4 * iyr + 3], axis=1))
+            mv0r = mv0c
+            if me_prec >= 1:
+                mv0r = refine_v(v16r, ixr, iyr, tgt0, n, mv0r, 2, pr_,
+                                bounds)
+            if me_prec >= 2:
+                mv0r = refine_v(v16r, ixr, iyr, tgt0, n, mv0r, 1, pr_,
+                                bounds)
+            p14r = sel_phase(v14r, ixr, iyr, mv0r, n)
+            lvl_r, rec_r, nz_r = code_bi(p14r, p14b, src_b, n, qp, zf_mult)
+            cbr = cu_cost(src_b, rec_r, lvl_r,
+                          rate_of(mv0r, pr_) + rate_of(mv1c, pr1_))
+            use = cbr < cb
+            return (jnp.where(use[:, None], mv0r, mv0c),
+                    jnp.where(use[:, None, None], lvl_r, lvl_b),
+                    jnp.where(use[:, None, None], rec_r, rec_b),
+                    jnp.where(use, nz_r, nz_b),
+                    jnp.minimum(cb, cbr))
+
+        mv0bi, lvl_bi, rec_bi, nz_bi, cbi = refine_bi0(
+            mkv0, mvs0, pr0, pu8_1, p14_1, mvs1, pr1, src_blk,
+            x0s, y0s, cu, lvl_bi, rec_bi, nz_bi, cbi)
+        lvl_u0, rec_u0, nz_u0 = code_pred(pu8_0, src_blk, cu, qp, zf_mult)
+        lvl_u1, rec_u1, nz_u1 = code_pred(pu8_1s, src_blk, cu, qp, zf_mult)
         cu0 = cu_cost(src_blk, rec_u0, lvl_u0, rate_of(mvs0, pr0))
         cu1 = cu_cost(src_blk, rec_u1, lvl_u1, rate_of(mvs1s, pr1s))
         dir16 = choose3(cbi, cu0, cu1)
@@ -1093,8 +1133,10 @@ class TpuInterEncoder:
         lvl = sel3(dir16, lvl_bi, lvl_u0, lvl_u1)
         rec = sel3(dir16, rec_bi, rec_u0, rec_u1)
         nz = sel3(dir16, nz_bi, nz_u0, nz_u1)
-        # effective per-list motion (zero when the list is unused)
-        mv0_eff = jnp.where((dir16 & 1)[:, None].astype(bool), mvs0, 0)
+        # effective per-list motion (zero when the list is unused; the bi
+        # list-0 MV may differ from the uni-L0 one after refine_bi0)
+        mv0_eff = jnp.where((dir16 == 3)[:, None], mv0bi,
+                            jnp.where((dir16 == 1)[:, None], mvs0, 0))
         mv1_sel = jnp.where((dir16 == 3)[:, None], mvs1, mvs1s)
         mv1_eff = jnp.where((dir16 & 2)[:, None].astype(bool), mv1_sel, 0)
 
@@ -1113,8 +1155,8 @@ class TpuInterEncoder:
                 .transpose(0, 2, 1, 3).reshape(-1, n, n)
 
         def chroma_sel(src_cb, rpa, rpb, x0v, y0v, n, dirv,
-                       mva, mvb_bi, mvb_uni):
-            ca14 = mc_chroma_batch_14(rpa, padC, x0v, y0v, n, mva)
+                       mva, mva_bi, mvb_bi, mvb_uni):
+            ca14 = mc_chroma_batch_14(rpa, padC, x0v, y0v, n, mva_bi)
             cb14 = mc_chroma_batch_14(rpb, padC, x0v, y0v, n, mvb_bi)
             pred_bi = jnp.clip((ca14 + cb14 + 64) >> 7, 0, 255)
             pred_u0 = mc_chroma_batch(rpa, padC, x0v, y0v, n, mva)
@@ -1124,10 +1166,10 @@ class TpuInterEncoder:
 
         lvl_u, rec_u = chroma_sel(blk_c(su, cuc, None), r0up, r1up,
                                   cx0s, cy0s, cuc, dir16,
-                                  mvs0, mvs1, mvs1s)
+                                  mvs0, mv0bi, mvs1, mvs1s)
         lvl_v, rec_v = chroma_sel(blk_c(sv, cuc, None), r0vp, r1vp,
                                   cx0s, cy0s, cuc, dir16,
-                                  mvs0, mvs1, mvs1s)
+                                  mvs0, mv0bi, mvs1, mvs1s)
 
         def unblock(blocks, n, hh, ww):
             gy, gx = hh // n, ww // n
@@ -1144,18 +1186,21 @@ class TpuInterEncoder:
         mv32_0, p32a, pu8_32a = refine_and_pred(mkv0, mv32_0, pr2_0, src32,
                                                 x0s2, y0s2, 32)
         tgt32 = 2 * src32 - pu8_32a
-        mv32_1, p32b, _ = refine_and_pred(mkv1, mv32_1, pr2_1, tgt32,
-                                          x0s2, y0s2, 32)
+        mv32_1, p32b, pu8_32t = refine_and_pred(mkv1, mv32_1, pr2_1, tgt32,
+                                                x0s2, y0s2, 32)
         mv32_1s, _, pu8_32b = refine_and_pred(mkv1, mv32_1s, pr2_1s, src32,
                                               x0s2, y0s2, 32)
         lvl32_bi, rec32_bi, nz32_bi = code_bi(p32a, p32b, src32, 32, qp,
                                               zf_mult)
+        c32bi = cu_cost(src32, rec32_bi, lvl32_bi,
+                        rate_of(mv32_0, pr2_0) + rate_of(mv32_1, pr2_1))
+        mv32_0bi, lvl32_bi, rec32_bi, nz32_bi, c32bi = refine_bi0(
+            mkv0, mv32_0, pr2_0, pu8_32t, p32b, mv32_1, pr2_1, src32,
+            x0s2, y0s2, 32, lvl32_bi, rec32_bi, nz32_bi, c32bi)
         lvl32_u0, rec32_u0, nz32_u0 = code_pred(pu8_32a, src32, 32, qp,
                                                 zf_mult)
         lvl32_u1, rec32_u1, nz32_u1 = code_pred(pu8_32b, src32, 32, qp,
                                                 zf_mult)
-        c32bi = cu_cost(src32, rec32_bi, lvl32_bi,
-                        rate_of(mv32_0, pr2_0) + rate_of(mv32_1, pr2_1))
         c32u0 = cu_cost(src32, rec32_u0, lvl32_u0, rate_of(mv32_0, pr2_0))
         c32u1 = cu_cost(src32, rec32_u1, lvl32_u1,
                         rate_of(mv32_1s, pr2_1s))
@@ -1164,7 +1209,8 @@ class TpuInterEncoder:
         lvl32 = sel3(dir32, lvl32_bi, lvl32_u0, lvl32_u1)
         rec32 = sel3(dir32, rec32_bi, rec32_u0, rec32_u1)
         nz32 = sel3(dir32, nz32_bi, nz32_u0, nz32_u1)
-        mv32_0e = jnp.where((dir32 & 1)[:, None].astype(bool), mv32_0, 0)
+        mv32_0e = jnp.where((dir32 == 3)[:, None], mv32_0bi,
+                            jnp.where((dir32 == 1)[:, None], mv32_0, 0))
         mv32_1sel = jnp.where((dir32 == 3)[:, None], mv32_1, mv32_1s)
         mv32_1e = jnp.where((dir32 & 2)[:, None].astype(bool), mv32_1sel, 0)
 
@@ -1174,10 +1220,10 @@ class TpuInterEncoder:
 
         lvl_u32, rec_u32 = chroma_sel(blk_c(su, 16, gh2 * 16), r0up, r1up,
                                       x0s2 // 2, y0s2 // 2, 16, dir32,
-                                      mv32_0, mv32_1, mv32_1s)
+                                      mv32_0, mv32_0bi, mv32_1, mv32_1s)
         lvl_v32, rec_v32 = chroma_sel(blk_c(sv, 16, gh2 * 16), r0vp, r1vp,
                                       x0s2 // 2, y0s2 // 2, 16, dir32,
-                                      mv32_0, mv32_1, mv32_1s)
+                                      mv32_0, mv32_0bi, mv32_1, mv32_1s)
 
         def combine(plane16, blocks32, m, dt):
             p32 = blocks32.astype(dt).reshape(gh2, gw2, m, m) \

@@ -421,18 +421,23 @@ def hier_pel_fields(sy: np.ndarray, ref: np.ndarray, rng_c: int,
 
 
 def subpel_refine(src_blk: np.ndarray, ref: np.ndarray, x0: int, y0: int,
-                  mv_q: tuple[int, int], step: int, prior_q, lam16: int
-                  ) -> tuple[int, int]:
+                  mv_q: tuple[int, int], step: int, prior_q, lam16: int,
+                  bounds=None) -> tuple[int, int]:
     """One refinement stage around mv_q (quarter-pel units) with the given
     step (2 = half-pel, 1 = quarter-pel). Evaluates the 3x3 neighbourhood in
     (dy, dx) raster order, strict '<' (identical ordering on device).
-    Cost = SAD + (lam16 * mvd_bits(mv - prior)) >> 4."""
+    Cost = SAD + (lam16 * mvd_bits(mv - prior)) >> 4. `bounds`
+    (((lox, loy), (hix, hiy)), qpel) clamps candidates exactly as the
+    device's volume-coverage clamp does (refine_v bounds)."""
     n = src_blk.shape[0]
     src = src_blk.astype(np.int32)
     best = (1 << 60, mv_q[0], mv_q[1])
     for dy in (-step, 0, step):
         for dx in (-step, 0, step):
             mvx, mvy = mv_q[0] + dx, mv_q[1] + dy
+            if bounds is not None:
+                mvx = min(max(mvx, bounds[0][0]), bounds[1][0])
+                mvy = min(max(mvy, bounds[0][1]), bounds[1][1])
             pred = mc_luma(ref, x0, y0, n, mvx, mvy)
             sad = int(np.abs(src - pred).sum())
             cost = sad + ((lam16 * int(mv_rate(mvx, mvy, prior_q))) >> 4)
@@ -1880,6 +1885,28 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             return cands[0]
         return cands[1] if c0 <= c1 else cands[2]
 
+    def refine_l0_against(x0, y0, n, mv0, mv1t):
+        """Alternating bi refinement: re-refine the list-0 MV against the
+        complement target 2*src - pred1 (one iteration of the reference's
+        iterative bi ME, hmr_bi_motion_estimation_HM / remove_high_freq,
+        hmr_motion_inter.c:954,:1279). Device twin: _impl_b refine_bi0."""
+        from homerhevc_tpu.golden.interp import mc_luma_14
+        v1 = mc_luma_14(r1[0], x0, y0, n, mv1t[0], mv1t[1])
+        t0 = (2 * sy[y0:y0 + n, x0:x0 + n]
+              - np.clip((v1 + 32) >> 6, 0, 255))
+        mv0b = mv0
+        # device-twin candidate clamp: the device volume covers
+        # [4*(c>>2)-4, 4*(c>>2)+3] qpel per axis around the centre
+        bounds = ((4 * (mv0[0] >> 2) - 4, 4 * (mv0[1] >> 2) - 4),
+                  (4 * (mv0[0] >> 2) + 3, 4 * (mv0[1] >> 2) + 3))
+        if me_prec >= 1:
+            mv0b = subpel_refine(t0, r0[0], x0, y0, mv0b, 2, p16_0
+                                 if n == 16 else p32_0, lam16, bounds)
+        if me_prec >= 2:
+            mv0b = subpel_refine(t0, r0[0], x0, y0, mv0b, 1, p16_0
+                                 if n == 16 else p32_0, lam16, bounds)
+        return mv0b
+
     cost16 = np.zeros((gh, gw), np.float32)
     for gy in range(gh):
         for gx in range(gw):
@@ -1891,6 +1918,15 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             cbi = cost_cu(x0, y0, 16, outs_bi[1], outs_bi[0],
                           mv_rate(mv0[0], mv0[1], p16_0)
                           + mv_rate(mv1t[0], mv1t[1], p16_1))
+            mv0bi = mv0
+            mv0b = refine_l0_against(x0, y0, 16, mv0, mv1t)
+            if mv0b != mv0:
+                outs_r = code_bi_cu(x0, y0, 16, mv0b, mv1t)
+                cbir = cost_cu(x0, y0, 16, outs_r[1], outs_r[0],
+                               mv_rate(mv0b[0], mv0b[1], p16_0)
+                               + mv_rate(mv1t[0], mv1t[1], p16_1))
+                if cbir < cbi:
+                    outs_bi, cbi, mv0bi = outs_r, cbir, mv0b
             outs_u0 = code_uni_cu(x0, y0, 16, mv0, r0)
             cu0 = cost_cu(x0, y0, 16, outs_u0[1], outs_u0[0],
                           mv_rate(mv0[0], mv0[1], p16_0))
@@ -1898,7 +1934,7 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             outs_u1 = code_uni_cu(x0, y0, 16, mv1s, r1)
             cu1 = cost_cu(x0, y0, 16, outs_u1[1], outs_u1[0],
                           mv_rate(mv1s[0], mv1s[1], p16_1s))
-            best = choose([(cbi, 3, mv0, mv1t, outs_bi),
+            best = choose([(cbi, 3, mv0bi, mv1t, outs_bi),
                            (cu0, 1, mv0, None, outs_u0),
                            (cu1, 2, None, mv1s, outs_u1)])
             cost16[gy, gx] = best[0]
@@ -1921,6 +1957,15 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             cbi = cost_cu(x0, y0, 32, outs_bi[1], outs_bi[0],
                           mv_rate(mv0[0], mv0[1], p32_0)
                           + mv_rate(mv1t[0], mv1t[1], p32_1))
+            mv0bi = mv0
+            mv0b = refine_l0_against(x0, y0, 32, mv0, mv1t)
+            if mv0b != mv0:
+                outs_r = code_bi_cu(x0, y0, 32, mv0b, mv1t)
+                cbir = cost_cu(x0, y0, 32, outs_r[1], outs_r[0],
+                               mv_rate(mv0b[0], mv0b[1], p32_0)
+                               + mv_rate(mv1t[0], mv1t[1], p32_1))
+                if cbir < cbi:
+                    outs_bi, cbi, mv0bi = outs_r, cbir, mv0b
             outs_u0 = code_uni_cu(x0, y0, 32, mv0, r0)
             cu0 = cost_cu(x0, y0, 32, outs_u0[1], outs_u0[0],
                           mv_rate(mv0[0], mv0[1], p32_0))
@@ -1928,7 +1973,7 @@ def encode_b_frame_tree(ps: ParamSets, src_planes, ref0_planes, ref1_planes,
             outs_u1 = code_uni_cu(x0, y0, 32, mv1s, r1)
             cu1 = cost_cu(x0, y0, 32, outs_u1[1], outs_u1[0],
                           mv_rate(mv1s[0], mv1s[1], p32_1s))
-            best = choose([(cbi, 3, mv0, mv1t, outs_bi),
+            best = choose([(cbi, 3, mv0bi, mv1t, outs_bi),
                            (cu0, 1, mv0, None, outs_u0),
                            (cu1, 2, None, mv1s, outs_u1)])
             c16 = float(cost16[2 * gy:2 * gy + 2, 2 * gx:2 * gx + 2].sum())
