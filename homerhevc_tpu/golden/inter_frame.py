@@ -1991,6 +1991,29 @@ MERGE_FAST_BITS_BASE = 4.0     # merge syntax bins (flag + idx TR base)
 CU_AMVP_BITS = 6.0             # 2Nx2N AMVP CU overhead (device cost model)
 
 
+def merge_b0_avail(gh: int, gw: int, ctu_size: int) -> np.ndarray:
+    """(gh, gw) bool: is the above-right (B0) neighbour of each CU16
+    already coded when CU16s are visited in z-scan within CTBs of
+    `ctu_size` (raster over CTBs)? True everywhere for CTB16 (flat raster);
+    within CTB32/64 the bottom-right-ish z positions lose B0 (spec
+    z-scan availability, 6.4.1; reference analog get_available_... in
+    hmr_motion_inter.c merge candidate derivation)."""
+    t = ctu_size // 16
+    ys, xs = np.mgrid[0:gh, 0:gw]
+    ux, uy = xs % t, ys % t
+
+    def morton(x, y):
+        z = np.zeros_like(x)
+        for b in range(2):
+            z |= (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+        return z
+    arx, ary = ux + 1, uy - 1
+    within = arx < t
+    za = morton(np.clip(arx, 0, t - 1), np.clip(ary, 0, t - 1))
+    ok = (uy == 0) | (within & (za < morton(ux, uy)))
+    return ok
+
+
 def merge_rd_fast(ps: ParamSets, desc: FrameDesc, sy, su, sv,
                   ry_ref, ru_ref, rv_ref, recon_y, recon_u, recon_v,
                   qp: int, zf_mult: float, prior_q) -> int:
@@ -2034,8 +2057,9 @@ def merge_rd_fast(ps: ParamSets, desc: FrameDesc, sy, su, sv,
     vb1, b1 = unit(-1, 1)
     vb0, b0 = unit(-1, 2)
     vb2, b2 = unit(-1, -1)
-    # B0 availability also needs coded-before: above-right CU in raster
-    # CTB16 order is coded; at the tree geometry this helper isn't used.
+    # B0 also needs coded-before: always true in flat CTB16 raster, a
+    # z-scan predicate inside CTB32/64 trees (merge_b0_avail)
+    vb0 = vb0 & merge_b0_avail(gh, gw, ps.ctu_size)
 
     def neq(p, q, vq):
         return ~vq | (p[..., 0] != q[..., 0]) | (p[..., 1] != q[..., 1])
