@@ -106,6 +106,12 @@ class EncoderConfig:
     # neighbours). Also activated by num_ref_frames >= 2 (two-list
     # multi-reference).
     gpb: bool = False
+    # QP offset for NON-REFERENCE B frames (the IBP in-between pictures):
+    # nothing references them, so their distortion never propagates — the
+    # hierarchy spends fewer bits there. The reference reaches the same
+    # point through depth-scaled lambda tables (hmr_tables.c:315-374);
+    # with lambda derived from QP here, one QP step IS the lambda scale.
+    b_qp_offset: int = 2
     # parallelism (TPU-native knobs; replaces n_enc_engines/n_wpp_threads)
     wpp: bool = False                 # per-CTU-row substreams (host-parallel CABAC)
     num_frames_in_flight: int = 1     # device pipeline depth (frame engines analog)

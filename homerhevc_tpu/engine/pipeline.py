@@ -287,6 +287,10 @@ class EncoderPipeline:
                 ref_dists=dists, slice_qp=qp)
         if res is not None:
             payload, row_sizes = res
+            # exact per-CTU-row byte counts: the row-RC feedback consumes
+            # these instead of the coefficient-mass proxy (reference
+            # consumes real bits-so-far, hmr_rate_control.c:266-347)
+            self._last_row_sizes = row_sizes
             # entry points count escaped bytes (spec 7.4.7.1; reference
             # count_needed_start_codes, hmr_headers.c:626)
             with PROFILER.scope("ser_escapes"):
@@ -328,6 +332,7 @@ class EncoderPipeline:
             rows.append(bw_row.get_bytes())
             prev_saved = saved if saved is not None else prev_saved
         payload = b"".join(rows)
+        self._last_row_sizes = [len(r) for r in rows]
         esc = ebsp_row_escapes(payload, [len(r) for r in rows])
         offsets = [len(r) + e for r, e in zip(rows[:-1], esc[:-1])]
         sp = SliceParams(slice_type=slice_type, nal_type=nal_type,
@@ -474,23 +479,31 @@ class EncoderPipeline:
                 ssd = int(np.dot(d, d))
             avg = float(ssd) / (np.asarray(src[0]).size / 16.0)
             self.avg_dist = avg * (1.5 if slice_type == SLICE_I else 1.0)
-        if (self.cfg.rc_ctu and self.rc.enabled and slice_type != SLICE_I
-                and desc.coef_y is not None):
-            # per-CTB-row coded-mass proxy feeding next frame's row offsets
-            # (bits ~ 3*nnz + sum|lvl| — the device cost model's arithmetic)
-            ctu = self.ps.ctu_size
-            rows = -(-self.cfg.height // ctu)
+        if self.cfg.rc_ctu and self.rc.enabled and slice_type != SLICE_I:
+            rs = getattr(self, "_last_row_sizes", None) if self.ps.wpp \
+                else None
+            if rs is not None:
+                # WPP: the serializer's exact per-CTU-row byte counts (the
+                # reference consumes real bits-so-far, hmr_rate_control.c:
+                # 266-347); no coefficient densification needed
+                self.rc.note_row_shares(np.asarray(rs, np.float64) + 1)
+            elif desc.coef_y is not None or desc.cg_wire is not None:
+                # per-CTB-row coded-mass proxy (bits ~ 3*nnz + sum|lvl| —
+                # the device cost model's arithmetic)
+                d = desc.densify()
+                ctu = self.ps.ctu_size
+                rows = -(-self.cfg.height // ctu)
 
-            def row_mass(plane, unit):
-                p = np.abs(plane.astype(np.int64))
-                pad = rows * unit - p.shape[0]
-                if pad > 0:
-                    p = np.pad(p, ((0, pad), (0, 0)))
-                return (p + 2 * (p != 0)).reshape(rows, -1).sum(axis=1)
-            mass = (row_mass(desc.coef_y, ctu)
-                    + row_mass(desc.coef_u, ctu // 2)
-                    + row_mass(desc.coef_v, ctu // 2))
-            self.rc.note_row_shares(mass + 1)
+                def row_mass(plane, unit):
+                    p = np.abs(plane.astype(np.int64))
+                    pad = rows * unit - p.shape[0]
+                    if pad > 0:
+                        p = np.pad(p, ((0, pad), (0, 0)))
+                    return (p + 2 * (p != 0)).reshape(rows, -1).sum(axis=1)
+                mass = (row_mass(d.coef_y, ctu)
+                        + row_mass(d.coef_u, ctu // 2)
+                        + row_mass(d.coef_v, ctu // 2))
+                self.rc.note_row_shares(mass + 1)
         ftype = {SLICE_I: "I", SLICE_P: "P"}.get(slice_type, "B")
         oh, ow = self.out_h, self.out_w
 
@@ -548,8 +561,13 @@ class EncoderPipeline:
                 if (not intra and self.cfg.reinit_gop_on_scene_change
                         and scene_cut):
                     # reference behaviour: scene change -> RC pivot + GOP
-                    # reinit (hmr_motion_inter.c:3791, reinit_gop flag)
+                    # reinit (hmr_motion_inter.c:3791, reinit_gop flag;
+                    # RC pivot hmr_rc_change_pic_mode,
+                    # hmr_rate_control.c:49-87): the injected IDR takes
+                    # the I-frame QP/budget and stale P-cost stats reset
                     intra = True
+                    self.rc.scene_pivot()
+                    qp = self.rc.pic_qp(True)
                 if intra:
                     yield from self._drain_p_pending()
                     desc, ry, ru, rv = self._analyze_intra(y, u, v, qp)
@@ -769,7 +787,9 @@ class EncoderPipeline:
                 bt, fb = self._held
                 self._held = None
                 bpoc = bt - self._idr_base
-                qb = self.rc.pic_qp(False)
+                # non-reference B: QP ladder step (cfg.b_qp_offset) — the
+                # reference's depth-scaled lambda (hmr_tables.c:315-374)
+                qb = min(51, self.rc.pic_qp(False) + self.cfg.b_qp_offset)
                 if (prev_anchor_recon is not None
                         and self.ps.ctu_size == 32
                         and self.cfg.width % 32 == 0
