@@ -46,6 +46,28 @@ def gen_clip(path: str, w: int, h: int, n: int, seed: int = 7) -> None:
             f.write(np.clip(v, 0, 255).astype(np.uint8).tobytes())
 
 
+def gen_pan_clip(path: str, w: int, h: int, n: int, vel: int = 90,
+                 seed: int = 11) -> None:
+    """High-motion clip for the FAR-ME (me_range) rows: a rigid pan at
+    `vel` full-pel/frame (default 90 — beyond a +-64 window, inside
+    +-128, matching the reference's +-128x64 far search,
+    hmr_motion_inter.c FAR range)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    tex = (rng.rand(h, w) * 70).astype(np.float32)
+    cyy, cxx = np.mgrid[0:h // 2, 0:w // 2].astype(np.float32)
+    with open(path, "wb") as f:
+        for t in range(n):
+            y = (70 + 20 * np.sin((xx + t * vel) / 61.0)
+                 + np.roll(tex, t * vel, axis=1)
+                 + 15 * np.sin(yy / 37.0))
+            u = 128 + 15 * np.sin((cxx + t * vel / 2) / 43.0)
+            v = 128 + 15 * np.cos((cyy) / 53.0 + t * 0.1)
+            f.write(np.clip(y, 0, 255).astype(np.uint8).tobytes())
+            f.write(np.clip(u, 0, 255).astype(np.uint8).tobytes())
+            f.write(np.clip(v, 0, 255).astype(np.uint8).tobytes())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=50)
@@ -53,7 +75,8 @@ def main():
     os.makedirs("/tmp/clips", exist_ok=True)
     gen_clip("/tmp/clips/synthetic_720p.yuv", 1280, 720, args.frames)
     gen_clip("/tmp/clips/synthetic_1080p.yuv", 1920, 1080, args.frames)
-    print("wrote /tmp/clips/synthetic_720p.yuv and synthetic_1080p.yuv "
+    gen_pan_clip("/tmp/clips/pan_720p.yuv", 1280, 720, args.frames)
+    print("wrote /tmp/clips/{synthetic_720p,synthetic_1080p,pan_720p}.yuv "
           f"({args.frames} frames)")
 
 

@@ -40,14 +40,29 @@ def main():
     ap.add_argument("-no-deblock", action="store_true")
     ap.add_argument("-aq", type=float, default=0.0)
     ap.add_argument("-gpb", action="store_true")
+    ap.add_argument("-cqo", type=int, default=2,
+                    help="chroma QP offset (pps cb/cr_qp_offset)")
     ap.add_argument("-nref", type=int, default=1)
     ap.add_argument("-intra-in-p", action="store_true")
     ap.add_argument("-intra-rdo", action="store_true")
     ap.add_argument("-scaling-lists", action="store_true")
     ap.add_argument("-num-b", type=int, default=0)
-    ap.add_argument("-me-range", type=int, default=32)
+    ap.add_argument("-me_range", type=int, default=32)
     ap.add_argument("-bitrate", type=int, default=0,
-                    help="kbps; >0 selects VBR (bitrate_mode=2)")
+                    help="kbps; >0 selects VBR (bitrate_mode=2) and also "
+                         "enables reinit_gop_on_scene_change (the "
+                         "reference's VBR default); pass -no-scene-reinit "
+                         "to opt out")
+    ap.add_argument("-no-scene-reinit", action="store_true",
+                    help="disable scene-change GOP reinit under -bitrate")
+    ap.add_argument("-cbr", action="store_true",
+                    help="with -bitrate: CBR (bitrate_mode=1) instead of VBR")
+    ap.add_argument("-rc-ctu", action="store_true",
+                    help="row-granular rate control (cfg.rc_ctu)")
+    ap.add_argument("-warmup", type=int, default=0,
+                    help="encode the first N frames through a throwaway "
+                         "pipeline first (same compiled device programs), "
+                         "so the timed run excludes jit compile time")
     ap.add_argument("-o", default=None)
     ap.add_argument("-label", default="rd")
     ap.add_argument("-qps", default=None,
@@ -55,6 +70,9 @@ def main():
                          "device programs (QP is a traced input)")
     args = ap.parse_args()
     if args.qps:
+        if args.bitrate:
+            ap.error("-qps (fixed-QP sweep) and -bitrate (rate control) "
+                     "are mutually exclusive")
         run_multi(args)
         return
 
@@ -66,19 +84,46 @@ def main():
                         deblocking=not args.no_deblock, sign_hiding=True,
                         intra_period=0 if args.gop else 100,
                         aq_strength=args.aq, gpb=args.gpb,
+                        chroma_qp_offset=args.cqo,
                         num_ref_frames=args.nref,
                         intra_in_p=args.intra_in_p,
                         intra_rdo=args.intra_rdo,
                         scaling_lists=args.scaling_lists,
                         num_b=args.num_b,
                         me_range=args.me_range,
-                        bitrate_mode=(BitrateMode.VBR if args.bitrate
+                        rc_ctu=args.rc_ctu,
+                        bitrate_mode=((BitrateMode.CBR if args.cbr
+                                       else BitrateMode.VBR) if args.bitrate
                                       else BitrateMode.FIXED_QP),
                         bitrate_kbps=args.bitrate or 1250,
                         frame_rate=args.fps,
-                        reinit_gop_on_scene_change=bool(args.bitrate))
+                        reinit_gop_on_scene_change=bool(args.bitrate)
+                        and not args.no_scene_reinit)
     pipe = EncoderPipeline(cfg, backend=args.backend)
     fsz = w * h * 3 // 2
+    if args.warmup > 0:
+        # compile pass: run N frames through a twin pipeline, then hand its
+        # compiled device encoder objects to the timed pipeline (QP and the
+        # per-frame planes are traced inputs; one compile per geometry)
+        wp = pipe
+        pipe = EncoderPipeline(cfg, backend=args.backend)
+        with open(args.i, "rb") as wraw:
+            for _ in range(args.warmup):
+                buf = wraw.read(fsz)
+                if len(buf) < fsz:
+                    break
+                a = np.frombuffer(buf, np.uint8)
+                for _ in wp.push(a[:w * h].reshape(h, w),
+                                 a[w * h:w * h + w * h // 4]
+                                 .reshape(h // 2, w // 2),
+                                 a[w * h + w * h // 4:]
+                                 .reshape(h // 2, w // 2)):
+                    pass
+            for _ in wp.flush():
+                pass
+        for k in ("_tpu_intra", "_tpu_inter"):
+            if getattr(wp, k) is not None:
+                setattr(pipe, k, getattr(wp, k))
     raw = open(args.i, "rb")
     out = open(args.o, "wb") if args.o else None
     t0 = time.time()
@@ -152,6 +197,7 @@ def run_multi(args):
                             sign_hiding=True,
                             intra_period=0 if args.gop else 100,
                             aq_strength=args.aq, gpb=args.gpb,
+                            chroma_qp_offset=args.cqo,
                             num_ref_frames=args.nref,
                             intra_in_p=args.intra_in_p,
                             intra_rdo=args.intra_rdo,
