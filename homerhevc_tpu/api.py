@@ -64,6 +64,41 @@ class Encoder:
         """Drain the pipeline (analog of HOMER_enc_control(HOMER_END))."""
         yield from self._pipeline.flush()
 
+    # config fields whose change does NOT invalidate the compiled device
+    # programs (QP and the source planes are traced inputs; these knobs
+    # live in host GOP/RC logic only)
+    _SOFT_FIELDS = frozenset({
+        "qp", "bitrate_kbps", "bitrate_mode", "frame_rate", "vbv_size",
+        "vbv_init", "intra_period", "gop_size", "num_b", "b_qp_offset",
+        "reinit_gop_on_scene_change",
+    })
+
+    def reconfigure(self, **changes) -> list[EncodedFrame]:
+        """Mid-stream reconfiguration (analog of HOMER_enc_control re-SETCFG,
+        hmr_encoder_lib.c:727-738: the reference tears the engines down and
+        rebuilds them). The in-flight GOP is drained first (returned to the
+        caller), then the pipeline restarts with the updated config — the
+        next coded frame is an IDR with fresh VPS/SPS/PPS, so a decoder can
+        join at the switch point. Compiled device encoder objects are kept
+        when every changed field is RC/GOP-side (bitrate, QP, frame rate,
+        GOP shape): geometry- or tool-changing edits recompile, exactly as
+        a resolution change would on the reference."""
+        import dataclasses
+        drained = list(self.flush())
+        unknown = [k for k in changes
+                   if not hasattr(self.cfg, k)]
+        if unknown:
+            raise ValueError(f"unknown config fields: {unknown}")
+        old = self._pipeline
+        self.cfg = dataclasses.replace(self.cfg, **changes)
+        from homerhevc_tpu.engine.pipeline import EncoderPipeline
+        self._pipeline = EncoderPipeline(self.cfg)
+        if all(k in self._SOFT_FIELDS for k in changes):
+            for k in ("_tpu_intra", "_tpu_inter"):
+                if getattr(old, k, None) is not None:
+                    setattr(self._pipeline, k, getattr(old, k))
+        return drained
+
     def encode_sequence(self, frames) -> list[EncodedFrame]:
         out = []
         for (y, u, v) in frames:
