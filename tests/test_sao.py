@@ -143,3 +143,76 @@ def test_sao_rdo_picks_band_offset():
     before = np.abs(src - rec).mean()
     after = np.abs(src - out).mean()
     assert after < before * 0.4, (before, after)
+
+
+def test_device_sao_picks_band_offset():
+    """Device twin of the BO test: a uniform shift confined to a few
+    intensity bands must make the DEVICE program choose type 1 (band),
+    derive the recovering window, and apply it exactly as the host
+    filter would (ops/sao_dev.py BO extension; reference band histogram
+    in sse_sao_get_ctu_stats, hmr_sse42_sao.c:154, derivation
+    hmr_sao.c:480-620)."""
+    import jax.numpy as jnp
+
+    from homerhevc_tpu.hevc.sao import SAO_BAND, sao_apply_component
+    from homerhevc_tpu.ops.sao_dev import sao_analyze_apply, unpack_params
+    from homerhevc_tpu.ops.sao_dev import pack_params
+    import homerhevc_tpu.hevc.tables as T
+
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = (100 + (xx % 31)).astype(np.int32)        # values 100..130
+    rec = src - 4                                    # bands 12..15
+    cu = np.full((h // 2, w // 2), 128, np.int32)
+    lam = int(T.rd_lambda(32, "P") * 256)
+    ry, ru, rv, params = sao_analyze_apply(
+        jnp.asarray(src), jnp.asarray(cu), jnp.asarray(cu),
+        jnp.asarray(rec), jnp.asarray(cu), jnp.asarray(cu), 32, lam)
+    p = unpack_params(np.asarray(pack_params(params)), 2, 4)
+    assert (p.type_luma == SAO_BAND).any(), "device BO never chosen"
+    # the device apply must equal the host (normative) filter with the
+    # same params — this is the encoder/decoder consistency invariant
+    host = sao_apply_component(rec, p, 0, 32)
+    assert np.array_equal(np.asarray(ry), host)
+    before = np.abs(src - rec).mean()
+    after = np.abs(src - np.asarray(ry)).mean()
+    assert after < before * 0.4, (before, after)
+
+
+def test_device_sao_bo_e2e(tmp_path, rng):
+    """IPPP device stream on banding-shift content (BO territory): the
+    coded band params must survive serialization — FFmpeg decode equals
+    the device-filtered recon on every frame."""
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tests.conftest import decode_annexb
+
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=34, gop_size=1,
+                        intra_period=0, sao=True, deblocking=True,
+                        sign_hiding=True, cu_size=32,
+                        reinit_gop_on_scene_change=False)
+    enc = Encoder(cfg)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (90 + (xx % 37) + (yy % 11)).astype(np.int32)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 132, np.uint8)
+    efs = []
+    path = tmp_path / "dbo.265"
+    with open(path, "wb") as f:
+        for t in range(4):
+            # smooth drift + banding-range noise: quant error concentrates
+            # in a few intensity bands, which BO fixes and EO cannot
+            y = np.clip(np.roll(base, t, axis=1)
+                        + rng.randint(-2, 3, (h, w)), 0, 255) \
+                .astype(np.uint8)
+            for ef in enc.encode(y, u, v):
+                f.write(ef.annex_b())
+                efs.append(ef)
+        for ef in enc.flush():
+            f.write(ef.annex_b())
+            efs.append(ef)
+    dec = decode_annexb(path)
+    assert len(dec) == len(efs) == 4
+    for i in range(4):
+        assert np.array_equal(dec[i], efs[i].recon["y"]), f"frame {i}"
