@@ -126,7 +126,7 @@ class TpuInterEncoder:
         from homerhevc_tpu.ops.pallas.me_sad import (coarse_sweep_sads,
                                                      pallas_ok)
         n_off = side * side
-        if pallas_ok():
+        if pallas_ok() and m % 8 == 0 and (2 * R) % 8 == 0:
             sads = coarse_sweep_sads(sd16, pad_c.astype(jnp.int16), R, m)
         else:
             coarse_list = []

@@ -32,29 +32,42 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
-def _sweep_kernel(src_ref, ref_ref, out_ref, *, R: int, m: int, gw: int):
-    """One grid step = one block-row of the source.
+def _sweep_kernel(src_ref, ref_ref, blkmat_ref, out_ref, *, R: int, m: int,
+                  gw: int):
+    """One grid step = (one block-row of the source) x (one dy offset).
 
-    src_ref: (gh*m, gw*m) int16 — whole decimated source (VMEM)
-    ref_ref: (gh*m + 2R, gw*m + 2R) int16 — padded decimated ref (VMEM)
-    out_ref: (side*side, 1, gw) int32 — this row's SADs, every offset
-    """
+    src_ref:    (gh*m, gw*m) int16 — whole decimated source (VMEM)
+    ref_ref:    (gh*m + 2R, gw*m + 2R) int16 — padded decimated ref (VMEM)
+    blkmat_ref: (gw*m, gw) f32 block-indicator matrix (VMEM)
+    out_ref:    (1, 1, pad8(side), gw) int32 — SADs of every dx at this
+                (block-row, dy)
+
+    Lowering constraints shape this kernel: vector loads need 8-aligned
+    dynamic sublane starts (VMEM is (8, 128)-tiled, and DMA sources share
+    the constraint since HBM buffers are tiled too), so the dynamic dy
+    offset is applied as a dynamic sublane ROTATE (pltpu.roll — a
+    supported vector op) of an aligned superband load, with dy riding
+    the grid; only the dx sweep is unrolled as static lane slices. The
+    per-block lane reduction is a matmul with a 0/1 indicator
+    (lane-splitting reshapes don't lower in Mosaic; the MXU does the
+    segmented sum). Column SADs fit fp32 exactly (<= 255 * m * m <<
+    2^24), so results are bit-exact with the unrolled-XLA oracle."""
     side = 2 * R + 1
+    pad8 = -(-side // 8) * 8
     w = gw * m
     i = pl.program_id(0)
+    dy = pl.program_id(1)
     base = i * m
     src = src_ref[pl.ds(base, m), :].astype(jnp.int32)
-
-    def body(k, _):
-        dy = k // side
-        dx = k % side
-        sh = ref_ref[pl.ds(base + dy, m), pl.ds(dx, w)].astype(jnp.int32)
-        d = jnp.abs(src - sh)
-        sums = d.reshape(m, gw, m).sum(axis=(0, 2))      # (gw,)
-        out_ref[pl.ds(k, 1), 0, :] = sums[None, :]
-        return 0
-
-    jax.lax.fori_loop(0, side * side, body, 0)
+    blkmat = blkmat_ref[:, :]
+    big = ref_ref[pl.ds(base, m + 2 * R), :].astype(jnp.int32)
+    rows = pltpu.roll(big, -dy, 0)[:m, :]
+    cs = [jnp.abs(src - rows[:, dx:dx + w]).sum(axis=0, keepdims=True)
+          for dx in range(side)]                         # side x (1, w)
+    cs += [jnp.zeros((1, w), jnp.int32)] * (pad8 - side)
+    c = jnp.concatenate(cs, axis=0).astype(jnp.float32)
+    out_ref[0, 0, :, :] = jnp.dot(
+        c, blkmat, preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
 def coarse_sweep_sads(sd: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
@@ -66,24 +79,35 @@ def coarse_sweep_sads(sd: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
     ref_pad: (gh*m + 2R, gw*m + 2R) decimated reference, edge-padded by R
     """
     assert _HAVE_PALLAS
+    # the superband load is provably aligned only when m and 2R are
+    # sublane multiples (production m = cu/2 in {8, 16}, R in {16, 24})
+    assert m % 8 == 0 and (2 * R) % 8 == 0, (m, R)
     gh = sd.shape[0] // m
     gw = sd.shape[1] // m
     side = 2 * R + 1
     kern = partial(_sweep_kernel, R=R, m=m, gw=gw)
+    w = gw * m
+    pad8 = -(-side // 8) * 8
+    blkmat = (jnp.arange(w)[:, None] // m
+              == jnp.arange(gw)[None, :]).astype(jnp.float32)
     out = pl.pallas_call(
         kern,
-        grid=(gh,),
+        grid=(gh, side),
         in_specs=[
-            pl.BlockSpec(sd.shape, lambda i: (0, 0),
+            pl.BlockSpec(sd.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ref_pad.shape, lambda i: (0, 0),
+            pl.BlockSpec(ref_pad.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((side * side, 1, gw), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((side * side, gh, gw), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, pad8, gw), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((gh, side, pad8, gw), jnp.int32),
         interpret=interpret,
-    )(sd.astype(jnp.int16), ref_pad.astype(jnp.int16))
-    return out
+    )(sd.astype(jnp.int16), ref_pad.astype(jnp.int16), blkmat)
+    # (gh, side, pad8, gw) -> (side*side, gh, gw)
+    return out[:, :, :side, :].reshape(gh, side * side, gw) \
+        .transpose(1, 0, 2)
 
 
 _PROBE_OK = None
@@ -101,7 +125,7 @@ def pallas_ok() -> bool:
         _PROBE_OK = False
         return False
     try:
-        m, gh, gw, R = 8, 2, 2, 2
+        m, gh, gw, R = 8, 2, 2, 8
         sd = (np.arange(gh * m * gw * m, dtype=np.int64) * 7919 % 251) \
             .reshape(gh * m, gw * m).astype(np.int16)
         ref = ((np.arange(gh * m * gw * m, dtype=np.int64) * 104729 + 3)

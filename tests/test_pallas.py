@@ -12,8 +12,9 @@ import pytest
 def test_coarse_sweep_matches_oracle(rng):
     from homerhevc_tpu.ops.pallas.me_sad import (coarse_sweep_sads,
                                                  coarse_sweep_sads_ref)
-    for (gh, gw, R) in ((4, 6, 4), (3, 3, 2), (2, 8, 8)):
-        m = 8
+    # m and 2R must be sublane multiples (the kernel's alignment
+    # contract; production m = cu/2 in {8, 16}, R in {16, 24})
+    for (gh, gw, R, m) in ((4, 6, 8, 8), (3, 3, 4, 8), (2, 8, 16, 16)):
         sd = jnp.asarray(rng.randint(0, 255, (gh * m, gw * m)), jnp.int16)
         ref = rng.randint(0, 255, (gh * m, gw * m))
         rp = jnp.asarray(np.pad(ref, R, mode="edge"), jnp.int16)
