@@ -64,6 +64,8 @@ def main():
                          "pipeline first (same compiled device programs), "
                          "so the timed run excludes jit compile time")
     ap.add_argument("-o", default=None)
+    ap.add_argument("-profile", action="store_true",
+                    help="print the stage profiler report to stderr")
     ap.add_argument("-label", default="rd")
     ap.add_argument("-qps", default=None,
                     help="comma list; run each QP reusing the compiled "
@@ -169,6 +171,9 @@ def main():
         "psnr_u": round(ps_u / max(nf, 1), 2),
         "psnr_v": round(ps_v / max(nf, 1), 2),
     }))
+    if args.profile:
+        from homerhevc_tpu.utils.profiler import PROFILER
+        print(PROFILER.report(), file=sys.stderr)
 
 
 def run_multi(args):
