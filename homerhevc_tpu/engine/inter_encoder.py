@@ -378,9 +378,9 @@ class TpuInterEncoder:
             ix0, iy0 = mv0[:, 0] >> 2, mv0[:, 1] >> 2
             by = y0v + iy0 - 1 + padL - 3
             bx = x0v + ix0 - 1 + padL - 3
-            rows = by[:, None, None] + jnp.arange(n + 8)[None, :, None]
-            cols = bx[:, None, None] + jnp.arange(n + 8)[None, None, :]
-            patch = ref_padL[rows, cols].astype(jnp.int32)  # (B, n+8, n+8)
+            from homerhevc_tpu.ops.interp import extract_patches
+            patch = extract_patches(ref_padL, by, bx, n + 8) \
+                .astype(jnp.int32)                          # (B, n+8, n+8)
             wx = _windowed(patch, 8, axis=2)                # (B, n+8, n+1, 8)
             h4 = jnp.einsum("fk,byxk->fbyx", taps, wx)
             wy = _windowed(h4, 8, axis=2)                   # (4,B,n+1,n+1,8)
@@ -962,9 +962,9 @@ class TpuInterEncoder:
                 ix0, iy0 = mv0[:, 0] >> 2, mv0[:, 1] >> 2
                 by = y0v + iy0 - 1 + padL - 3
                 bx = x0v + ix0 - 1 + padL - 3
-                rows = by[:, None, None] + jnp.arange(n + 8)[None, :, None]
-                cols = bx[:, None, None] + jnp.arange(n + 8)[None, None, :]
-                patch = ref_padL[rows, cols].astype(jnp.int32)
+                from homerhevc_tpu.ops.interp import extract_patches
+                patch = extract_patches(ref_padL, by, bx, n + 8) \
+                    .astype(jnp.int32)
                 wx = _windowed(patch, 8, axis=2)
                 h4 = jnp.einsum("fk,byxk->fbyx", taps, wx)
                 wy = _windowed(h4, 8, axis=2)
