@@ -40,15 +40,25 @@ def select_intra_independent_j(want: jnp.ndarray) -> jnp.ndarray:
 class TpuInterEncoder:
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16,
                  search: int = 16):
+        from homerhevc_tpu.utils.jaxcache import enable_compile_cache
+        enable_compile_cache()
         self.ps = ps
         self.cfg = cfg
         self.cu = cu
         self.search = search
         self.w, self.h = cfg.width, cfg.height
         assert self.w % cu == 0 and self.h % cu == 0
+        # performance modes on the DEVICE programs (reference
+        # hmr_encoder_lib.c:921-947): FAST (>=1) drops the merge-RD
+        # re-code stage and masks the CU32/CU64 consolidation with the
+        # golden fast-skip predicate (mv_spread > 16); UFAST (>=2) also
+        # skips the CU64 layer — the compiled program genuinely shrinks,
+        # so -performance_mode changes the measured device fps
+        self.perf = int(getattr(cfg, "performance_mode", 0))
         # batched merge-RD stage on the flat CU16 program (golden twin:
         # merge_rd_fast)
-        self.merge_rd = bool(getattr(cfg, "merge_rd_device", True))
+        self.merge_rd = (bool(getattr(cfg, "merge_rd_device", True))
+                         and self.perf == 0)
         # FAR (4x-decimated) pyramid level beyond the 2x sweep's +-2*search
         # reach (golden twin: far_grid / hier_pel_fields far block); reach =
         # the maximum full-pel roam of any ME candidate (sets ref padding)
@@ -60,7 +70,8 @@ class TpuInterEncoder:
         # CU64 level (luma as four forced-split TU32s, golden twin:
         # encode_inter_frame_tree want64)
         self.tree = ps.ctu_size in (32, 64)
-        self.tree64 = ps.ctu_size == 64
+        # UFAST raises min CU depth (golden want64=False twin)
+        self.tree64 = ps.ctu_size == 64 and self.perf < 2
         if self.tree64:
             assert self.w % 64 == 0 and self.h % 64 == 0, \
                 "device CTB64 path needs /64 dims (use golden otherwise)"
@@ -700,6 +711,16 @@ class TpuInterEncoder:
         c16 = cu_cost(src_blk, rec, lvl, mvs).reshape(gh, gw)
         c16p = c16[:gh2 * 2].reshape(gh2, 2, gw2, 2).sum(axis=(1, 3))
         choose = c32 <= c16p                                # (gh2, gw2)
+        if self.perf >= 1:
+            # fast-skip consolidation (golden mv_spread16 twin,
+            # inter_frame.py): a merged CU whose adopted sub-CU motion
+            # disagrees by > 16 qpel never wins — masked here since the
+            # batched program has already evaluated every level
+            g = mvs.reshape(gh, gw, 2)[:gh2 * 2] \
+                .reshape(gh2, 2, gw2, 2, 2)
+            spread = (g.max(axis=(1, 3)) - g.min(axis=(1, 3))) \
+                .max(axis=-1)
+            choose = choose & (spread <= 16)
 
         # chroma for CU32 (TU16 chroma at the 32 grid)
         def chroma32(src_c, ref_c):
@@ -806,6 +827,19 @@ class TpuInterEncoder:
             r64 = r32[:gh4 * 2, :gw4 * 2].reshape(gh4, 2, gw4, 2) \
                 .sum(axis=(1, 3))
             choose64 = c64 <= r64
+            if self.perf >= 1:
+                # fast-skip over the POST-CU32-adoption motion field
+                # (golden reads desc.mv after the CU32 pass)
+                ch16m = jnp.repeat(jnp.repeat(choose, 2, 0), 2, 1)
+                mv32r = jnp.repeat(jnp.repeat(
+                    mv32.reshape(gh2, gw2, 2), 2, 0), 2, 1)
+                mv16p = jnp.where(ch16m[:, :, None], mv32r,
+                                  mvs.reshape(gh, gw, 2)[:gh2 * 2])
+                g4 = mv16p[:gh4 * 4, :gw4 * 4] \
+                    .reshape(gh4, 4, gw4, 4, 2)
+                spread64 = (g4.max(axis=(1, 3)) - g4.min(axis=(1, 3))) \
+                    .max(axis=-1)
+                choose64 = choose64 & (spread64 <= 16)
 
             def combine64(plane, blocks, m, dt):
                 p64 = blocks.astype(dt).reshape(gh4, gw4, m, m) \

