@@ -500,6 +500,24 @@ class TpuIntraTreeEncoder:
                                         ps.cb_qp_offset).astype(jnp.uint8)
             recon_v = deblock_chroma_bs(recon_v, bs_v == 2, bs_h == 2, qp,
                                         ps.cr_qp_offset).astype(jnp.uint8)
+        # device SAO decide+apply (same program as the inter path; keeps
+        # the recon device-resident for the following P chain and replaces
+        # the ~4 s/frame host sao_decide at 1080p)
+        sao_vec = None
+        if ps.sao_enabled:
+            from homerhevc_tpu.ops.sao_dev import (pack_params,
+                                                   sao_analyze_apply)
+            lam_x256 = (jnp.asarray(T.RD_LAMBDA_I_TAB)[qp] * 256.0 + 0.5) \
+                .astype(jnp.int32)
+            ry_f, ru_f, rv_f, sparams = sao_analyze_apply(
+                src_y.astype(jnp.int32), src_u.astype(jnp.int32),
+                src_v.astype(jnp.int32), recon_y.astype(jnp.int32),
+                recon_u.astype(jnp.int32), recon_v.astype(jnp.int32),
+                ps.ctu_size, lam_x256)
+            recon_y = ry_f.astype(jnp.uint8)
+            recon_u = ru_f.astype(jnp.uint8)
+            recon_v = rv_f.astype(jnp.uint8)
+            sao_vec = pack_params(sparams)
         ly = assemble(lvl.astype(jnp.int16), 32, h, w)
         lu = assemble(lvl_u.astype(jnp.int16), 16, h // 2, w // 2)
         lv = assemble(lvl_v.astype(jnp.int16), 16, h // 2, w // 2)
@@ -513,10 +531,12 @@ class TpuIntraTreeEncoder:
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
         meta = jnp.concatenate(
             [depth8.astype(jnp.uint8).reshape(-1),
-             mode8.astype(jnp.uint8).reshape(-1), cg_bitmap,
-             u8(masks16), codes, u8(esc_idx), u8(esc_val),
-             u8(count.reshape(1)), u8(esc_count.reshape(1)),
-             u8(cg_count.reshape(1))])
+             mode8.astype(jnp.uint8).reshape(-1)]
+            + ([sao_vec] if sao_vec is not None else [])
+            + [cg_bitmap,
+               u8(masks16), codes, u8(esc_idx), u8(esc_val),
+               u8(count.reshape(1)), u8(esc_count.reshape(1)),
+               u8(cg_count.reshape(1))])
         return recon_y, recon_u, recon_v, ly, lu, lv, meta
 
     # ---- host glue (mirrors TpuIntraEncoder) ------------------------------
@@ -592,7 +612,16 @@ class TpuIntraTreeEncoder:
         E = esc_capacity(n_tot, self.pack_C)
         depth8s = meta_np[:, :ng].reshape(n_frames, h8, w8)
         mode8s = meta_np[:, ng:2 * ng].reshape(n_frames, h8, w8)
-        wire = _parse_cg_wire(meta_np, 2 * ng, n_tot, self.pack_C,
+        off = 2 * ng
+        sao_bufs = None
+        if self.ps.sao_enabled:
+            from homerhevc_tpu.ops.sao_dev import params_nbytes
+            sgh = self.h // self.ps.ctu_size
+            sgw = self.w // self.ps.ctu_size
+            nb = params_nbytes(sgh, sgw)
+            sao_bufs = meta_np[:, off:off + nb]
+            off += nb
+        wire = _parse_cg_wire(meta_np, off, n_tot, self.pack_C,
                               self.cg_C, E)
         shapes = [(self.h, self.w), (self.h // 2, self.w // 2),
                   (self.h // 2, self.w // 2)]
@@ -611,6 +640,9 @@ class TpuIntraTreeEncoder:
                                  np.asarray(lv[i])))
                     desc = self._build_desc(depth8s[i], mode8s[i],
                                             py, pu, pv)
+                if sao_bufs is not None:
+                    from homerhevc_tpu.ops.sao_dev import unpack_params
+                    desc.sao_params = unpack_params(sao_bufs[i], sgh, sgw)
                 results.append((desc, _DeviceSlice(ry, i),
                                 _DeviceSlice(ru, i), _DeviceSlice(rv, i)))
         return results

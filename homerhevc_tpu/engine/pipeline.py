@@ -632,12 +632,13 @@ class EncoderPipeline:
                     want_gpb = self.cfg.gpb or self.cfg.num_ref_frames >= 2
                     gpb = (want_gpb and ref2 is not None
                            and self.ps.ctu_size == 32)
-                    if gpb:
-                        out = enc.dispatch_b((y, u, v), ref, ref2,
-                                             self.avg_dist, qp=qp)
-                    else:
-                        out = enc.dispatch((y, u, v), ref, self.avg_dist,
-                                           qp=qp)
+                    with PROFILER.scope("dispatch_inter"):
+                        if gpb:
+                            out = enc.dispatch_b((y, u, v), ref, ref2,
+                                                 self.avg_dist, qp=qp)
+                        else:
+                            out = enc.dispatch((y, u, v), ref,
+                                               self.avg_dist, qp=qp)
                     self._last_recon_dev2 = (
                         self._last_recon_dev if self._last_recon_dev
                         is not None else None)

@@ -245,3 +245,44 @@ def test_device_tree_pipeline_e2e(rng, tmp_path):
     assert len(decoded) == 3
     for i in range(3):
         assert np.array_equal(decoded[i], recons[i]["y"]), f"frame {i}"
+
+
+def test_device_tree_sao_pipeline_e2e(rng, tmp_path):
+    """Device tree path with DEVICE SAO (decide+apply inside the intra
+    program, params on the wire): stream must FFmpeg-decode bit-exact to
+    the (SAO-filtered) recon, and the desc must carry device sao_params
+    (host sao_decide must not run)."""
+    w, h = 96, 64
+    import dataclasses
+    cfg = dataclasses.replace(_tree_cfg(w, h), sao=True, deblocking=True)
+    frames = [_mixed_frame(rng, w, h) for _ in range(2)]
+    # noisy second frame so SAO has real offsets to pick
+    y2, u2, v2 = frames[1]
+    frames[1] = (np.clip(y2.astype(int)
+                         + rng.randint(-8, 9, y2.shape), 0, 255)
+                 .astype(np.uint8), u2, v2)
+    bits, nals, recons = _encode_bits(cfg, frames)
+    path = tmp_path / "tree_dev_sao.265"
+    path.write_bytes(nals)
+    decoded = decode_annexb(path)
+    assert len(decoded) == 2
+    for i in range(2):
+        assert np.array_equal(decoded[i], recons[i]["y"]), f"frame {i}"
+
+
+def test_device_tree_sao_picks_offsets(rng):
+    """On noisy content the device-decided SAO must actually turn on for
+    some CTB (otherwise the in-program decide is dead code)."""
+    from homerhevc_tpu.engine.intra_tree_encoder import TpuIntraTreeEncoder
+    import dataclasses
+    w, h = 96, 64
+    cfg = dataclasses.replace(_tree_cfg(w, h), sao=True, deblocking=True)
+    ps = ParamSets.from_config(cfg)
+    y, u, v = _mixed_frame(rng, w, h)
+    y = np.clip(y.astype(int) + rng.randint(-10, 11, y.shape),
+                0, 255).astype(np.uint8)
+    enc = TpuIntraTreeEncoder(ps, cfg)
+    desc, ry, ru, rv = enc.encode_frame(y, u, v, 32)
+    p = desc.sao_params
+    assert p is not None
+    assert (p.type_luma != 0).any() or (p.type_chroma != 0).any()

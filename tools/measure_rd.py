@@ -147,14 +147,17 @@ def main():
 
     def consume(ef):
         nonlocal total_bits, ps_y, ps_u, ps_v, nf
+        from homerhevc_tpu.utils.profiler import PROFILER
         total_bits += ef.bits
         if out is not None:
             out.write(ef.annex_b())
-        r = ef.recon
+        with PROFILER.scope("consume_recon"):
+            r = ef.recon
         sy, su, sv = srcs[ef.poc]
-        ps_y += psnr(r["y"], sy)
-        ps_u += psnr(r["u"], su)
-        ps_v += psnr(r["v"], sv)
+        with PROFILER.scope("consume_psnr"):
+            ps_y += psnr(r["y"], sy)
+            ps_u += psnr(r["u"], su)
+            ps_v += psnr(r["v"], sv)
         nf += 1
 
     for y, u, v in feed():

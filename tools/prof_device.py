@@ -86,7 +86,8 @@ def main():
 
         def run_me():
             r = me_only(syd, ryd)
-            jax.block_until_ready(r)
+            np.asarray(r[0])   # real device round trip (axon's
+            # block_until_ready does not reliably block)
         t = timeit(run_me, args.n)
         print(json.dumps({"probe": "hier_me", "ms": round(t * 1000, 1)}))
 
@@ -94,7 +95,7 @@ def main():
         def run_impl():
             out = enc._jit(syd, sud, svd, ryd, rud, rvd,
                            jnp.float32(8.0), jnp.int32(32), qp_map=None)
-            jax.block_until_ready(out)
+            np.asarray(out[6])   # meta fetch = completion barrier
         t = timeit(run_impl, args.n)
         print(json.dumps({"probe": "impl_p", "ms": round(t * 1000, 1)}))
 
@@ -117,7 +118,8 @@ def main():
     if "decide" in probes:
         def run_decide():
             r = ienc._decide_jit(syd, sud, svd, jnp.int32(32))
-            jax.block_until_ready(r)
+            np.asarray(r[0])   # force a real device round trip (axon's
+            # block_until_ready does not reliably block)
         t = timeit(run_decide, args.n)
         print(json.dumps({"probe": "intra_decide", "ms": round(t * 1000, 1)}))
 
