@@ -222,3 +222,104 @@ def test_gpb_conformance(tmp_path, rng):
     for i in range(6):
         assert np.array_equal(dec[i], np.asarray(efs[i].recon["y"])), \
             f"frame {i}"
+
+
+def test_select_syntax_tree_vec_matches_walk():
+    """The vectorized tree syntax selection must equal the recursive walk
+    bit-for-bit on mixed-depth motion fields (skip/merge/AMVP indices,
+    z-scan B0/A0 availability, zero-MV fill, intra holes)."""
+    import numpy as np
+    from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.golden.inter_frame import (
+        _select_inter_syntax_tree_vec, select_inter_syntax_tree)
+    from homerhevc_tpu.hevc.headers import ParamSets
+    from homerhevc_tpu.hevc.syntax import FrameDesc, MODE_INTER, MODE_INTRA
+
+    for ctu in (32, 64):
+        for seed in range(6):
+            rng = np.random.RandomState(100 + seed)
+            w, h = 4 * ctu, 2 * ctu
+            cfg = EncoderConfig(width=w, height=h, qp=32, gop_size=1,
+                                cu_size=ctu, sao=False, deblocking=False)
+            ps = ParamSets.from_config(cfg)
+
+            def build():
+                d = FrameDesc.alloc(w, h)
+                d.pred_mode[:] = MODE_INTER
+                base = ps.log2_ctu - 4          # CU16 depth
+                d.cu_depth[:] = base
+                # random CU32 regions
+                ch32 = rng.rand(h // 32, w // 32) < 0.4
+                m32 = np.repeat(np.repeat(ch32, 4, 0), 4, 1)
+                d.cu_depth[m32] = base - 1
+                if ctu == 64:
+                    ch64 = rng.rand(h // 64, w // 64) < 0.3
+                    m64 = np.repeat(np.repeat(ch64, 8, 0), 8, 1)
+                    d.cu_depth[m64] = 0
+                # small-range MVs with many duplicates (exercises pruning)
+                # and zero MVs (exercises zero-fill merge)
+                mv16 = rng.randint(-2, 3, (h // 16, w // 16, 2)) * 4
+                d.mv[:] = np.repeat(np.repeat(mv16, 2, 0), 2, 1)
+                # motion uniform within each adopted CU (as encoders emit)
+                for n in (64, 32):
+                    if n > ctu:
+                        continue
+                    r8 = n // 8
+                    dep = ps.log2_ctu - (n.bit_length() - 1)
+                    for gy in range(h // n):
+                        for gx in range(w // n):
+                            if d.cu_depth[gy * r8, gx * r8] == dep:
+                                d.mv[gy*r8:(gy+1)*r8, gx*r8:(gx+1)*r8] = \
+                                    d.mv[gy * r8, gx * r8]
+                # intra holes (CU16 cells)
+                ih = rng.rand(h // 16, w // 16) < 0.15
+                ih &= np.repeat(np.repeat(
+                    d.cu_depth[::2, ::2] == base, 1, 0), 1, 1)[:h//16, :w//16]
+                m8i = np.repeat(np.repeat(ih, 2, 0), 2, 1)
+                d.pred_mode[m8i] = MODE_INTRA
+                # sparse residuals
+                d.coef_y = (rng.rand(h, w) < 0.002).astype(np.int16)
+                d.coef_u = np.zeros((h // 2, w // 2), np.int16)
+                d.coef_v = (rng.rand(h // 2, w // 2) < 0.002) \
+                    .astype(np.int16)
+                return d
+
+            d1 = build()
+            d2 = FrameDesc.alloc(w, h)
+            for f in ("pred_mode", "cu_depth", "mv", "coef_y", "coef_u",
+                      "coef_v"):
+                setattr(d2, f, getattr(d1, f).copy())
+            _select_inter_syntax_tree_vec(ps, d1)
+            # force the walk on the twin
+            ctu_old = d2.inter_part
+            select = select_inter_syntax_tree
+            # walk path: call the internal loop by disabling the vec gate
+            d2.ref_idx = None
+            from homerhevc_tpu.golden import inter_frame as IF
+
+            def walk_only(ps_, desc_):
+                ctu_ = ps_.ctu_size
+
+                def walk(x0, y0, n, depth):
+                    if x0 >= desc_.width or y0 >= desc_.height:
+                        return
+                    inside = (x0 + n <= desc_.width
+                              and y0 + n <= desc_.height)
+                    if inside and int(desc_.cu_depth[y0 // 8,
+                                                     x0 // 8]) <= depth:
+                        IF._select_cu_syntax(ps_, desc_, x0, y0, n, False)
+                        return
+                    half = n // 2
+                    for (dy, dx) in ((0, 0), (0, half), (half, 0),
+                                     (half, half)):
+                        walk(x0 + dx, y0 + dy, half, depth + 1)
+                for cy in range(-(-desc_.height // ctu_)):
+                    for cx in range(-(-desc_.width // ctu_)):
+                        walk(cx * ctu_, cy * ctu_, ctu_, 0)
+            walk_only(ps, d2)
+            for f in ("skip", "inter_mode", "merge_idx", "root_cbf",
+                      "mvp_flag"):
+                a, b = getattr(d1, f), getattr(d2, f)
+                assert np.array_equal(a, b), \
+                    f"ctu={ctu} seed={seed} field={f}: " \
+                    f"{np.argwhere(a != b)[:5]}"
